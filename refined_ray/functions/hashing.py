@@ -1,0 +1,80 @@
+"""Stable, process-independent hashing.
+
+Python's builtin ``hash`` is salted per process (PYTHONHASHSEED) and
+therefore unusable for distributed partitioning: two Ray workers would
+route the same key to different partitions.  Everything here is
+deterministic across processes and platforms.
+
+At 10^12-document scale 64-bit ids have expected birthday collisions
+(~3e4 at 1e12 keys); production would widen `stable_hash64` to 128-bit
+(two independent mixes).  64-bit is plenty for the sandbox scales and
+keeps shuffle payloads narrow.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+
+_U64 = np.uint64
+# splitmix64 constants — public-domain mixer (Vigna), also used by Java/JS PRNG libs.
+_SM_GAMMA = _U64(0x9E3779B97F4A7C15)
+_SM_M1 = _U64(0xBF58476D1CE4E5B9)
+_SM_M2 = _U64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array."""
+    x = x.astype(_U64, copy=True)
+    with np.errstate(over="ignore"):
+        x += _SM_GAMMA
+        x ^= x >> _U64(30)
+        x *= _SM_M1
+        x ^= x >> _U64(27)
+        x *= _SM_M2
+        x ^= x >> _U64(31)
+    return x
+
+
+def stable_hash64_bytes(data: bytes) -> int:
+    """Stable 64-bit hash of a byte string (first 8 bytes of blake2b)."""
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
+
+
+def stable_hash64_str(s: str) -> int:
+    return stable_hash64_bytes(s.encode("utf-8"))
+
+
+def hash_str_array(strs, seed: int = 0) -> np.ndarray:
+    """Vectorized-ish stable uint64 hash of an array/list of strings.
+
+    crc32 (zlib, C speed) of each string mixed through splitmix64 with
+    the seed.  crc32 is only 32-bit so we fold in the string length to
+    spread collisions before the 64-bit mix; for *identifier* hashing
+    (page ids) use `stable_hash64_str` (blake2b) instead — this one is
+    for bulk token/shingle hashing where throughput matters and a rare
+    32-bit collision only perturbs a MinHash estimate.
+    """
+    n = len(strs)
+    out = np.empty(n, dtype=np.uint64)
+    crc = zlib.crc32
+    for i in range(n):
+        b = strs[i].encode("utf-8")
+        out[i] = crc(b) ^ (len(b) << 32)
+    with np.errstate(over="ignore"):
+        out += _U64(seed) * _SM_GAMMA
+    return splitmix64(out)
+
+
+def hash_u64_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Combine two uint64 arrays into one (order-sensitive)."""
+    with np.errstate(over="ignore"):
+        return splitmix64(a.astype(_U64) * _U64(0xC2B2AE3D27D4EB4F) + splitmix64(b.astype(_U64)))
+
+
+def md5_hex(strs) -> list[str]:
+    """md5 hex digest per string — matches DuckDB's ``md5()`` so exact-dedup
+    content keys are oracle-comparable."""
+    return [hashlib.md5(s.encode("utf-8")).hexdigest() for s in strs]

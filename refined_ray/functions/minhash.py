@@ -1,0 +1,122 @@
+"""MinHash signatures + LSH band keys, segment-vectorized.
+
+The reference has no sketches (SURVEY.md §2.5); MinHash-LSH is the
+blocking stage the north rule adds: shingle → minhash → band →
+bucket-groupby.  All kernels operate on a *flat* token array with
+per-doc segment offsets (see functions.tokenize.tokenize_batch) so a
+whole Arrow batch is signed with numpy reduceat calls — no per-doc
+Python loop in the hot path.
+
+Default geometry: 128 permutations = 64 bands × 2 rows.  The LSH
+s-curve catches Jaccard ≥ 0.45 with p ≈ 1-(1-0.45²)^64 ≈ 1-6e-7 —
+sized against the synthetic corpus's worst-case same-document mirror
+Jaccard (~0.45 for 10-token pages with one dropped token) — while
+unrelated word-soup pages (shingle-J ≈ 1e-3) collide with
+p ≈ 64·J² ≈ 6e-5 per pair; those spurious candidates are rejected by
+signature-Jaccard verification in the scoring stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import hash_str_array, splitmix64
+
+_U64 = np.uint64
+NUM_PERMS = 128
+NUM_BANDS = 64
+ROWS_PER_BAND = NUM_PERMS // NUM_BANDS
+SHINGLE_K = 3
+
+# Fixed per-permutation seeds (never change: signatures are persisted).
+_PERM_SEEDS = splitmix64(np.arange(1, NUM_PERMS + 1, dtype=_U64) * _U64(0x9E3779B97F4A7C15))
+_BAND_SALT = splitmix64(np.arange(NUM_BANDS, dtype=_U64) + _U64(0xABCDEF12345))
+
+
+def shingle_hashes(flat_tokens: list[str], starts: np.ndarray, k: int = SHINGLE_K) -> tuple[np.ndarray, np.ndarray]:
+    """k-token shingle hashes for a batch of docs in flat layout.
+
+    Returns (flat_shingles:uint64, sh_starts) in the same segment
+    layout.  Docs shorter than k tokens get a single shingle covering
+    all their tokens (so every doc has ≥1 shingle and a signature).
+    """
+    tok_h = hash_str_array(flat_tokens)
+    n_docs = len(starts) - 1
+    lens = np.diff(starts)
+    sh_counts = np.maximum(lens - (k - 1), 1)
+    sh_counts[lens == 0] = 1  # empty doc → one sentinel shingle
+    sh_starts = np.empty(n_docs + 1, dtype=np.int64)
+    sh_starts[0] = 0
+    np.cumsum(sh_counts, out=sh_starts[1:])
+
+    flat_sh = np.empty(sh_starts[-1], dtype=_U64)
+    n_tok = len(tok_h)
+    with np.errstate(over="ignore"):
+        # Rolling combine over the WHOLE flat token array: pos i holds
+        # mix(t[i..i+k-1]).  Shingles that would cross a doc boundary are
+        # simply never selected below — no per-doc loop.
+        if n_tok >= k:
+            acc = tok_h[: n_tok - k + 1].copy()
+            for j in range(1, k):
+                acc = acc * _U64(0xC2B2AE3D27D4EB4F) + tok_h[j : n_tok - k + 1 + j]
+            acc = splitmix64(acc)
+        else:
+            acc = np.empty(0, dtype=_U64)
+
+        # Gather each doc's shingle positions vectorially: for doc d the
+        # positions are starts[d] .. starts[d]+sh_counts[d]-1.
+        long_docs = lens >= k
+        if long_docs.any():
+            cnt = sh_counts[long_docs]
+            base = np.repeat(starts[:-1][long_docs], cnt)
+            offs = np.arange(cnt.sum(), dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            dst = np.repeat(sh_starts[:-1][long_docs], cnt) + offs
+            flat_sh[dst] = acc[base + offs]
+
+        # Short docs (< k tokens): one shingle over all their tokens.
+        for d in np.nonzero(~long_docs)[0]:
+            s, e = starts[d], starts[d + 1]
+            if e > s:
+                a = tok_h[s]
+                for j in range(s + 1, e):
+                    a = a * _U64(0xC2B2AE3D27D4EB4F) + tok_h[j]
+                flat_sh[sh_starts[d]] = splitmix64(np.array([a], dtype=_U64))[0]
+            else:
+                flat_sh[sh_starts[d]] = _U64(0)
+    return flat_sh, sh_starts
+
+
+def minhash_signatures(flat_shingles: np.ndarray, sh_starts: np.ndarray, num_perms: int = NUM_PERMS) -> np.ndarray:
+    """(n_docs, num_perms) uint64 signature matrix.
+
+    perm_p(s) = splitmix64(s xor seed_p); sig[d, p] = min over d's
+    shingles.  Fully vectorized: one (P, total_shingles) broadcast +
+    one np.minimum.reduceat per the flat segment layout.
+    """
+    seeds = _PERM_SEEDS[:num_perms]
+    # (P, S) permuted values; splitmix64 keeps uint64 overflow semantics.
+    permuted = splitmix64(flat_shingles[None, :] ^ seeds[:, None])
+    sig = np.minimum.reduceat(permuted, sh_starts[:-1], axis=1)  # (P, n_docs)
+    return np.ascontiguousarray(sig.T)
+
+
+def band_keys(signatures: np.ndarray, num_bands: int = NUM_BANDS) -> np.ndarray:
+    """(n_docs, num_bands) uint64 LSH block keys.
+
+    Each band key hashes that band's signature rows together with the
+    band id, so keys from different bands never collide into one block.
+    """
+    n_docs, p = signatures.shape
+    r = p // num_bands
+    bands = signatures.reshape(n_docs, num_bands, r)
+    with np.errstate(over="ignore"):
+        acc = bands[:, :, 0].copy()
+        for j in range(1, r):
+            acc = splitmix64(acc * _U64(0xC2B2AE3D27D4EB4F) + bands[:, :, j])
+        acc = splitmix64(acc ^ _BAND_SALT[None, :num_bands])
+    return acc
+
+
+def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
+    """Row-wise Jaccard estimate between two (n, P) signature matrices."""
+    return (sig_a == sig_b).mean(axis=1)

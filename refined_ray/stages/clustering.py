@@ -1,0 +1,178 @@
+"""Distributed connected components (transitive clustering).
+
+≙ the role played by the reference's transitive closure over the class
+DAG (class_handler.py:22-85) — here the north rule's distributed
+union-find over candidate-pair edges: hash-partitioned label tables
+with iterative min-label propagation + pointer jumping until fixpoint.
+
+Algorithm (all steps are Ray Dataset ops — no driver-side edge lists):
+
+  labels(v, lbl) ← (page_id, page_id) for every vertex
+  repeat:
+    msgs    = edges⋈labels on src → (dst, lbl)            # neighbor mins
+    labels' = groupby(v) MIN over labels ∪ msgs           # propagate
+    labels' = labels'⋈labels' on (lbl = v) → lbl(lbl(v))  # pointer jump
+  until no label changed
+
+Min-label propagation alone needs O(diameter) rounds (capped chains
+from the pair stage can have diameter ≤ max_block_size); the pointer
+jump doubles the propagation horizon per round → O(log d) rounds.
+Each round's label table is one narrow row per vertex, materialized in
+the object store (never on the driver); the convergence counter is a
+Dataset count().  Labels only decrease, so the loop is monotone and
+the fixpoint exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.aggregate import Min
+
+MAX_ROUNDS = 20
+# Below this edge count the driver runs a numpy union-find over the
+# streamed edge list and broadcasts the label map — the sanctioned
+# "small side" fast path (the label table is ~16 B/vertex).  Above it,
+# the fully distributed loop runs.  The bound is per-job and checked
+# with a count(), never assumed.
+DRIVER_UNION_FIND_MAX_EDGES = 5_000_000
+
+
+def _symmetrize(edges) -> "ray.data.Dataset":  # noqa: F821
+    """(a,b) edge list → (src,dst) with both directions."""
+
+    def both(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            }
+        )
+
+    return edges.map_batches(both, batch_format="pyarrow")
+
+
+def _union_find_labels(a: np.ndarray, b: np.ndarray) -> dict:
+    """Driver-side union-find (path halving + union by root id).
+
+    Roots are MIN ids so the result matches the distributed algorithm
+    exactly.  Returns {vertex: component_min_id} for edge endpoints.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            parent[r] = parent.get(parent[r], parent[r])
+            r = parent[r]
+        return r
+
+    for u, v in zip(a.tolist(), b.tolist()):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # min id becomes the root → component id == min member
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    return {x: find(x) for x in parent}
+
+
+def connected_components_driver(vertices, edges):
+    """Fast path: stream edges to the driver, union-find in numpy,
+    broadcast the (small) label dict back into one map_batches."""
+    import ray
+
+    chunks_a, chunks_b = [], []
+    for batch in edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        chunks_a.append(batch["a"].to_numpy(zero_copy_only=False).astype(np.int64))
+        chunks_b.append(batch["b"].to_numpy(zero_copy_only=False).astype(np.int64))
+    a = np.concatenate(chunks_a) if chunks_a else np.empty(0, np.int64)
+    b = np.concatenate(chunks_b) if chunks_b else np.empty(0, np.int64)
+    labels_ref = ray.put(_union_find_labels(a, b))
+
+    class AttachLabel:
+        def __init__(self):
+            self.labels = ray.get(labels_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = batch["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            get = self.labels.get
+            comp = np.fromiter((get(int(x), int(x)) for x in v), dtype=np.int64, count=len(v))
+            return pa.table(
+                {"page_id": pa.array(v, type=pa.int64()), "component": pa.array(comp, type=pa.int64())}
+            )
+
+    return vertices.map_batches(AttachLabel, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def connected_components(vertices, edges, num_partitions: int = 16, max_rounds: int = MAX_ROUNDS,
+                         driver_max_edges: int = DRIVER_UNION_FIND_MAX_EDGES):
+    """vertices: Dataset(page_id); edges: Dataset(a, b).
+
+    Returns Dataset(page_id:int64, component:int64) where component is
+    the min page_id of the connected component.  Singletons keep their
+    own id.  Dispatches to the driver fast path when the edge list is
+    provably small (counted, not assumed); otherwise runs the
+    distributed min-label-propagation + pointer-jumping loop.
+    """
+    edges = edges.materialize()
+    if edges.count() <= driver_max_edges:
+        return connected_components_driver(vertices, edges)
+    return connected_components_distributed(vertices, edges, num_partitions, max_rounds)
+
+
+def connected_components_distributed(vertices, edges, num_partitions: int = 16,
+                                     max_rounds: int = MAX_ROUNDS):
+    """The fully distributed loop (see module docstring)."""
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        v = batch["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"v": pa.array(v, type=pa.int64()), "lbl": pa.array(v, type=pa.int64())})
+
+    labels = vertices.map_batches(init_labels, batch_format="pyarrow").materialize()
+    sym = _symmetrize(edges).materialize()
+    if sym.count() == 0:
+        return labels.rename_columns({"v": "page_id", "lbl": "component"})
+
+    for _round in range(max_rounds):
+        # neighbor messages: label of src flows to dst
+        msgs = sym.join(labels, join_type="inner", num_partitions=num_partitions,
+                        on=("src",), right_on=("v",))
+        msgs = msgs.select_columns(["dst", "lbl"]).rename_columns({"dst": "v"})
+
+        # carry old label along so the changed-count falls out of the same groupby
+        def with_old(batch: pa.Table) -> pa.Table:
+            return pa.table({"v": batch["v"], "lbl": batch["lbl"], "old": batch["lbl"]})
+
+        def without_old(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {"v": batch["v"], "lbl": batch["lbl"],
+                 "old": pa.array(np.full(n, np.iinfo(np.int64).max, dtype=np.int64), type=pa.int64())}
+            )
+
+        combined = labels.map_batches(with_old, batch_format="pyarrow").union(
+            msgs.map_batches(without_old, batch_format="pyarrow")
+        )
+        new_labels = combined.groupby("v").aggregate(
+            Min("lbl", alias_name="lbl"), Min("old", alias_name="old")
+        )
+
+        # pointer jump: lbl ← lbl(lbl). Labels are always valid vertex
+        # ids (mins over ids), so the inner join is total.
+        jump_side = new_labels.select_columns(["v", "lbl"]).rename_columns({"v": "jv", "lbl": "jlbl"})
+        jumped = new_labels.join(jump_side, join_type="inner", num_partitions=num_partitions,
+                                 on=("lbl",), right_on=("jv",))
+        new_labels = jumped.select_columns(["v", "jlbl", "old"]).rename_columns({"jlbl": "lbl"})
+
+        new_labels = new_labels.materialize()
+        changed = new_labels.filter(expr="lbl < old").count()
+        labels = new_labels.select_columns(["v", "lbl"]).materialize()
+        if changed == 0:
+            break
+
+    return labels.rename_columns({"v": "page_id", "lbl": "component"})

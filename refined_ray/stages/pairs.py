@@ -1,0 +1,135 @@
+"""Candidate-pair enumeration: hash-partition by block_key → vectorized
+within-partition pair generation, with explicit skew handling.
+
+≙ the reference's candidate generation probe (candidate_generator.py:
+30-159) generalized to symmetric record linkage: every block is a
+candidate set; pairs are enumerated within blocks only.
+
+Implementation notes (scale):
+
+- The shuffle is ``repartition(keys=["block_key"], sort=True)`` — a
+  hash exchange of NARROW (block_key:int64, page_id:int64) rows.  Pair
+  generation then runs as ``map_batches`` over whole partitions with
+  numpy segment ops: groups are found with one diff over the sorted
+  key column, and all-pairs emission is vectorized PER GROUP SIZE
+  (every block of size s shares one precomputed triu index template),
+  so a partition with 100k tiny blocks costs a handful of numpy calls
+  per distinct size — not 100k per-group pandas invocations.
+
+- Skew (north rule, SURVEY.md §7.4): blocks larger than
+  ``max_block_size`` (duplicate boilerplate pages, hot mention keys)
+  switch from all-pairs O(s²) to a sorted *chain* linkage (s−1 pairs)
+  — component-preserving through transitive clustering, cost O(s).
+  The truncation is NOT silent: every pair carries ``block_size`` and
+  ``capped``, so downstream metrics/manifests account for it.
+
+- A pair can surface from up to 65 block keys; dedup is a
+  ``groupby(a, b)`` aggregate whose Count doubles as the
+  "shared block keys" feature for the scorer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Max
+
+DEFAULT_MAX_BLOCK_SIZE = 64
+
+
+def make_pairs_partition(batch: pa.Table, max_block_size: int = DEFAULT_MAX_BLOCK_SIZE) -> pa.Table:
+    """One hash partition of (block_key, page_id) rows → pair rows.
+
+    Requires that no block_key spans partitions (guaranteed by the
+    keyed repartition).  Fully vectorized; see module docstring.
+    """
+    keys = batch["block_key"].to_numpy(zero_copy_only=False)
+    ids = batch["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, keys))
+    keys, ids = keys[order], ids[order]
+
+    # drop duplicate (key, id) rows so block membership is a set
+    if len(keys):
+        first = np.ones(len(keys), dtype=bool)
+        first[1:] = (keys[1:] != keys[:-1]) | (ids[1:] != ids[:-1])
+        keys, ids = keys[first], ids[first]
+
+    n = len(keys)
+    if n == 0:
+        return _empty_pairs()
+    seg_starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+    seg_sizes = np.diff(np.r_[seg_starts, n])
+
+    out_a, out_b, out_sz, out_cap = [], [], [], []
+
+    # all-pairs blocks, batched by group size
+    small = (seg_sizes >= 2) & (seg_sizes <= max_block_size)
+    for s in np.unique(seg_sizes[small]):
+        starts_s = seg_starts[small & (seg_sizes == s)]
+        # (g, s) matrix of member ids for every group of this size
+        mat = ids[starts_s[:, None] + np.arange(s)[None, :]]
+        iu, ju = np.triu_indices(s, k=1)
+        out_a.append(mat[:, iu].ravel())
+        out_b.append(mat[:, ju].ravel())
+        cnt = starts_s.size * iu.size
+        out_sz.append(np.full(cnt, s, dtype=np.int32))
+        out_cap.append(np.zeros(cnt, dtype=np.int8))
+
+    # capped blocks: chain linkage (ids are sorted within group)
+    big = seg_sizes > max_block_size
+    if big.any():
+        starts_b = seg_starts[big]
+        sizes_b = seg_sizes[big]
+        cnt = sizes_b - 1
+        base = np.repeat(starts_b, cnt)
+        offs = np.arange(cnt.sum()) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        idx = base + offs
+        out_a.append(ids[idx])
+        out_b.append(ids[idx + 1])
+        out_sz.append(np.repeat(sizes_b.astype(np.int32), cnt))
+        out_cap.append(np.ones(cnt.sum(), dtype=np.int8))
+
+    if not out_a:
+        return _empty_pairs()
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    return pa.table(
+        {
+            "a": pa.array(lo, type=pa.int64()),
+            "b": pa.array(hi, type=pa.int64()),
+            "block_size": pa.array(np.concatenate(out_sz)),
+            "capped": pa.array(np.concatenate(out_cap)),
+        }
+    )
+
+
+def _empty_pairs() -> pa.Table:
+    return pa.table(
+        {
+            "a": pa.array([], type=pa.int64()),
+            "b": pa.array([], type=pa.int64()),
+            "block_size": pa.array([], type=pa.int32()),
+            "capped": pa.array([], type=pa.int8()),
+        }
+    )
+
+
+def enumerate_pairs(block_rows, max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
+                    num_partitions: int | None = None):
+    """(block_key, page_id) rows → deduped (a, b, …) candidate pairs."""
+    from .. import default_num_partitions
+
+    num_partitions = num_partitions or default_num_partitions()
+    parted = block_rows.repartition(num_blocks=num_partitions, keys=["block_key"], sort=True)
+    pairs = parted.map_batches(
+        lambda t: make_pairs_partition(t, max_block_size), batch_format="pyarrow"
+    )
+    deduped = pairs.groupby(["a", "b"]).aggregate(
+        Count(alias_name="n_shared_blocks"),
+        Max("block_size", alias_name="block_size"),
+        Max("capped", alias_name="capped"),
+    )
+    return deduped

@@ -1,0 +1,96 @@
+"""Per-stage / per-partition lineage manifests + resume logic.
+
+≙ the reference's resume-by-artifact gating (preprocess_all.py:149-336:
+every step skipped when its output file exists; `.part` → atomic
+rename at process_wikidata_dump.py:94-211), made partition-granular:
+
+  <root>/out/stage=<name>/part-*.parquet      stage output (Parquet)
+  <root>/manifest/stage=<name>.json           lineage record
+
+A manifest records the stage's input fingerprint, row counters, per-file
+row counts (the per-partition lineage), schema and wall time.  A rerun
+with the same fingerprint skips the stage and re-reads its Parquet; a
+changed fingerprint invalidates this stage and every stage after it.
+Writes go to a temp dir then atomic-rename, so a killed run never
+leaves a half manifest behind.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import pyarrow.parquet as pq
+
+
+class StageCheckpointer:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "manifest"), exist_ok=True)
+        os.makedirs(os.path.join(root, "out"), exist_ok=True)
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self.root, "manifest", f"stage={stage}.json")
+
+    def _out_dir(self, stage: str) -> str:
+        return os.path.join(self.root, "out", f"stage={stage}")
+
+    def manifest(self, stage: str) -> dict | None:
+        p = self._manifest_path(stage)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def is_complete(self, stage: str, fingerprint: str) -> bool:
+        m = self.manifest(stage)
+        return bool(m and m.get("fingerprint") == fingerprint and os.path.isdir(self._out_dir(stage)))
+
+    def invalidate_from(self, stage: str) -> None:
+        for p in (self._manifest_path(stage), self._out_dir(stage)):
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            elif os.path.exists(p):
+                os.remove(p)
+
+    def run_stage(self, stage: str, fingerprint: str, build_fn, counters: dict | None = None):
+        """Run build_fn() → Dataset and checkpoint it, or re-read the
+        prior Parquet when the manifest matches.  Returns a Dataset."""
+        import ray.data as rd
+
+        out_dir = self._out_dir(stage)
+        if self.is_complete(stage, fingerprint):
+            return rd.read_parquet(out_dir)
+
+        self.invalidate_from(stage)
+        t0 = time.perf_counter()
+        ds = build_fn()
+        tmp_dir = out_dir + ".part"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        ds.write_parquet(tmp_dir)
+        os.rename(tmp_dir, out_dir)
+        wall = time.perf_counter() - t0
+
+        partitions = []
+        total_rows = 0
+        for fn in sorted(os.listdir(out_dir)):
+            if fn.endswith(".parquet"):
+                n = pq.read_metadata(os.path.join(out_dir, fn)).num_rows
+                partitions.append({"file": fn, "rows": n})
+                total_rows += n
+        man = {
+            "stage": stage,
+            "fingerprint": fingerprint,
+            "rows": total_rows,
+            "partitions": partitions,
+            "wall_sec": round(wall, 3),
+            "counters": counters or {},
+            "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        tmp = self._manifest_path(stage) + ".part"
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=1)
+        os.rename(tmp, self._manifest_path(stage))
+        return rd.read_parquet(out_dir)
