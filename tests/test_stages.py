@@ -1,0 +1,155 @@
+"""Stage-level tests: extraction invariant, pair enumeration vs brute
+force, clustering vs a BFS oracle, end-to-end F1."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def test_extract_text_byte_identical(ray_session):
+    """The per-row invariant from BASELINE.json input_hint."""
+    import ray.data as rd
+
+    from refined_ray.sources.webpages import ensure_webpages
+    from refined_ray.stages.extract import extract_pages
+
+    path = ensure_webpages(SF_SMALL)
+    pages = rd.read_parquet(path, columns=["url", "html", "text"])
+    out = extract_pages(pages).to_pandas()
+    assert len(out) > 0
+    mismatches = out[out["extracted_text"] != out["text"]]
+    assert len(mismatches) == 0, mismatches.head()
+    assert "html" not in out.columns
+
+
+def _brute_force_pairs(rows, max_block_size):
+    """Oracle for make_pairs_partition: python dict grouping."""
+    from collections import defaultdict
+
+    blocks = defaultdict(set)
+    for k, v in rows:
+        blocks[k].add(v)
+    pairs = set()
+    for k, ids in blocks.items():
+        ids = sorted(ids)
+        if len(ids) < 2:
+            continue
+        if len(ids) <= max_block_size:
+            pairs.update((a, b) for a, b in combinations(ids, 2))
+        else:
+            pairs.update(zip(ids, ids[1:]))  # chain
+    return pairs
+
+
+def test_make_pairs_matches_brute_force():
+    from refined_ray.stages.pairs import make_pairs_partition
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 40, size=500)
+    ids = rng.integers(0, 120, size=500)
+    batch = pa.table({"block_key": pa.array(keys, type=pa.int64()),
+                      "page_id": pa.array(ids, type=pa.int64())})
+    out = make_pairs_partition(batch, max_block_size=8)
+    got = set(zip(out["a"].to_pylist(), out["b"].to_pylist()))
+    want = _brute_force_pairs(zip(keys.tolist(), ids.tolist()), 8)
+    assert got == want
+    # capped flag set exactly for chain pairs from oversized blocks
+    capped = out.filter(pa.compute.equal(out["capped"], 1))
+    assert all(bs > 8 for bs in capped["block_size"].to_pylist())
+
+
+def test_make_pairs_empty_and_singleton():
+    from refined_ray.stages.pairs import make_pairs_partition
+
+    empty = pa.table({"block_key": pa.array([], type=pa.int64()),
+                      "page_id": pa.array([], type=pa.int64())})
+    assert make_pairs_partition(empty).num_rows == 0
+    single = pa.table({"block_key": pa.array([1, 2], type=pa.int64()),
+                       "page_id": pa.array([10, 20], type=pa.int64())})
+    assert make_pairs_partition(single).num_rows == 0
+
+
+def _cc_oracle(vertices, edges):
+    """BFS connected components; label = min vertex id."""
+    adj = {v: set() for v in vertices}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    label = {}
+    for v in sorted(adj):
+        if v in label:
+            continue
+        comp = [v]
+        seen = {v}
+        while comp:
+            x = comp.pop()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    comp.append(y)
+        m = min(seen)
+        for x in seen:
+            label[x] = m
+    return label
+
+
+@pytest.mark.parametrize("force_distributed", [False, True])
+def test_connected_components_vs_bfs_oracle(ray_session, force_distributed):
+    import ray.data as rd
+
+    from refined_ray.stages.clustering import connected_components
+
+    rng = np.random.default_rng(11)
+    n = 300
+    vs = np.arange(n, dtype=np.int64)
+    m = 250
+    ea = rng.integers(0, n, size=m).astype(np.int64)
+    eb = rng.integers(0, n, size=m).astype(np.int64)
+    keep = ea != eb
+    ea, eb = ea[keep], eb[keep]
+    # include a long chain (worst-case diameter for label propagation)
+    chain = np.arange(200, 250, dtype=np.int64)
+    ea = np.concatenate([ea, chain[:-1]])
+    eb = np.concatenate([eb, chain[1:]])
+
+    vertices = rd.from_arrow(pa.table({"page_id": pa.array(vs)}))
+    edges = rd.from_arrow(pa.table({"a": pa.array(ea), "b": pa.array(eb)}))
+    kw = {"driver_max_edges": 0} if force_distributed else {}
+    got = dict(
+        connected_components(vertices, edges, num_partitions=4, **kw)
+        .to_pandas()[["page_id", "component"]]
+        .itertuples(index=False, name=None)
+    )
+    want = _cc_oracle(vs.tolist(), zip(ea.tolist(), eb.tolist()))
+    for v in vs.tolist():
+        assert got[v] == want.get(v, v), f"vertex {v}"
+
+
+def test_flagship_pipeline_f1_is_one(ray_session):
+    from refined_ray.pipelines.entity_resolution import er_cluster_pages
+    from refined_ray.sources.webpages import ensure_webpages
+
+    out = er_cluster_pages(SF_SMALL).to_pandas()
+    gt = pq.read_table(ensure_webpages(SF_SMALL), columns=["url", "entity_id"]).to_pandas()
+    m = out.merge(gt, on="url")
+    assert len(m) == len(out) > 0
+
+    def pairset(col):
+        s = set()
+        for _, g in m.groupby(col):
+            s.update(combinations(sorted(g.url), 2))
+        return s
+
+    pred, true = pairset("cluster_url"), pairset("entity_id")
+    tp, fp, fn = len(pred & true), len(pred - true), len(true - pred)
+    prec = tp / (tp + fp) if tp + fp else 1.0
+    rec = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 1.0
+    assert f1 >= 0.99, (tp, fp, fn)
