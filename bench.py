@@ -1,0 +1,110 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1), one JSON line on stdout.
+
+    python bench.py             # full benchmark at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling   # same job at 8 and 32 CPUs in fresh
+                                # processes -> throughput + scaling efficiency
+
+This script OWNS its Ray session (the only sanctioned place besides
+tests/conftest.py and the driver)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    # (name, callable path) — er_clusters is THE headline (north rule);
+    # the others cover the big operator families.
+    "er_clusters",
+    "doc_clusters",
+    "neardup_shingle",
+    "exact_dedup",
+    "pem_table",
+    "ann_topk",
+    "doc_token_stats",
+    "lineitem_agg",
+    "events_hourly",
+]
+
+
+def _run_queries(num_cpus: int, names: list[str], sf_dir: str) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        from refined_ray.pipelines.queries import QUERIES
+        from refined_ray.sources.webpages import ensure_webpages
+
+        ensure_webpages(sf_dir)  # generation is one-time setup, not pipeline time
+        timings = {}
+        for name in names:
+            t0 = time.perf_counter()
+            res = QUERIES[name](sf_dir)
+            n = res.count() if hasattr(res, "count") and not hasattr(res, "columns") else len(res)
+            timings[name] = {"sec": round(time.perf_counter() - t0, 3), "rows": int(n)}
+        return timings
+    finally:
+        ray.shutdown()
+
+
+def main() -> None:
+    t0 = time.perf_counter()
+    timings = _run_queries(NUM_CPUS, HEADLINE, SF_DIR)
+    total = round(time.perf_counter() - t0, 3)
+    print(json.dumps({
+        "metric": "headline pipeline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: v["sec"] for k, v in timings.items()},
+        "rows": {k: v["rows"] for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }))
+
+
+def _scaling_child(num_cpus: int) -> dict:
+    """Run er_clusters alone in THIS process at the given parallelism."""
+    timings = _run_queries(num_cpus, ["er_clusters"], SF_DIR)
+    return {"num_cpus": num_cpus, **timings["er_clusters"]}
+
+
+def scaling() -> None:
+    """Same job at two parallelism levels in fresh processes (stands in
+    for the N vs 4N node-cluster criterion; see BASELINE.md)."""
+    results = []
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(cpus)],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results.append(json.loads(line))
+    r8, r32 = results
+    tput8 = r8["rows"] / r8["sec"]
+    tput32 = r32["rows"] / r32["sec"]
+    eff = (tput32 / tput8) / (32 / 8)
+    print(json.dumps({
+        "metric": "er_clusters scaling efficiency (8 -> 32 cpus)",
+        "value": round(eff, 4),
+        "unit": "efficiency",
+        "runs": results,
+        "throughput_rows_per_sec": {"cpus8": round(tput8, 1), "cpus32": round(tput32, 1)},
+        "speedup": round(r8["sec"] / r32["sec"], 3),
+        "sf": SF_DIR,
+    }))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--scaling-child":
+        print(json.dumps(_scaling_child(int(sys.argv[2]))))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        scaling()
+    else:
+        main()

@@ -1,0 +1,870 @@
+"""The engine's query catalog: every operator from SURVEY.md §2 exposed
+as a callable ``(sf_dir) -> Dataset/DataFrame/Table`` plus, where
+expressible, the exact ANSI-SQL oracle DuckDB runs on the same tables.
+
+Contract (driver correctness gate): the Ray result and the SQL oracle
+must match on row count, schema and order-insensitive value hash —
+column NAMES and TYPES must agree, float columns are rounded the same
+way on both sides, and every threshold comparison is made on a value
+both engines compute exactly (integer-derived rationals) wherever
+possible.
+
+Reference parity notes cite /root/reference file:line per SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.tokenize import STOPWORDS, TOKEN_SQL
+
+_STOP_SQL = "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+
+
+def _canon_round(col, digits: int) -> pa.Array:
+    """Canonicalize a float column to the double nearest its fixed-point
+    decimal rendering.  ``round()`` is NOT a cross-engine canonical form:
+    pyarrow/numpy/DuckDB each introduce their own last-ulp error when
+    scaling, so two sums differing by 1e-14 can round to two different
+    doubles.  Routing through the decimal STRING (%.Nf) is exact on both
+    sides — the SQL twin is ``CAST(printf('%.Nf', x) AS DOUBLE)``."""
+    vals = col.to_pylist() if not isinstance(col, (list, np.ndarray)) else col
+    return pa.array([None if v is None else float(f"{v:.{digits}f}") for v in vals],
+                    type=pa.float64())
+
+
+def _sql_round(expr: str, digits: int) -> str:
+    return f"CAST(printf('%.{digits}f', {expr}) AS DOUBLE)"
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    from .. import configure_data_context
+
+    configure_data_context()
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# =====================================================================
+# Relational core: aggregations, joins, sort/limit, filters, windows
+# =====================================================================
+
+
+def q_lineitem_agg(sf_dir: str):
+    """≙ A4/A5 metric-style grouped aggregation (metrics.py:22-36)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+        Count(alias_name="n_rows"),
+    )
+
+    def _round(b: pa.Table) -> pa.Table:
+        return b.set_column(b.schema.get_field_index("sum_qty"), "sum_qty", _canon_round(b["sum_qty"], 4)) \
+                .set_column(b.schema.get_field_index("sum_price"), "sum_price", _canon_round(b["sum_price"], 4))
+
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
+SQL_LINEITEM_AGG = f"""
+SELECT l_returnflag, l_linestatus,
+       {_sql_round("sum(l_quantity)", 4)}      AS sum_qty,
+       {_sql_round("sum(l_extendedprice)", 4)} AS sum_price,
+       count(*)                                AS n_rows
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_top_customers(sf_dir: str):
+    """Join + grouped sum + global top-k (≙ J7 join, O2 top-k)."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    rev = orders.groupby("o_custkey").aggregate(Sum("o_totalprice", alias_name="revenue"))
+    joined = rev.join(cust, join_type="inner", num_partitions=4, on=("o_custkey",), right_on=("c_custkey",))
+    top = joined.sort(["revenue", "o_custkey"], descending=[True, False]).limit(10)
+
+    def _fmt(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b["o_custkey"],
+            "c_name": b["c_name"],
+            "revenue": _canon_round(b["revenue"], 4),
+        })
+
+    return top.map_batches(_fmt, batch_format="pyarrow")
+
+
+SQL_TOP_CUSTOMERS = f"""
+SELECT c_custkey, c_name, {_sql_round("sum(o_totalprice)", 4)} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+ORDER BY sum(o_totalprice) DESC, c_custkey
+LIMIT 10
+"""
+
+
+def q_events_by_type(sf_dir: str):
+    """Timestamp filter + grouped count/sum (≙ M17 filters, A7 histogram)."""
+    from ray.data.aggregate import Count, Sum
+
+    from datetime import datetime
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    cutoff = pa.scalar(datetime(2024, 1, 15), type=pa.timestamp("us"))
+
+    def _filter(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["ts"], cutoff))
+
+    filtered = ds.map_batches(_filter, batch_format="pyarrow")
+    out = filtered.groupby("event_type").aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="total_value")
+    )
+
+    def _round(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("total_value")
+        return b.set_column(i, "total_value", _canon_round(b["total_value"], 4))
+
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
+SQL_EVENTS_BY_TYPE = f"""
+SELECT event_type, count(*) AS n_events, {_sql_round("sum(value)", 4)} AS total_value
+FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY 1
+"""
+
+
+def q_part_topk(sf_dir: str):
+    """Global sort + limit (≙ O1/O2 top-k truncation)."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+    return ds.sort(["p_retailprice", "p_partkey"], descending=[True, False]).limit(15)
+
+
+SQL_PART_TOPK = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 15
+"""
+
+
+def q_supplier_per_region(sf_dir: str):
+    """Join chain across 3 tables + grouped count (≙ J2 2-step chain)."""
+    from ray.data.aggregate import Count
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    j = sup.join(nat, join_type="inner", num_partitions=2, on=("s_nationkey",), right_on=("n_nationkey",))
+    j = j.join(reg, join_type="inner", num_partitions=2, on=("n_regionkey",), right_on=("r_regionkey",))
+    return j.groupby("r_name").aggregate(Count(alias_name="n_suppliers"))
+
+
+SQL_SUPPLIER_PER_REGION = """
+SELECT r_name, count(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+
+def q_user_sessions(sf_dir: str):
+    """Sessionization: per-user 30-min-gap session count (≙ the engine's
+    windowed/ordered-state operator; reference has only doc-local state,
+    SURVEY §2.9 — this is the Ray-native generalization)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff()
+        n = int((gaps.isna() | (gaps > pd.Timedelta(minutes=30))).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return out
+
+
+SQL_USER_SESSIONS = """
+WITH e AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM e GROUP BY 1
+"""
+
+
+def q_events_hourly(sf_dir: str):
+    """Hour-window aggregate (tumbling window as derived-key groupby)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def add_hour(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b["ts"], unit="hour").cast(pa.timestamp("us"))
+        return b.append_column("hour", hour).drop_columns(["ts"])
+
+    keyed = ds.map_batches(add_hour, batch_format="pyarrow")
+    out = keyed.groupby(["user_id", "hour"]).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="total_value")
+    )
+
+    def _round(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("total_value")
+        hi = b.schema.get_field_index("hour")
+        b = b.set_column(hi, "hour", b["hour"].cast(pa.timestamp("us")))
+        return b.set_column(i, "total_value", _canon_round(b["total_value"], 4))
+
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
+SQL_EVENTS_HOURLY = f"""
+SELECT user_id, date_trunc('hour', ts) AS hour,
+       count(*) AS n_events, {_sql_round("sum(value)", 4)} AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# Text analysis over `documents` (token stats, quality, langid, dedup)
+# =====================================================================
+
+
+def q_doc_token_stats(sf_dir: str):
+    """≙ token counting / quality counters (engine addition; tokenizer
+    contract matches functions/tokenize.py <-> TOKEN_SQL)."""
+    from ..functions.textstats import token_stats_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        s = token_stats_batch(b["text"].to_pylist())
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array(s["n_tokens"], type=pa.int64()),
+            "n_chars": pa.array(s["n_chars"], type=pa.int64()),
+            "n_unique_tokens": pa.array(s["n_unique_tokens"], type=pa.int64()),
+            "n_stopwords": pa.array(s["n_stopwords"], type=pa.int64()),
+            "stopword_ratio": pa.array(s["stopword_ratio"], type=pa.float64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+_TOKS = TOKEN_SQL.format(col="text")
+SQL_DOC_TOKEN_STATS = f"""
+WITH s AS (
+  SELECT doc_id,
+         len({_TOKS}) AS n_tokens,
+         length(text) AS n_chars,
+         len(list_distinct({_TOKS})) AS n_unique_tokens,
+         len(list_filter({_TOKS}, t -> t IN {_STOP_SQL})) AS n_stopwords
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_chars, n_unique_tokens, n_stopwords,
+       CASE WHEN n_tokens = 0 THEN 0.0
+            ELSE n_stopwords / CAST(n_tokens AS DOUBLE) END AS stopword_ratio
+FROM s
+"""
+
+
+def q_doc_quality(sf_dir: str):
+    """Quality scoring (C4/Gopher-shaped heuristic, engine addition)."""
+    from ..functions.textstats import quality_score_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def quality(b: pa.Table) -> pa.Table:
+        q = quality_score_batch(b["text"].to_pylist())
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "quality": _canon_round(list(q), 6),
+        })
+
+    return ds.map_batches(quality, batch_format="pyarrow")
+
+
+_QUALITY_EXPR = (
+    "(least(nt / 50.0, 1.0)"
+    " + least((CASE WHEN nt = 0 THEN 0.0 ELSE ns / CAST(nt AS DOUBLE) END) * 5.0, 1.0)"
+    " + (CASE WHEN nt = 0 THEN 0.0 ELSE nu / CAST(nt AS DOUBLE) END)) / 3.0"
+)
+SQL_DOC_QUALITY = f"""
+WITH s AS (
+  SELECT doc_id,
+         len({_TOKS}) AS nt,
+         len(list_distinct({_TOKS})) AS nu,
+         len(list_filter({_TOKS}, t -> t IN {_STOP_SQL})) AS ns
+  FROM documents
+)
+SELECT doc_id,
+       {_sql_round(_QUALITY_EXPR, 6)} AS quality
+FROM s
+"""
+
+
+def q_doc_langid(sf_dir: str):
+    """Language-ID heuristic (marker-token argmax; engine addition)."""
+    from ..functions.textstats import langid_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def lang(b: pa.Table) -> pa.Table:
+        codes, _ = langid_batch(b["text"].to_pylist())
+        return pa.table({"doc_id": b["doc_id"], "lang_pred": pa.array(list(codes), type=pa.string())})
+
+    return ds.map_batches(lang, batch_format="pyarrow")
+
+
+def _marker_sql(lang_markers: dict) -> dict:
+    return {k: "(" + ", ".join(f"'{w}'" for w in sorted(v)) + ")" for k, v in lang_markers.items()}
+
+
+def _sql_doc_langid() -> str:
+    from ..functions.textstats import LANG_MARKERS
+
+    m = _marker_sql(LANG_MARKERS)
+    # argmax with ties resolved in dict order en,de,fr,es; all-zero -> 'und'
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         len(list_filter({_TOKS}, t -> t IN {m['en']})) AS c_en,
+         len(list_filter({_TOKS}, t -> t IN {m['de']})) AS c_de,
+         len(list_filter({_TOKS}, t -> t IN {m['fr']})) AS c_fr,
+         len(list_filter({_TOKS}, t -> t IN {m['es']})) AS c_es
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 THEN 'und'
+            WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+            WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+            WHEN c_fr >= c_es THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM c
+"""
+
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup: hash-partition by content hash, keep min id per
+    group (≙ D1 unique-by-key, general_utils.py:61-67)."""
+    from ray.data.aggregate import Count, Min
+
+    from ..functions.hashing import md5_hex
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def key(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "content_key": pa.array(md5_hex(b["text"].to_pylist()), type=pa.string()),
+            "doc_id": b["doc_id"],
+        })
+
+    return ds.map_batches(key, batch_format="pyarrow").groupby("content_key").aggregate(
+        Min("doc_id", alias_name="keeper_doc_id"), Count(alias_name="n_copies")
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS content_key, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_pem_table(sf_dir: str):
+    """PEM build: P(entity|mention) via grouped count + per-group
+    normalize + desc sort (≙ A1, generate_pem.py:72-164 — the
+    reference's one true wide shuffle, done distributed here).
+    mention = token (distinct per doc), entity = source."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from ..functions.tokenize import tokenize_batch
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        sources = b["source"].to_pylist()
+        flat, starts = tokenize_batch(texts)
+        surf, ent = [], []
+        for i, src in enumerate(sources):
+            for t in set(flat[starts[i]:starts[i + 1]]):
+                surf.append(t)
+                ent.append(src)
+        return pa.table({"surface": pa.array(surf, type=pa.string()),
+                         "entity": pa.array(ent, type=pa.string())})
+
+    counts = ds.map_batches(explode, batch_format="pyarrow") \
+               .groupby(["surface", "entity"]).aggregate(Count(alias_name="cnt"))
+
+    def normalize(group: pd.DataFrame) -> pd.DataFrame:
+        total = group["cnt"].sum()
+        g = group.copy()
+        g["prob"] = g["cnt"] / float(total)
+        return g[["surface", "entity", "cnt", "prob"]]
+
+    return counts.groupby("surface").map_groups(normalize, batch_format="pandas")
+
+
+SQL_PEM_TABLE = f"""
+WITH toks AS (
+  SELECT source AS entity, unnest(list_distinct({_TOKS})) AS surface FROM documents
+)
+SELECT surface, entity, count(*) AS cnt,
+       count(*) / CAST(sum(count(*)) OVER (PARTITION BY surface) AS DOUBLE) AS prob
+FROM toks GROUP BY 1, 2
+"""
+
+
+def q_mention_phrases(sf_dir: str):
+    """Mention detection lite: maximal runs of >=2 consecutive
+    non-stopword tokens (≙ M10 BIO decode -> spans shape: contiguous
+    tag runs to phrases; T6 standalone MD role)."""
+    from ..functions.tokenize import STOPWORD_SET, tokenize_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def phrases(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        ids = b["doc_id"].to_pylist()
+        flat, starts = tokenize_batch(texts)
+        out_id, out_surface = [], []
+        for i, did in enumerate(ids):
+            toks = flat[starts[i]:starts[i + 1]]
+            run: list[str] = []
+            for t in toks + [None]:  # sentinel flushes final run
+                if t is not None and t not in STOPWORD_SET:
+                    run.append(t)
+                else:
+                    if len(run) >= 2:
+                        out_id.append(did)
+                        out_surface.append(" ".join(run))
+                    run = []
+        return pa.table({"doc_id": pa.array(out_id, type=pa.int64()),
+                         "surface": pa.array(out_surface, type=pa.string())})
+
+    return ds.map_batches(phrases, batch_format="pyarrow")
+
+
+SQL_MENTION_PHRASES = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok,
+         unnest(range(1, len({_TOKS}) + 1)) AS ord
+  FROM documents
+), flagged AS (
+  SELECT doc_id, tok, ord,
+         CASE WHEN tok IN {_STOP_SQL} THEN 1 ELSE 0 END AS stp
+  FROM t
+), islands AS (
+  SELECT doc_id, tok, ord,
+         ord - row_number() OVER (PARTITION BY doc_id, stp ORDER BY ord) AS island
+  FROM flagged WHERE stp = 0
+)
+SELECT doc_id, string_agg(tok, ' ' ORDER BY ord) AS surface
+FROM islands GROUP BY doc_id, island HAVING count(*) >= 2
+"""
+
+
+# =====================================================================
+# Near-duplicate detection + ER over `documents` (oracle-checkable)
+# =====================================================================
+
+
+def _doc_sign(sf_dir: str, shingle_k: int):
+    """documents -> (doc_id, sig binary, set binary (sorted distinct
+    shingle hashes), n_distinct) payload Dataset."""
+    from ..functions.minhash import minhash_signatures, shingle_hashes
+    from ..functions.tokenize import tokenize_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sign(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        flat, starts = tokenize_batch(texts)
+        sh, shs = shingle_hashes(flat, starts, k=shingle_k)
+        sig = minhash_signatures(sh, shs)
+        n = len(texts)
+        sets = [np.unique(sh[shs[i]:shs[i + 1]]) for i in range(n)]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "sig": pa.array([sig[i].tobytes() for i in range(n)], type=pa.binary()),
+            "set": pa.array([s.tobytes() for s in sets], type=pa.binary()),
+            "n_distinct": pa.array([len(s) for s in sets], type=pa.int64()),
+        })
+
+    return ds.map_batches(sign, batch_format="pyarrow")
+
+
+def _neardup_pairs(sf_dir: str, shingle_k: int, threshold: float, num_bands: int):
+    """LSH candidates -> exact set-Jaccard verification.
+
+    Exactness: with r = 128/num_bands rows per band, a pair at J >= t
+    is missed w.p. (1-t^r)^num_bands — at the thresholds used here
+    < 1e-8, and the verification Jaccard itself is exact integer math,
+    so the result equals the all-pairs SQL oracle.
+    """
+    from .. import default_num_partitions
+    from ..functions.minhash import band_keys
+    from ..stages.pairs import make_pairs_partition
+
+    payload = _doc_sign(sf_dir, shingle_k).materialize()
+
+    def emit(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        sig = np.frombuffer(b"".join(b["sig"].to_pylist()), dtype="<u8").reshape(n, -1)
+        bands = band_keys(sig, num_bands)
+        return pa.table({
+            "block_key": pa.array(bands.ravel().view(np.int64), type=pa.int64()),
+            "page_id": pa.array(np.repeat(b["doc_id"].to_numpy(zero_copy_only=False), num_bands),
+                                type=pa.int64()),
+        })
+
+    nparts = default_num_partitions()
+    blocks = payload.map_batches(emit, batch_format="pyarrow") \
+                    .repartition(num_blocks=nparts, keys=["block_key"], sort=True)
+    pairs = blocks.map_batches(
+        lambda t: make_pairs_partition(t, max_block_size=1 << 30), batch_format="pyarrow"
+    ).select_columns(["a", "b"]) \
+     .repartition(num_blocks=nparts, keys=["a", "b"], sort=True)
+
+    def dedup(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        if len(a) == 0:
+            return b
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])
+        return b.filter(pa.array(keep))
+
+    pairs = pairs.map_batches(dedup, batch_format="pyarrow").materialize()
+
+    side = payload.select_columns(["doc_id", "set", "n_distinct"])
+    a_side = side.rename_columns({"doc_id": "a", "set": "set_a", "n_distinct": "na"})
+    b_side = side.rename_columns({"doc_id": "b", "set": "set_b", "n_distinct": "nb"})
+    enriched = pairs.join(a_side, join_type="inner", num_partitions=nparts, on=("a",))
+    enriched = enriched.join(b_side, join_type="inner", num_partitions=nparts, on=("b",)).materialize()
+
+    def verify(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        out_a, out_b, out_j = [], [], []
+        for i in range(n):
+            sa = np.frombuffer(b["set_a"][i].as_py(), dtype="<u8")
+            sb = np.frombuffer(b["set_b"][i].as_py(), dtype="<u8")
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 1.0
+            if j >= threshold:
+                out_a.append(b["a"][i].as_py())
+                out_b.append(b["b"][i].as_py())
+                out_j.append(j)
+        return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
+                         "doc_b": pa.array(out_b, type=pa.int64()),
+                         "jaccard": pa.array(out_j, type=pa.float64())})
+
+    return payload, enriched.map_batches(verify, batch_format="pyarrow")
+
+
+def q_neardup_shingle(sf_dir: str):
+    """MinHash-LSH near-dup over 3-token shingles, exact-verified."""
+    _, pairs = _neardup_pairs(sf_dir, shingle_k=3, threshold=0.5, num_bands=64)
+    return pairs
+
+
+def _sql_shingles(col: str = "text") -> str:
+    toks = TOKEN_SQL.format(col=col)
+    return f"""
+  SELECT doc_id,
+         CASE WHEN len({toks}) >= 3 THEN
+             list_distinct(list_transform(range(1, len({toks}) - 1),
+                 i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))
+         ELSE [array_to_string({toks}, ' ')] END AS shingles
+  FROM documents
+"""
+
+
+SQL_NEARDUP_SHINGLE = f"""
+WITH sh AS ({_sql_shingles()}),
+u AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+c AS (SELECT doc_id, len(shingles) AS n FROM sh),
+p AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+  FROM u x JOIN u y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       inter / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
+FROM p JOIN c ca ON ca.doc_id = doc_a JOIN c cb ON cb.doc_id = doc_b
+WHERE inter / CAST(ca.n + cb.n - inter AS DOUBLE) >= 0.5
+"""
+
+
+def q_neardup_token(sf_dir: str):
+    """Token-set (1-gram) Jaccard near-dup at tau=0.9 (32x4 LSH)."""
+    _, pairs = _neardup_pairs(sf_dir, shingle_k=1, threshold=0.9, num_bands=32)
+    return pairs
+
+
+SQL_NEARDUP_TOKEN = f"""
+WITH t AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents),
+c AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+p AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+  FROM t x JOIN t y ON x.tok = y.tok AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       inter / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
+FROM p JOIN c ca ON ca.doc_id = doc_a JOIN c cb ON cb.doc_id = doc_b
+WHERE inter / CAST(ca.n + cb.n - inter AS DOUBLE) >= 0.9
+"""
+
+
+def q_doc_clusters(sf_dir: str):
+    """Full ER pipeline over `documents` with exact-Jaccard scoring:
+    blocking -> pairs -> verify(J >= 0.5) -> connected components.
+    Output (doc_id, cluster_doc_id = min doc_id of component).
+
+    This is the SQL-checkable twin of the flagship web-page pipeline:
+    the oracle computes the same components with a recursive CTE."""
+    from .. import default_num_partitions
+    from ..stages.clustering import connected_components
+
+    payload, pairs = _neardup_pairs(sf_dir, shingle_k=3, threshold=0.5, num_bands=64)
+    edges = pairs.select_columns(["doc_a", "doc_b"]).rename_columns({"doc_a": "a", "doc_b": "b"})
+    vertices = payload.select_columns(["doc_id"]).rename_columns({"doc_id": "page_id"})
+    labels = connected_components(vertices, edges, num_partitions=default_num_partitions())
+    return labels.rename_columns({"page_id": "doc_id", "component": "cluster_doc_id"})
+
+
+SQL_DOC_CLUSTERS = f"""
+WITH RECURSIVE sh AS ({_sql_shingles()}),
+u AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+c AS (SELECT doc_id, len(shingles) AS n FROM sh),
+p AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+  FROM u x JOIN u y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT a, b FROM p JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
+  WHERE inter / CAST(ca.n + cb.n - inter AS DOUBLE) >= 0.5
+),
+sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+reach(v, u) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.v, s.b FROM reach r JOIN sym s ON r.u = s.a
+)
+SELECT v AS doc_id, min(u) AS cluster_doc_id FROM reach GROUP BY 1
+"""
+
+
+# =====================================================================
+# Similarity search over `embeddings`
+# =====================================================================
+
+
+def _load_query_matrix(sf_dir: str, max_qid: int):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mask = pc.less(t["vec_id"], max_qid)
+    t = t.filter(mask)
+    qids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    Q = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    return qids, Q
+
+
+def q_ann_topk(sf_dir: str, k: int = 5, max_qid: int = 10):
+    """Brute-force cosine top-k: broadcast query matrix (ray.put once),
+    per-batch float64 matmul + partial top-k, final exact merge per
+    query (the baseline ANN; an IVF variant partitions by coarse
+    centroid instead — same stages)."""
+    import pandas as pd
+    import ray
+
+    qids, Q = _load_query_matrix(sf_dir, max_qid)
+    q_ref = ray.put((qids, Q))
+
+    class PartialTopK:
+        def __init__(self):
+            self.qids, self.Q = ray.get(q_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            vids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            E = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+            norms = np.linalg.norm(E, axis=1, keepdims=True)
+            np.divide(E, norms, out=E, where=norms > 0)
+            cos = E @ self.Q.T  # (n, q)
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(self.qids):
+                col = cos[:, j]
+                valid = vids != qid
+                order = np.lexsort((vids[valid], -col[valid]))[:k]
+                sel = np.nonzero(valid)[0][order]
+                out_q.append(np.full(len(sel), qid, dtype=np.int64))
+                out_n.append(vids[sel])
+                out_c.append(col[sel])
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
+                "cos": pa.array(np.concatenate(out_c), type=pa.float64()),
+            })
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    partial = ds.map_batches(PartialTopK, batch_format="pyarrow", concurrency=(1, 4))
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "query_id": g["query_id"].to_numpy(),
+            "neighbor_id": g["neighbor_id"].to_numpy(),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
+s AS (
+  SELECT qid, vec_id AS nid,
+         list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) AS cos
+  FROM q, embeddings WHERE vec_id != qid
+)
+SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
+def q_embedding_pairs(sf_dir: str, threshold: float = 0.45):
+    """All embedding pairs with cosine >= tau: broadcast the (small)
+    normalized matrix, each batch emits pairs (row, later-id rows).
+    The 100TB path replaces the broadcast with LSH/IVF bucketing."""
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    ref = ray.put((all_ids, M))
+
+    class PairsVsAll:
+        def __init__(self):
+            self.ids, self.M = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            vids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            E = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+            E /= np.linalg.norm(E, axis=1, keepdims=True)
+            cos = E @ self.M.T
+            rows, cols = np.nonzero((cos >= threshold) & (vids[:, None] < self.ids[None, :]))
+            return pa.table({
+                "vec_a": pa.array(vids[rows], type=pa.int64()),
+                "vec_b": pa.array(self.ids[cols], type=pa.int64()),
+                "cos": _canon_round(list(cos[rows, cols]), 6),
+            })
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ds.map_batches(PairsVsAll, batch_format="pyarrow", concurrency=(1, 4))
+
+
+SQL_EMBEDDING_PAIRS = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_sql_round("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))", 6)} AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+"""
+
+
+# =====================================================================
+# Flagship web-page ER (rows-only: synthetic pages not in oracle views)
+# =====================================================================
+
+
+def q_er_clusters(sf_dir: str):
+    from .entity_resolution import er_cluster_pages
+
+    return er_cluster_pages(sf_dir)
+
+
+def q_doc_fingerprints(sf_dir: str):
+    """Order-sensitive rolling-hash fingerprints (rows-only: the hash
+    function is engine-internal)."""
+    from ..functions.textstats import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(b: pa.Table) -> pa.Table:
+        f = fingerprint_batch(b["text"].to_pylist())
+        return pa.table({"doc_id": b["doc_id"],
+                         "fingerprint": pa.array(f.view(np.int64), type=pa.int64())})
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+# =====================================================================
+# Catalog
+# =====================================================================
+
+QUERIES = {
+    "lineitem_agg": q_lineitem_agg,
+    "top_customers": q_top_customers,
+    "events_by_type": q_events_by_type,
+    "part_topk": q_part_topk,
+    "supplier_per_region": q_supplier_per_region,
+    "user_sessions": q_user_sessions,
+    "events_hourly": q_events_hourly,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality": q_doc_quality,
+    "doc_langid": q_doc_langid,
+    "exact_dedup": q_exact_dedup,
+    "pem_table": q_pem_table,
+    "mention_phrases": q_mention_phrases,
+    "neardup_shingle": q_neardup_shingle,
+    "neardup_token": q_neardup_token,
+    "doc_clusters": q_doc_clusters,
+    "ann_topk": q_ann_topk,
+    "embedding_pairs": q_embedding_pairs,
+    "er_clusters": q_er_clusters,
+    "doc_fingerprints": q_doc_fingerprints,
+}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "lineitem_agg": SQL_LINEITEM_AGG,
+        "top_customers": SQL_TOP_CUSTOMERS,
+        "events_by_type": SQL_EVENTS_BY_TYPE,
+        "part_topk": SQL_PART_TOPK,
+        "supplier_per_region": SQL_SUPPLIER_PER_REGION,
+        "user_sessions": SQL_USER_SESSIONS,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "doc_token_stats": SQL_DOC_TOKEN_STATS,
+        "doc_quality": SQL_DOC_QUALITY,
+        "doc_langid": _sql_doc_langid(),
+        "exact_dedup": SQL_EXACT_DEDUP,
+        "pem_table": SQL_PEM_TABLE,
+        "mention_phrases": SQL_MENTION_PHRASES,
+        "neardup_shingle": SQL_NEARDUP_SHINGLE,
+        "neardup_token": SQL_NEARDUP_TOKEN,
+        "doc_clusters": SQL_DOC_CLUSTERS,
+        "ann_topk": SQL_ANN_TOPK,
+        "embedding_pairs": SQL_EMBEDDING_PAIRS,
+        # er_clusters, doc_fingerprints: rows-only (non-SQL-expressible)
+    }
