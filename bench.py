@@ -47,7 +47,9 @@ def _run_queries(num_cpus: int, names: list[str], sf_dir: str) -> dict:
         for name in names:
             t0 = time.perf_counter()
             res = QUERIES[name](sf_dir)
-            n = res.count() if hasattr(res, "count") and not hasattr(res, "columns") else len(res)
+            import ray.data as _rd
+
+            n = res.count() if isinstance(res, _rd.Dataset) else len(res)
             timings[name] = {"sec": round(time.perf_counter() - t0, 3), "rows": int(n)}
         return timings
     finally:

@@ -10,7 +10,7 @@ clustering over Parquet web pages (the BASELINE.json north rule).
       └─ join payloads → map_batches(PairScorer actor pool)
       └─ filter(score ≥ τ) → edges
       └─ connected_components (min-label propagation + pointer jumping)
-      └─ groupby(component) → min-url representative → (url, cluster_url)
+      └─ (url, cluster_id = min page_id of component)
 
 Every wide step is keyed on uint64 hashes; the html column dies right
 after extraction; the payload table is computed once and consumed by
@@ -18,8 +18,6 @@ both blocking and scoring.
 """
 
 from __future__ import annotations
-
-from ray.data.aggregate import Min
 
 from ..sources.webpages import ensure_webpages
 from ..stages.blocking import emit_block_keys
@@ -48,11 +46,12 @@ def er_cluster_pages(
     max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
     num_partitions: int | None = None,
 ):
-    """Full pipeline → Dataset(url, cluster_url).
+    """Full pipeline → Dataset(url, cluster_id).
 
-    cluster_url = lexicographic min url of the page's connected
-    component — a deterministic, hash-free representative that the
-    DuckDB oracle can reproduce from ground truth.
+    cluster_id = min page_id (stable url hash) of the page's connected
+    component — deterministic across runs and partitionings.  The url
+    rides through the clustering stage as a pass-through column, so no
+    re-attachment join is needed.
 
     Stage boundaries are ``materialize()`` barriers: each wide op
     (blocking shuffle, pair dedup, payload joins) runs alone rather
@@ -70,18 +69,11 @@ def er_cluster_pages(
         num_partitions=num_partitions,
     )
 
-    vertices = payload.select_columns(["page_id"])
-    labels = connected_components(vertices, edges.select_columns(["a", "b"]),
-                                  num_partitions=num_partitions).materialize()
-
-    # component → min url representative, then back onto every page
-    pages_narrow = payload.select_columns(["page_id", "url"])
-    labeled = pages_narrow.join(labels, join_type="inner", num_partitions=num_partitions,
-                                on=("page_id",)).materialize()
-    reps = labeled.groupby("component").aggregate(Min("url", alias_name="cluster_url"))
-    out = labeled.join(reps, join_type="inner", num_partitions=num_partitions,
-                       on=("component",))
-    return out.select_columns(["url", "cluster_url"])
+    vertices = payload.select_columns(["page_id", "url"])
+    labeled = connected_components(vertices, edges.select_columns(["a", "b"]),
+                                   num_partitions=num_partitions)
+    return labeled.select_columns(["url", "component"]).rename_columns(
+        {"component": "cluster_id"})
 
 
 def er_edges(sf_dir: str, threshold: float = DEFAULT_THRESHOLD,
@@ -94,7 +86,9 @@ def er_edges(sf_dir: str, threshold: float = DEFAULT_THRESHOLD,
     block_rows = emit_block_keys(payload)
     pairs = enumerate_pairs(block_rows, max_block_size=max_block_size,
                             num_partitions=num_partitions).materialize()
-    enriched = attach_payloads(pairs, payload, num_partitions=num_partitions).materialize()
+    # joins + scoring map/filter fuse into one streaming execution: the
+    # scorer is shuffle-free, so no barrier between them.
+    enriched = attach_payloads(pairs, payload, num_partitions=num_partitions)
     scored, edges = score_pairs(enriched, threshold=threshold)
     edges = edges.materialize()
     return payload, scored, edges

@@ -533,7 +533,8 @@ def _neardup_pairs(sf_dir: str, shingle_k: int, threshold: float, num_bands: int
     blocks = payload.map_batches(emit, batch_format="pyarrow") \
                     .repartition(num_blocks=nparts, keys=["block_key"], sort=True)
     pairs = blocks.map_batches(
-        lambda t: make_pairs_partition(t, max_block_size=1 << 30), batch_format="pyarrow"
+        lambda t: make_pairs_partition(t, max_block_size=1 << 30), batch_format="pyarrow",
+        batch_size=None,  # whole-block batches: a block IS the partition
     ).select_columns(["a", "b"]) \
      .repartition(num_blocks=nparts, keys=["a", "b"], sort=True)
 
@@ -546,7 +547,7 @@ def _neardup_pairs(sf_dir: str, shingle_k: int, threshold: float, num_bands: int
         keep[1:] = (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])
         return b.filter(pa.array(keep))
 
-    pairs = pairs.map_batches(dedup, batch_format="pyarrow").materialize()
+    pairs = pairs.map_batches(dedup, batch_format="pyarrow", batch_size=None).materialize()
 
     side = payload.select_columns(["doc_id", "set", "n_distinct"])
     a_side = side.rename_columns({"doc_id": "a", "set": "set_a", "n_distinct": "na"})

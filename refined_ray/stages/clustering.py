@@ -83,7 +83,11 @@ def _union_find_labels(a: np.ndarray, b: np.ndarray) -> dict:
 
 def connected_components_driver(vertices, edges):
     """Fast path: stream edges to the driver, union-find in numpy,
-    broadcast the (small) label dict back into one map_batches."""
+    broadcast the (small) label dict back into one map_batches.
+
+    Pass-through: every non-``page_id`` column of ``vertices`` (e.g.
+    ``url``) is kept on the output row, so the caller needs no
+    re-attachment join."""
     import ray
 
     chunks_a, chunks_b = [], []
@@ -102,27 +106,33 @@ def connected_components_driver(vertices, edges):
             v = batch["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             get = self.labels.get
             comp = np.fromiter((get(int(x), int(x)) for x in v), dtype=np.int64, count=len(v))
-            return pa.table(
-                {"page_id": pa.array(v, type=pa.int64()), "component": pa.array(comp, type=pa.int64())}
-            )
+            return batch.append_column("component", pa.array(comp, type=pa.int64()))
 
     return vertices.map_batches(AttachLabel, batch_format="pyarrow", concurrency=(1, 4))
 
 
 def connected_components(vertices, edges, num_partitions: int = 16, max_rounds: int = MAX_ROUNDS,
                          driver_max_edges: int = DRIVER_UNION_FIND_MAX_EDGES):
-    """vertices: Dataset(page_id); edges: Dataset(a, b).
+    """vertices: Dataset(page_id, *extra); edges: Dataset(a, b).
 
-    Returns Dataset(page_id:int64, component:int64) where component is
-    the min page_id of the connected component.  Singletons keep their
-    own id.  Dispatches to the driver fast path when the edge list is
-    provably small (counted, not assumed); otherwise runs the
-    distributed min-label-propagation + pointer-jumping loop.
+    Returns vertices + component:int64 where component is the min
+    page_id of the connected component.  Singletons keep their own id.
+    Dispatches to the driver fast path when the edge list is provably
+    small (counted, not assumed); otherwise runs the distributed
+    min-label-propagation + pointer-jumping loop and re-attaches the
+    extra vertex columns with one final join.
     """
     edges = edges.materialize()
     if edges.count() <= driver_max_edges:
         return connected_components_driver(vertices, edges)
-    return connected_components_distributed(vertices, edges, num_partitions, max_rounds)
+    extra = [c for c in vertices.columns() if c != "page_id"]
+    labels = connected_components_distributed(
+        vertices.select_columns(["page_id"]), edges, num_partitions, max_rounds
+    )
+    if not extra:
+        return labels
+    return vertices.join(labels, join_type="inner", num_partitions=num_partitions,
+                         on=("page_id",))
 
 
 def connected_components_distributed(vertices, edges, num_partitions: int = 16,

@@ -33,8 +33,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ray.data.aggregate import Count, Max
-
 DEFAULT_MAX_BLOCK_SIZE = 64
 
 
@@ -117,6 +115,41 @@ def _empty_pairs() -> pa.Table:
     )
 
 
+def dedup_pairs_partition(batch: pa.Table) -> pa.Table:
+    """One (a,b)-keyed sorted partition of raw pairs → unique pairs with
+    n_shared_blocks (count), max block_size, max capped.
+
+    Vectorized segment aggregation (np.diff boundaries + reduceat).
+    Replaces ``groupby(a,b).aggregate(...)``: Ray's hash-aggregate
+    operator keeps a per-key actor-side hash table and is ~17× slower
+    than a keyed repartition + segment pass at high key cardinality
+    (measured: 35 s vs 2 s on 640k distinct keys, 32 CPUs)."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({
+            "a": pa.array([], type=pa.int64()),
+            "b": pa.array([], type=pa.int64()),
+            "n_shared_blocks": pa.array([], type=pa.int64()),
+            "block_size": pa.array([], type=pa.int32()),
+            "capped": pa.array([], type=pa.int8()),
+        })
+    a = batch["a"].to_numpy(zero_copy_only=False)
+    b = batch["b"].to_numpy(zero_copy_only=False)
+    bs = batch["block_size"].to_numpy(zero_copy_only=False)
+    cp = batch["capped"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    a, b, bs, cp = a[order], b[order], bs[order], cp[order]
+    starts = np.flatnonzero(np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+    counts = np.diff(np.r_[starts, n])
+    return pa.table({
+        "a": pa.array(a[starts], type=pa.int64()),
+        "b": pa.array(b[starts], type=pa.int64()),
+        "n_shared_blocks": pa.array(counts, type=pa.int64()),
+        "block_size": pa.array(np.maximum.reduceat(bs, starts), type=pa.int32()),
+        "capped": pa.array(np.maximum.reduceat(cp, starts), type=pa.int8()),
+    })
+
+
 def enumerate_pairs(block_rows, max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
                     num_partitions: int | None = None):
     """(block_key, page_id) rows → deduped (a, b, …) candidate pairs."""
@@ -125,11 +158,11 @@ def enumerate_pairs(block_rows, max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
     num_partitions = num_partitions or default_num_partitions()
     parted = block_rows.repartition(num_blocks=num_partitions, keys=["block_key"], sort=True)
     pairs = parted.map_batches(
-        lambda t: make_pairs_partition(t, max_block_size), batch_format="pyarrow"
+        lambda t: make_pairs_partition(t, max_block_size), batch_format="pyarrow",
+        batch_size=None,  # whole-block batches: a block IS the partition
     )
-    deduped = pairs.groupby(["a", "b"]).aggregate(
-        Count(alias_name="n_shared_blocks"),
-        Max("block_size", alias_name="block_size"),
-        Max("capped", alias_name="capped"),
-    )
+    # dedup by pair: hash-partition on (a, b) so each pair's copies
+    # co-locate, then one vectorized segment pass per partition.
+    deduped = pairs.repartition(num_blocks=num_partitions, keys=["a", "b"], sort=False) \
+                   .map_batches(dedup_pairs_partition, batch_format="pyarrow", batch_size=None)
     return deduped

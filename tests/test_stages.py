@@ -147,7 +147,7 @@ def test_flagship_pipeline_f1_is_one(ray_session):
             s.update(combinations(sorted(g.url), 2))
         return s
 
-    pred, true = pairset("cluster_url"), pairset("entity_id")
+    pred, true = pairset("cluster_id"), pairset("entity_id")
     tp, fp, fn = len(pred & true), len(pred - true), len(true - pred)
     prec = tp / (tp + fp) if tp + fp else 1.0
     rec = tp / (tp + fn) if tp + fn else 1.0
