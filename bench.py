@@ -19,6 +19,13 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# --scaling corpus amplification: the raw sf tables are too small for
+# compute to dominate fixed orchestration cost, so the scaling run uses
+# the deterministic amplified corpus (sources/webpages.py: xA copies via
+# bijective vocab rewrite, xF longer texts) — ~80k pages, ~9 KB text.
+SCALE_AMPLIFY = int(os.environ.get("GRAFT_SCALE_AMPLIFY", "8"))
+SCALE_FATTEN = int(os.environ.get("GRAFT_SCALE_FATTEN", "8"))
+
 HEADLINE = [
     # (name, callable path) — er_clusters is THE headline (north rule);
     # the others cover the big operator families.
@@ -72,9 +79,23 @@ def main() -> None:
 
 
 def _scaling_child(num_cpus: int) -> dict:
-    """Run er_clusters alone in THIS process at the given parallelism."""
-    timings = _run_queries(num_cpus, ["er_clusters"], SF_DIR)
-    return {"num_cpus": num_cpus, **timings["er_clusters"]}
+    """Run the flagship ER job in THIS process at the given parallelism
+    over the amplified corpus (same input both runs)."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        from refined_ray.pipelines.entity_resolution import er_cluster_pages
+        from refined_ray.sources.webpages import ensure_webpages
+
+        ensure_webpages(SF_DIR, amplify=SCALE_AMPLIFY, fatten=SCALE_FATTEN)  # one-time gen
+        t0 = time.perf_counter()
+        out = er_cluster_pages(SF_DIR, amplify=SCALE_AMPLIFY, fatten=SCALE_FATTEN)
+        n = out.count()
+        return {"num_cpus": num_cpus, "sec": round(time.perf_counter() - t0, 3),
+                "rows": int(n), "amplify": SCALE_AMPLIFY, "fatten": SCALE_FATTEN}
+    finally:
+        ray.shutdown()
 
 
 def scaling() -> None:

@@ -24,10 +24,16 @@ EMBED_DIM = 64
 def embed_batch(texts, dim: int = EMBED_DIM) -> np.ndarray:
     """(n, dim) float32 L2-normalized hash embeddings."""
     flat, starts = tokenize_batch(texts)
+    h = hash_str_array(flat) if flat else np.empty(0, dtype=np.uint64)
+    return embed_from_hashes(h, starts, dim)
+
+
+def embed_from_hashes(tok_h: np.ndarray, starts: np.ndarray, dim: int = EMBED_DIM) -> np.ndarray:
+    """Embeddings from precomputed token hashes (flat segment layout)."""
     n_docs = len(starts) - 1
     out = np.zeros((n_docs, dim), dtype=np.float32)
-    if flat:
-        h = hash_str_array(flat)
+    if len(tok_h):
+        h = tok_h
         buckets = (h % np.uint64(dim)).astype(np.int64)
         signs = np.where((h >> np.uint64(63)) & np.uint64(1), -1.0, 1.0).astype(np.float32)
         doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(starts))

@@ -48,23 +48,20 @@ def stable_hash64_str(s: str) -> int:
 
 
 def hash_str_array(strs, seed: int = 0) -> np.ndarray:
-    """Vectorized-ish stable uint64 hash of an array/list of strings.
+    """Vectorized stable uint64 hash of an array/list of strings.
 
-    crc32 (zlib, C speed) of each string mixed through splitmix64 with
-    the seed.  crc32 is only 32-bit so we fold in the string length to
-    spread collisions before the 64-bit mix; for *identifier* hashing
-    (page ids) use `stable_hash64_str` (blake2b) instead — this one is
-    for bulk token/shingle hashing where throughput matters and a rare
-    32-bit collision only perturbs a MinHash estimate.
+    pandas ``hash_array`` (cython siphash13 with pandas' fixed default
+    key — deterministic across processes and platforms) mixed through
+    splitmix64 with the seed.  This is the bulk token/shingle hasher
+    (~10M strs/s); for *identifier* hashing (page ids) use
+    ``stable_hash64_str`` (blake2b).
     """
-    n = len(strs)
-    out = np.empty(n, dtype=np.uint64)
-    crc = zlib.crc32
-    for i in range(n):
-        b = strs[i].encode("utf-8")
-        out[i] = crc(b) ^ (len(b) << 32)
+    import pandas as pd
+
+    arr = strs if isinstance(strs, np.ndarray) else np.array(strs, dtype=object)
+    out = pd.util.hash_array(arr, categorize=False)
     with np.errstate(over="ignore"):
-        out += _U64(seed) * _SM_GAMMA
+        out = out + _U64(seed) * _SM_GAMMA
     return splitmix64(out)
 
 

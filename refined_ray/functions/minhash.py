@@ -33,14 +33,17 @@ _PERM_SEEDS = splitmix64(np.arange(1, NUM_PERMS + 1, dtype=_U64) * _U64(0x9E3779
 _BAND_SALT = splitmix64(np.arange(NUM_BANDS, dtype=_U64) + _U64(0xABCDEF12345))
 
 
-def shingle_hashes(flat_tokens: list[str], starts: np.ndarray, k: int = SHINGLE_K) -> tuple[np.ndarray, np.ndarray]:
+def shingle_hashes(flat_tokens: list[str], starts: np.ndarray, k: int = SHINGLE_K,
+                   tok_h: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
     """k-token shingle hashes for a batch of docs in flat layout.
 
     Returns (flat_shingles:uint64, sh_starts) in the same segment
     layout.  Docs shorter than k tokens get a single shingle covering
     all their tokens (so every doc has ≥1 shingle and a signature).
+    ``tok_h`` lets callers reuse precomputed token hashes.
     """
-    tok_h = hash_str_array(flat_tokens)
+    if tok_h is None:
+        tok_h = hash_str_array(flat_tokens)
     n_docs = len(starts) - 1
     lens = np.diff(starts)
     sh_counts = np.maximum(lens - (k - 1), 1)
@@ -86,18 +89,98 @@ def shingle_hashes(flat_tokens: list[str], starts: np.ndarray, k: int = SHINGLE_
     return flat_sh, sh_starts
 
 
-def minhash_signatures(flat_shingles: np.ndarray, sh_starts: np.ndarray, num_perms: int = NUM_PERMS) -> np.ndarray:
-    """(n_docs, num_perms) uint64 signature matrix.
+# Docs with fewer shingles than this use the classic O(P·S) permutation
+# sweep; docs at/above it use one-permutation hashing.  See
+# minhash_signatures for why the split exists.
+OPH_MIN_SHINGLES = 4 * NUM_PERMS
 
-    perm_p(s) = splitmix64(s xor seed_p); sig[d, p] = min over d's
-    shingles.  Fully vectorized: one (P, total_shingles) broadcast +
-    one np.minimum.reduceat per the flat segment layout.
-    """
+
+def _classic_signatures(flat_sh: np.ndarray, starts: np.ndarray, num_perms: int,
+                        chunk: int = 2048) -> np.ndarray:
+    """Full permutation sweep: sig[d,p] = min_p over d's shingles.
+
+    Processed in ``chunk``-shingle slices so the (chunk, P) permuted
+    temporary stays cache-resident (~2 MB).  The naive single (P, S)
+    broadcast is 5× slower alone and ~200× slower when 32 Ray workers
+    run it concurrently — each task then streams a ~550 MB temporary
+    through DRAM and the node saturates on memory bandwidth."""
+    n_docs = len(starts) - 1
     seeds = _PERM_SEEDS[:num_perms]
-    # (P, S) permuted values; splitmix64 keeps uint64 overflow semantics.
-    permuted = splitmix64(flat_shingles[None, :] ^ seeds[:, None])
-    sig = np.minimum.reduceat(permuted, sh_starts[:-1], axis=1)  # (P, n_docs)
-    return np.ascontiguousarray(sig.T)
+    out = np.full((n_docs, num_perms), np.iinfo(np.uint64).max, dtype=_U64)
+    S = len(flat_sh)
+    for lo in range(0, S, chunk):
+        hi = min(lo + chunk, S)
+        permuted = splitmix64(flat_sh[lo:hi, None] ^ seeds[None, :])  # (c, P)
+        d0 = int(np.searchsorted(starts, lo, side="right")) - 1
+        d1 = int(np.searchsorted(starts, hi, side="left"))
+        cuts = np.clip(starts[d0:d1 + 1], lo, hi) - lo
+        red = np.minimum.reduceat(permuted, cuts[:-1], axis=0)
+        np.minimum(out[d0:d1], red, out=out[d0:d1])
+    return out
+
+
+def minhash_signatures(flat_shingles: np.ndarray, sh_starts: np.ndarray, num_perms: int = NUM_PERMS) -> np.ndarray:
+    """(n_docs, num_perms) uint64 signature matrix — hybrid sketch.
+
+    - SPARSE docs (< OPH_MIN_SHINGLES shingles): classic per-permutation
+      MinHash.  One-permutation hashing is UNSAFE here: with many empty
+      buckets, rotational densification copies one value across bucket
+      runs, so two nearly-disjoint docs sharing a single hot shingle can
+      agree on whole bands — measured as a candidate-pair explosion
+      (~7× pairs, 12 GB of enriched pairs on the amplified corpus).
+      The classic sweep is cheap exactly when docs are small.
+    - FAT docs (≥ OPH_MIN_SHINGLES): one-permutation hashing (bucket =
+      top bits of rehash, min per bucket; Li et al.'s one-pass sketch).
+      At ≥ 4 shingles per bucket on average, empties are < 2% (e^-4),
+      filled by cyclic copy from the left — too sparse to form the
+      correlated runs that break the sparse case — so bucket-equality
+      probability ≈ Jaccard and the O(S) pass is 15-20× faster than the
+      permutation sweep on long documents.
+
+    Identical shingle sets ⇒ identical signatures on either path, and
+    both paths are fully deterministic.
+    """
+    n_docs = len(sh_starts) - 1
+    if num_perms & (num_perms - 1):
+        raise ValueError("num_perms must be a power of two")
+    counts = np.diff(sh_starts)
+    sparse = counts < OPH_MIN_SHINGLES
+    sig = np.empty((n_docs, num_perms), dtype=_U64)
+
+    if sparse.any():
+        # gather sparse docs' shingles into their own flat layout
+        sp_counts = counts[sparse]
+        sp_starts = np.empty(sparse.sum() + 1, dtype=np.int64)
+        sp_starts[0] = 0
+        np.cumsum(sp_counts, out=sp_starts[1:])
+        base = np.repeat(sh_starts[:-1][sparse], sp_counts)
+        offs = np.arange(sp_counts.sum(), dtype=np.int64) - np.repeat(sp_starts[:-1], sp_counts)
+        sig[sparse] = _classic_signatures(flat_shingles[base + offs], sp_starts, num_perms)
+
+    fat = ~sparse
+    if fat.any():
+        shift = _U64(64 - int(np.log2(num_perms)))
+        fat_counts = counts[fat]
+        base = np.repeat(sh_starts[:-1][fat], fat_counts)
+        offs = np.arange(fat_counts.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(fat_counts) - fat_counts, fat_counts)
+        h = splitmix64(flat_shingles[base + offs] ^ _PERM_SEEDS[0])
+        bucket = (h >> shift).astype(np.int64)
+        n_fat = int(fat.sum())
+        doc_idx = np.repeat(np.arange(n_fat, dtype=np.int64), fat_counts)
+
+        sentinel = _U64(0xFFFFFFFFFFFFFFFF)
+        fsig = np.full(n_fat * num_perms, sentinel, dtype=_U64)
+        np.minimum.at(fsig, doc_idx * num_perms + bucket, h)
+        fsig = fsig.reshape(n_fat, num_perms)
+        empty = fsig == sentinel
+        rolled = fsig
+        while empty.any():
+            rolled = np.roll(rolled, 1, axis=1)
+            fsig = np.where(empty, rolled, fsig)
+            empty = fsig == sentinel
+        sig[fat] = fsig
+    return sig
 
 
 def band_keys(signatures: np.ndarray, num_bands: int = NUM_BANDS) -> np.ndarray:

@@ -24,18 +24,30 @@ from ..stages.blocking import emit_block_keys
 from ..stages.clustering import connected_components
 from ..stages.extract import extract_pages
 from ..stages.pairs import DEFAULT_MAX_BLOCK_SIZE, enumerate_pairs
-from ..stages.scoring import DEFAULT_THRESHOLD, attach_payloads, score_pairs
+from ..stages.scoring import (
+    DEFAULT_THRESHOLD,
+    attach_payloads,
+    score_pairs,
+    score_pairs_broadcast,
+)
 from ..stages.signing import sign_pages
 
+# sig 1024 B + emb 256 B + head/url/ids ≈ 1.4 KB per payload row; the
+# broadcast path needs the whole payload resident in every scorer actor
+# (zero-copy for the numpy parts via the shared object store on a node).
+PAYLOAD_ROW_BYTES = 1400
+BROADCAST_MAX_BYTES = 2_000_000_000
 
-def build_payload(sf_dir: str):
+
+def build_payload(sf_dir: str, amplify: int = 1, fatten: int = 1):
     """webpages parquet → per-page payload Dataset (the shared table)."""
     import ray.data as rd
 
     from .. import configure_data_context
 
     configure_data_context()
-    pages = rd.read_parquet(ensure_webpages(sf_dir), columns=["url", "html"])
+    path = ensure_webpages(sf_dir, amplify=amplify, fatten=fatten)
+    pages = rd.read_parquet(path, columns=["url", "html"])
     extracted = extract_pages(pages)
     return sign_pages(extracted)
 
@@ -45,6 +57,8 @@ def er_cluster_pages(
     threshold: float = DEFAULT_THRESHOLD,
     max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
     num_partitions: int | None = None,
+    amplify: int = 1,
+    fatten: int = 1,
 ):
     """Full pipeline → Dataset(url, cluster_id).
 
@@ -66,7 +80,7 @@ def er_cluster_pages(
     num_partitions = num_partitions or default_num_partitions()
     payload, _scored, edges = er_edges(
         sf_dir, threshold=threshold, max_block_size=max_block_size,
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, amplify=amplify, fatten=fatten,
     )
 
     vertices = payload.select_columns(["page_id", "url"])
@@ -77,18 +91,31 @@ def er_cluster_pages(
 
 
 def er_edges(sf_dir: str, threshold: float = DEFAULT_THRESHOLD,
-             max_block_size: int = DEFAULT_MAX_BLOCK_SIZE, num_partitions: int | None = None):
+             max_block_size: int = DEFAULT_MAX_BLOCK_SIZE, num_partitions: int | None = None,
+             amplify: int = 1, fatten: int = 1):
     """Payload + scored pairs + accepted edges (shared pipeline head)."""
     from .. import default_num_partitions
 
     num_partitions = num_partitions or default_num_partitions()
-    payload = build_payload(sf_dir).materialize()  # reused by 3 consumers
+    payload = build_payload(sf_dir, amplify=amplify, fatten=fatten).materialize()  # reused by 3 consumers
     block_rows = emit_block_keys(payload)
     pairs = enumerate_pairs(block_rows, max_block_size=max_block_size,
-                            num_partitions=num_partitions).materialize()
-    # joins + scoring map/filter fuse into one streaming execution: the
-    # scorer is shuffle-free, so no barrier between them.
-    enriched = attach_payloads(pairs, payload, num_partitions=num_partitions)
-    scored, edges = score_pairs(enriched, threshold=threshold)
+                            num_partitions=num_partitions)
+    # blocking repartitions, pair dedup and the scorer fuse into ONE
+    # streaming execution: aggregator pools are sized to cluster CPUs
+    # (configure_data_context), so chained shuffle ops pipeline
+    # block-by-block instead of thrashing the scheduler, and
+    # per-execution actor spin-up is paid once for the whole chain.
+    #
+    # Payload attachment: broadcast when the payload fits in worker
+    # memory (one ray.put, zero joins — the join path's enriched pair
+    # stream is ~25× corpus size since every pair row carries two 1 KB
+    # signatures); fall back to two hash joins beyond the budget.
+    n_pages = payload.count()
+    if n_pages * PAYLOAD_ROW_BYTES <= BROADCAST_MAX_BYTES:
+        scored, edges = score_pairs_broadcast(pairs, payload, threshold=threshold)
+    else:
+        enriched = attach_payloads(pairs, payload, num_partitions=num_partitions)
+        scored, edges = score_pairs(enriched, threshold=threshold)
     edges = edges.materialize()
     return payload, scored, edges

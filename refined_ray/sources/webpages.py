@@ -76,6 +76,57 @@ def _page_url(source: str, doc_id: int, variant: int) -> str:
     return f"https://{host}/d{doc_id:08d}"
 
 
+# -- benchmark-scale amplification ------------------------------------
+#
+# The sf tables cap at 5000 documents; scaling benchmarks need corpora
+# large enough that compute dominates fixed orchestration cost.  Two
+# deterministic, ground-truth-preserving knobs:
+#
+# - ``fatten=F``: every base text's token stream is repeated F times,
+#   each repetition with 5% seeded dropout.  Shingle SETS are nearly
+#   unchanged, so the entity structure (exact-Jaccard components) is
+#   recomputed on the fattened texts and stays clean.
+# - ``amplify=K``: K corpus copies; copy c>0 rewrites a deterministic
+#   the VOCABULARY (every token t -> t + "c<c>x",
+#   appended).  The rewrite is
+#   a bijection on tokens, uniform across all docs of the copy, so
+#   within-copy Jaccard — and hence the entity ground truth — is
+#   IDENTICAL to the base corpus, while cross-copy 3-shingle Jaccard
+#   collapses to ~0.02 (a shingle survives in both copies only if all
+#   3 tokens are unmutated in both: 0.36^3).  Entity ids and doc ids
+#   are offset by c * 10^7.
+
+COPY_ID_STRIDE = 10_000_000
+
+
+
+def _fatten_text(text: str, doc_id: int, fatten: int) -> str:
+    if fatten <= 1:
+        return text
+    toks = text.split(" ")
+    parts = list(toks)
+    for r in range(1, fatten):
+        rng = np.random.default_rng(np.uint64(doc_id) * np.uint64(9_000_011) + np.uint64(r))
+        keep = rng.random(len(toks)) >= 0.05
+        parts.extend(t for t, k in zip(toks, keep) if k)
+    return " ".join(parts)
+
+
+def _copy_vocab_map(texts: list[str], copy: int) -> dict[str, str]:
+    """Deterministic vocabulary rewrite map for corpus copy ``copy``.
+
+    EVERY token gets a copy suffix: a partial rewrite leaves per-doc
+    survival variance (with a ~30-word corpus vocabulary, 3% of docs
+    kept cross-copy signature-Jaccard ≥ 0.5 at a 40% rate — measured),
+    while the full bijection gives cross-copy shingle-Jaccard exactly 0
+    and leaves within-copy Jaccard untouched."""
+    if copy == 0:
+        return {}
+    vocab = {t for text in texts for t in text.split(" ")}
+    suffix = f"c{copy}x"
+    return {t: t + suffix for t in vocab}
+
+
 def compute_entity_ids(doc_ids: list[int], texts: list[str]) -> dict[int, int]:
     """Ground-truth entity per doc: union-find over exact shingle-set
     Jaccard ≥ ENTITY_JACCARD_THRESHOLD.  Candidates come from a
@@ -124,12 +175,22 @@ def compute_entity_ids(doc_ids: list[int], texts: list[str]) -> dict[int, int]:
     return {doc_ids[i]: doc_ids[find(i)] for i in range(len(texts))}
 
 
-def generate_pages_table(docs: pa.Table, entity_of: dict[int, int]) -> pa.Table:
-    """documents rows → web-page rows (pure, per-row deterministic)."""
+def generate_pages_table(docs: pa.Table, entity_of: dict[int, int],
+                         copy: int = 0, fatten: int = 1,
+                         base_texts: list[str] | None = None) -> pa.Table:
+    """documents rows → web-page rows (pure, per-row deterministic).
+
+    ``base_texts`` overrides the table's text column (pre-fattened);
+    ``copy`` applies the vocabulary rewrite + id/url offsets."""
     doc_ids = docs["doc_id"].to_pylist()
-    texts = docs["text"].to_pylist()
+    texts = base_texts if base_texts is not None else [
+        _fatten_text(t, d, fatten) for d, t in zip(doc_ids, docs["text"].to_pylist())
+    ]
     langs = docs["lang"].to_pylist()
     sources = docs["source"].to_pylist()
+    vmap = _copy_vocab_map(texts, copy)
+    if vmap:
+        texts = [" ".join(vmap.get(t, t) for t in text.split(" ")) for text in texts]
 
     urls: list[str] = []
     tss: list[datetime] = []
@@ -138,23 +199,27 @@ def generate_pages_table(docs: pa.Table, entity_of: dict[int, int]) -> pa.Table:
     out_langs: list[str] = []
     ref_ids: list[int] = []
     entity_ids: list[int] = []
+    off = copy * COPY_ID_STRIDE
     for doc_id, text, lang, source in zip(doc_ids, texts, langs, sources):
         for v in range(_n_variants(doc_id)):
             page_text = _mutate(text, doc_id, v)
             host = f"{source}.example.org" if v == 0 else f"mirror{v}.{source}.example.org"
-            title = f"Document {doc_id}"
+            title = f"Document {doc_id + off}"
             page_html = (
                 HTML_PREFIX.format(title=title)
                 + _html.escape(page_text)
                 + HTML_SUFFIX.format(host=host)
             ).encode("utf-8")
-            urls.append(_page_url(source, doc_id, v))
-            tss.append(_BASE_TS + timedelta(seconds=doc_id * 60 + v))
+            url = _page_url(source, doc_id, v)
+            if copy:
+                url = url.replace("https://", f"https://c{copy}.")
+            urls.append(url)
+            tss.append(_BASE_TS + timedelta(seconds=doc_id * 60 + v + copy))
             htmls.append(page_html)
             out_texts.append(page_text)
             out_langs.append(lang)
-            ref_ids.append(doc_id)
-            entity_ids.append(entity_of[doc_id])
+            ref_ids.append(doc_id + off)
+            entity_ids.append(entity_of[doc_id] + off)
     return pa.table(
         {
             "url": pa.array(urls, type=pa.string()),
@@ -168,33 +233,45 @@ def generate_pages_table(docs: pa.Table, entity_of: dict[int, int]) -> pa.Table:
     )
 
 
-def webpages_path(sf_dir: str) -> str:
+def webpages_path(sf_dir: str, amplify: int = 1, fatten: int = 1) -> str:
     sf_name = os.path.basename(os.path.normpath(sf_dir))
+    if amplify > 1 or fatten > 1:
+        sf_name = f"{sf_name}-a{amplify}f{fatten}"
     return os.path.join(CACHE_ROOT, sf_name, "webpages.parquet")
 
 
-def ensure_webpages(sf_dir: str, shard_rows: int = 20_000) -> str:
+def ensure_webpages(sf_dir: str, shard_rows: int = 5_000, amplify: int = 1,
+                    fatten: int = 1) -> str:
     """Generate (once) and return the web-page parquet path for sf_dir.
 
     Written as a directory of row-group-sized files so Ray's
     read_parquet parallelizes the scan; atomic rename makes concurrent
     callers safe.
     """
-    path = webpages_path(sf_dir)
+    path = webpages_path(sf_dir, amplify, fatten)
     if os.path.exists(path):
         return path
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
-    entity_of = compute_entity_ids(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    doc_ids = docs["doc_id"].to_pylist()
+    fat_texts = [_fatten_text(t, d, fatten)
+                 for d, t in zip(doc_ids, docs["text"].to_pylist())]
+    entity_of = compute_entity_ids(doc_ids, fat_texts)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = tempfile.mkdtemp(dir=os.path.dirname(path))
     try:
         n = docs.num_rows
         files = []
-        for i, lo in enumerate(range(0, n, shard_rows)):
-            part = generate_pages_table(docs.slice(lo, shard_rows), entity_of)
-            f = os.path.join(tmp, f"part-{i:05d}.parquet")
-            pq.write_table(part, f, row_group_size=8192)
-            files.append(f)
+        i = 0
+        for copy in range(amplify):
+            for lo in range(0, n, shard_rows):
+                part = generate_pages_table(
+                    docs.slice(lo, shard_rows), entity_of, copy=copy, fatten=fatten,
+                    base_texts=fat_texts[lo:lo + shard_rows],
+                )
+                f = os.path.join(tmp, f"part-{i:05d}.parquet")
+                pq.write_table(part, f, row_group_size=8192)
+                files.append(f)
+                i += 1
         final_tmp = os.path.join(tmp, "webpages.parquet")
         if len(files) == 1:
             os.rename(files[0], final_tmp)

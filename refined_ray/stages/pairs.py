@@ -163,6 +163,13 @@ def enumerate_pairs(block_rows, max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
     )
     # dedup by pair: hash-partition on (a, b) so each pair's copies
     # co-locate, then one vectorized segment pass per partition.
-    deduped = pairs.repartition(num_blocks=num_partitions, keys=["a", "b"], sort=False) \
+    # map task granularity is the BLOCK, so the dedup shuffle uses ~2
+    # partitions per CPU: its output blocks are what the downstream
+    # scorer pool parallelizes over (8 blocks would cap it at 8 tasks).
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    deduped = pairs.repartition(num_blocks=max(num_partitions, 2 * cpus),
+                                keys=["a", "b"], sort=False) \
                    .map_batches(dedup_pairs_partition, batch_format="pyarrow", batch_size=None)
     return deduped

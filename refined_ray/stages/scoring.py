@@ -41,45 +41,149 @@ WEIGHTS = {"est_jaccard": 0.70, "cos_sim": 0.10, "jw_sim": 0.10, "lev_sim": 0.10
 
 
 def _binary_to_matrix(col, dtype_str: str) -> np.ndarray:
-    """binary column of fixed-width blobs → (n, w) matrix."""
+    """binary column of fixed-width blobs → (n, w) matrix.
+
+    Zero-copy fast path: a binary array's values buffer is contiguous,
+    so when all blobs share one width the matrix is a view over the
+    Arrow buffer (offsets checked, no python-object round trip — the
+    to_pylist/join route costs ~3 ms per 1k rows)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        return np.empty((0, 0), dtype=dtype_str)
+    offs_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
+    offs = np.frombuffer(offs_buf, dtype=np.int32)[arr.offset: arr.offset + len(arr) + 1]
+    widths = np.diff(offs)
+    if (widths == widths[0]).all():
+        data = np.frombuffer(data_buf, dtype=np.uint8)[offs[0]: offs[-1]]
+        return data.view(dtype_str).reshape(len(arr), -1)
     buf = b"".join(arr.to_pylist())
     return np.frombuffer(buf, dtype=dtype_str).reshape(len(arr), -1)
 
 
-class PairScorer:
-    """Actor-pool scorer. Input batch columns: a, b, n_shared_blocks,
-    sig_a, sig_b, emb_a, emb_b, head_a, head_b.  Output adds the four
-    feature columns + ``score``."""
+def _score_features(out_base: pa.Table, sig_a, sig_b, emb_a, emb_b,
+                    head_a, head_b, w: np.ndarray,
+                    threshold: float = DEFAULT_THRESHOLD) -> pa.Table:
+    """Shared feature math for both scorer variants — CASCADE scoring.
 
-    def __init__(self, weights: dict | None = None):
+    Stage 1 (vectorized, every pair): est_jaccard + cosine give bounds
+    [base, base + w_jw + w_lev] on the full score.  Pairs whose bound
+    interval does not straddle the threshold are DECIDED without string
+    similarity; only the uncertain band (typically a few %) pays the
+    O(len²) Jaro-Winkler/Levenshtein stage.  The resulting edge set
+    (score ≥ τ) is IDENTICAL to scoring every pair fully; for decided
+    pairs the emitted ``score`` is the stage-1 lower bound and
+    jw_sim/lev_sim are NaN."""
+    est_j = (sig_a == sig_b).mean(axis=1)
+    cos = np.einsum("ij,ij->i", emb_a, emb_b).astype(np.float64)
+    cosc = np.clip(cos, 0.0, 1.0)
+    base = w[0] * est_j + w[1] * cosc
+    string_budget = w[2] + w[3]
+    uncertain = (base < threshold) & (base + string_budget >= threshold)
+
+    jw = np.full(len(base), np.nan)
+    lev = np.full(len(base), np.nan)
+    score = base.copy()
+    if uncertain.any():
+        idx = np.nonzero(uncertain)[0]
+        # cap similarity inputs: JW is O(len^2) scalar python and the
+        # batched Levenshtein DP costs O(len^2) vector passes; the
+        # head's discriminative prefix is what matters (JW is
+        # prefix-weighted anyway).  16 chars ≈ first 3 tokens.
+        ha = [head_a[i][:16] for i in idx]
+        hb = [head_b[i][:16] for i in idx]
+        jw_u = jaro_winkler_batch(ha, hb)
+        lev_u = levenshtein_similarity_batch(ha, hb, max_len=16)
+        jw[idx] = jw_u
+        lev[idx] = lev_u
+        score[idx] = base[idx] + w[2] * jw_u + w[3] * lev_u
+
+    out = out_base
+    for name, col in (("est_jaccard", est_j), ("cos_sim", cos), ("jw_sim", jw),
+                      ("lev_sim", lev), ("score", score)):
+        out = out.append_column(name, pa.array(col, type=pa.float64()))
+    return out
+
+
+class PairScorer:
+    """Actor-pool scorer over JOIN-ENRICHED pairs.  Input batch columns:
+    a, b, n_shared_blocks, sig_a, sig_b, emb_a, emb_b, head_a, head_b.
+    Output adds the four feature columns + ``score``."""
+
+    def __init__(self, weights: dict | None = None, threshold: float = DEFAULT_THRESHOLD):
         w = weights or WEIGHTS
         self.w = np.array([w["est_jaccard"], w["cos_sim"], w["jw_sim"], w["lev_sim"]])
+        self.threshold = threshold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        if n == 0:
+        if batch.num_rows == 0:
             return batch
-        sig_a = _binary_to_matrix(batch["sig_a"], "<u8")
-        sig_b = _binary_to_matrix(batch["sig_b"], "<u8")
-        emb_a = _binary_to_matrix(batch["emb_a"], "<f4")
-        emb_b = _binary_to_matrix(batch["emb_b"], "<f4")
-        head_a = batch["head_a"].to_pylist()
-        head_b = batch["head_b"].to_pylist()
+        return _score_features(
+            batch.select(["a", "b", "n_shared_blocks", "block_size", "capped"]),
+            _binary_to_matrix(batch["sig_a"], "<u8"),
+            _binary_to_matrix(batch["sig_b"], "<u8"),
+            _binary_to_matrix(batch["emb_a"], "<f4"),
+            _binary_to_matrix(batch["emb_b"], "<f4"),
+            batch["head_a"].to_pylist(), batch["head_b"].to_pylist(), self.w,
+            threshold=self.threshold,
+        )
 
-        est_j = (sig_a == sig_b).mean(axis=1)
-        cos = np.einsum("ij,ij->i", emb_a, emb_b).astype(np.float64)
-        jw = jaro_winkler_batch(head_a, head_b)
-        lev = levenshtein_similarity_batch(head_a, head_b)
 
-        feats = np.stack([est_j, np.clip(cos, 0.0, 1.0), jw, lev], axis=1)
-        score = feats @ self.w
+class PairScorerBroadcast:
+    """Actor-pool scorer over NARROW pairs with a broadcast payload.
 
-        out = batch.select(["a", "b", "n_shared_blocks", "block_size", "capped"])
-        for name, col in (("est_jaccard", est_j), ("cos_sim", cos), ("jw_sim", jw),
-                          ("lev_sim", lev), ("score", score)):
-            out = out.append_column(name, pa.array(col, type=pa.float64()))
-        return out
+    The payload (page_id-sorted sig/emb matrices + heads) is put in the
+    object store ONCE (``ray.put``) and dereferenced per actor in
+    ``__init__`` — zero-copy for the numpy matrices.  ``__call__`` looks
+    both pair sides up via searchsorted.  This replaces two hash joins
+    whose output stream is ~25× the corpus size (each pair row carries
+    two 1 KB signatures); use it whenever the payload fits comfortably
+    in worker memory (see BROADCAST_MAX_BYTES in the pipeline)."""
+
+    def __init__(self, payload_ref, weights: dict | None = None,
+                 threshold: float = DEFAULT_THRESHOLD):
+        import ray
+
+        w = weights or WEIGHTS
+        self.w = np.array([w["est_jaccard"], w["cos_sim"], w["jw_sim"], w["lev_sim"]])
+        self.threshold = threshold
+        # all four arrays are numpy → zero-copy views into the shared
+        # object-store copy (heads are fixed-width S16 bytes, not python
+        # strings, exactly so this deref stays zero-copy per actor)
+        self.ids, self.sig, self.emb, self.heads = ray.get(payload_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(self.ids, a)
+        ib = np.searchsorted(self.ids, b)
+        return _score_features(
+            batch,
+            self.sig[ia], self.sig[ib], self.emb[ia], self.emb[ib],
+            [s.decode("utf-8", "ignore") for s in self.heads[ia]],
+            [s.decode("utf-8", "ignore") for s in self.heads[ib]], self.w,
+            threshold=self.threshold,
+        )
+
+
+def broadcast_payload_ref(payload):
+    """Materialize the payload into sorted numpy arrays and ray.put it."""
+    import ray
+
+    ids_parts, sig_parts, emb_parts, head_parts = [], [], [], []
+    for b in payload.select_columns(["page_id", "sig", "emb", "head"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        ids_parts.append(b["page_id"].to_numpy(zero_copy_only=False))
+        sig_parts.append(_binary_to_matrix(b["sig"], "<u8"))
+        emb_parts.append(_binary_to_matrix(b["emb"], "<f4"))
+        head_parts.append(np.array(b["head"].to_pylist(), dtype="S16"))
+    ids = np.concatenate(ids_parts)
+    order = np.argsort(ids)
+    sig = np.concatenate(sig_parts)[order]
+    emb = np.concatenate(emb_parts)[order]
+    heads = np.concatenate(head_parts)[order]
+    return ray.put((ids[order], sig, emb, heads))
 
 
 def attach_payloads(pairs, payload, num_partitions: int = 16):
@@ -97,10 +201,38 @@ def attach_payloads(pairs, payload, num_partitions: int = 16):
     return enriched
 
 
-def score_pairs(enriched, threshold: float = DEFAULT_THRESHOLD, concurrency=(1, 8), **map_kwargs):
-    """Run the scorer actor pool and filter to edges (score ≥ τ)."""
+def _default_concurrency():
+    # fixed-size pool: autoscaling ramps one actor at a time and the
+    # scoring stage is short — pre-create the whole pool instead
+    import ray
+
+    cpus = ray.cluster_resources().get("CPU", 8) if ray.is_initialized() else 8
+    return max(4, int(cpus) // 2)
+
+
+def score_pairs(enriched, threshold: float = DEFAULT_THRESHOLD, concurrency=None, **map_kwargs):
+    """Run the join-path scorer actor pool and filter to edges."""
+    concurrency = concurrency or _default_concurrency()
+    # batch_size subdivides join-output partitions so scoring
+    # parallelism is set by the actor pool, not the partition count
+    map_kwargs.setdefault("batch_size", 8192)
     scored = enriched.map_batches(
-        PairScorer, batch_format="pyarrow", concurrency=concurrency, **map_kwargs
+        PairScorer, batch_format="pyarrow", concurrency=concurrency,
+        fn_constructor_kwargs={"threshold": threshold}, **map_kwargs
+    )
+    edges = scored.filter(expr=f"score >= {threshold}")
+    return scored, edges
+
+
+def score_pairs_broadcast(pairs, payload, threshold: float = DEFAULT_THRESHOLD,
+                          concurrency=None, **map_kwargs):
+    """Broadcast-path scorer: narrow pairs + ray.put payload, no joins."""
+    concurrency = concurrency or _default_concurrency()
+    map_kwargs.setdefault("batch_size", 16384)
+    ref = broadcast_payload_ref(payload)
+    scored = pairs.map_batches(
+        PairScorerBroadcast, batch_format="pyarrow", concurrency=concurrency,
+        fn_constructor_kwargs={"payload_ref": ref, "threshold": threshold}, **map_kwargs
     )
     edges = scored.filter(expr=f"score >= {threshold}")
     return scored, edges

@@ -27,8 +27,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.embeddings import EMBED_DIM, embed_batch
-from ..functions.hashing import stable_hash64_str
+from ..functions.embeddings import EMBED_DIM, embed_from_hashes
+from ..functions.hashing import hash_str_array, stable_hash64_str
 from ..functions.minhash import NUM_PERMS, minhash_signatures, shingle_hashes
 from ..functions.normalize import normalize_surface_array
 from ..functions.tokenize import tokenize_batch
@@ -48,9 +48,10 @@ def sign_pages_batch(batch: pa.Table, text_col: str = "extracted_text") -> pa.Ta
     n = len(urls)
 
     flat, starts = tokenize_batch(texts)
-    sh, sh_starts = shingle_hashes(flat, starts)
+    tok_h = hash_str_array(flat) if flat else __import__("numpy").empty(0, dtype="uint64")
+    sh, sh_starts = shingle_hashes(flat, starts, tok_h=tok_h)
     sig = minhash_signatures(sh, sh_starts)  # (n, 128)
-    emb = embed_batch(texts)  # (n, 64)
+    emb = embed_from_hashes(tok_h, starts)  # (n, 64)
 
     heads = [" ".join(flat[starts[i] : min(starts[i] + HEAD_TOKENS, starts[i + 1])]) for i in range(n)]
     head_norm = normalize_surface_array(pa.array(heads, type=pa.string()))
