@@ -92,7 +92,7 @@ def shingle_hashes(flat_tokens: list[str], starts: np.ndarray, k: int = SHINGLE_
 # Docs with fewer shingles than this use the classic O(P·S) permutation
 # sweep; docs at/above it use one-permutation hashing.  See
 # minhash_signatures for why the split exists.
-OPH_MIN_SHINGLES = 4 * NUM_PERMS
+OPH_MIN_SHINGLES = 3 * NUM_PERMS
 
 
 def _classic_signatures(flat_sh: np.ndarray, starts: np.ndarray, num_perms: int,
@@ -131,7 +131,7 @@ def minhash_signatures(flat_shingles: np.ndarray, sh_starts: np.ndarray, num_per
       The classic sweep is cheap exactly when docs are small.
     - FAT docs (≥ OPH_MIN_SHINGLES): one-permutation hashing (bucket =
       top bits of rehash, min per bucket; Li et al.'s one-pass sketch).
-      At ≥ 4 shingles per bucket on average, empties are < 2% (e^-4),
+      At ≥ 3 shingles per bucket on average, empties are ≤ 5% (e^-3),
       filled by cyclic copy from the left — too sparse to form the
       correlated runs that break the sparse case — so bucket-equality
       probability ≈ Jaccard and the O(S) pass is 15-20× faster than the
@@ -173,12 +173,23 @@ def minhash_signatures(flat_shingles: np.ndarray, sh_starts: np.ndarray, num_per
         fsig = np.full(n_fat * num_perms, sentinel, dtype=_U64)
         np.minimum.at(fsig, doc_idx * num_perms + bucket, h)
         fsig = fsig.reshape(n_fat, num_perms)
+        # Empty buckets are filled with a PER-DOC value derived from the
+        # doc's global min hash and the bucket index.  Copy-from-neighbor
+        # densification is UNSAFE under LSH banding: the copy source is
+        # often the band's other row, degenerating a 2-row band to one
+        # effective row whenever two docs have aligned empties — at 3%
+        # empties that corrupted ~14% of pairs' bands and inflated
+        # candidates 2.3×.  Doc-unique fillers can never match across
+        # docs with different shingle sets (identical sets ⇒ identical
+        # fillers, preserving sig equality); the only cost is an
+        # est_jaccard bias of ≈ the empty fraction (≤5% here).
         empty = fsig == sentinel
-        rolled = fsig
-        while empty.any():
-            rolled = np.roll(rolled, 1, axis=1)
-            fsig = np.where(empty, rolled, fsig)
-            empty = fsig == sentinel
+        if empty.any():
+            doc_min = fsig.min(axis=1)  # real min exists: ≥1 shingle per doc
+            bucket_ids = np.arange(num_perms, dtype=_U64)
+            filler = splitmix64(doc_min[:, None] ^ splitmix64(bucket_ids)[None, :]
+                                ^ _U64(0xF111E7))
+            fsig = np.where(empty, filler, fsig)
         sig[fat] = fsig
     return sig
 

@@ -33,6 +33,68 @@ def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
     return [(m.group(0), m.start(), m.end()) for m in TOKEN_RE.finditer(text.lower())]
 
 
+def tokenize_hash_arrow(arr) -> tuple[np.ndarray, np.ndarray, "object"]:
+    """Arrow-native tokenize + hash for the signing hot path.
+
+    Input: pyarrow string array (or chunked).  Returns
+    (tok_h:uint64 flat token hashes, starts:int64 doc offsets,
+    tokens:list<string> arrow ListArray of the kept tokens per doc).
+
+    Tokenization runs entirely in C++ (utf8_lower + split_pattern_regex)
+    and hashing reads the Arrow values buffer directly with ~max_len
+    vectorized numpy passes — no per-token python objects.  The hash is
+    an FNV-1a over the first 24 bytes mixed with the token length, then
+    splitmix64-finalized; it differs from ``hash_str_array`` by design
+    (both are engine-internal: only within-pipeline consistency
+    matters).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .hashing import splitmix64
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lower = pc.utf8_lower(arr)
+    split = pc.split_pattern_regex(lower, pattern="[^a-z0-9]+")
+    split = split.combine_chunks() if isinstance(split, pa.ChunkedArray) else split
+    flat = split.flatten()
+    list_offs = np.frombuffer(split.buffers()[1], dtype=np.int32)[
+        split.offset: split.offset + len(split) + 1].astype(np.int64)
+
+    str_offs = np.frombuffer(flat.buffers()[1], dtype=np.int32)[
+        flat.offset: flat.offset + len(flat) + 1].astype(np.int64)
+    tok_len = np.diff(str_offs)
+    keep = tok_len > 0  # split leaves empty tokens at text edges
+
+    # per-doc counts of kept tokens → new starts
+    doc_counts = np.diff(list_offs)
+    drop_per_doc = np.zeros(len(doc_counts), dtype=np.int64)
+    if (~keep).any():
+        dropped_pos = np.nonzero(~keep)[0]
+        doc_of = np.searchsorted(list_offs, dropped_pos, side="right") - 1
+        np.add.at(drop_per_doc, doc_of, 1)
+    starts = np.zeros(len(doc_counts) + 1, dtype=np.int64)
+    np.cumsum(doc_counts - drop_per_doc, out=starts[1:])
+
+    data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+    tok_start = str_offs[:-1][keep]
+    lens = tok_len[keep]
+    n = len(lens)
+    acc = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    max_iter = int(min(lens.max(initial=0), 24))
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for i in range(max_iter):
+            m = lens > i
+            acc[m] = (acc[m] ^ data[tok_start[m] + i]) * prime
+        acc ^= lens.astype(np.uint64) << np.uint64(56)
+    tok_h = splitmix64(acc)
+
+    kept_tokens = flat.filter(pa.array(keep)) if (~keep).any() else flat
+    return tok_h, starts, kept_tokens
+
+
 def tokenize_batch(texts) -> tuple[list[str], np.ndarray]:
     """Tokenize a batch of texts into one flat token list + doc offsets.
 

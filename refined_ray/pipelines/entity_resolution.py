@@ -47,7 +47,15 @@ def build_payload(sf_dir: str, amplify: int = 1, fatten: int = 1):
 
     configure_data_context()
     path = ensure_webpages(sf_dir, amplify=amplify, fatten=fatten)
-    pages = rd.read_parquet(path, columns=["url", "html"])
+    # Default read planning sizes tasks by bytes/target_max_block_size,
+    # which gave 8 read tasks for an 840 MB corpus — the whole
+    # extract+sign chain then runs 8-wide no matter how many CPUs the
+    # cluster has.  Pin read parallelism to the cluster instead.
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    pages = rd.read_parquet(path, columns=["url", "html"],
+                            override_num_blocks=4 * cpus)
     extracted = extract_pages(pages)
     return sign_pages(extracted)
 

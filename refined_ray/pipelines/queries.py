@@ -823,6 +823,12 @@ def q_doc_fingerprints(sf_dir: str):
 # Catalog
 # =====================================================================
 
+def _ext():
+    from .queries_ext import EXT_ORACLES, EXT_QUERIES
+
+    return EXT_QUERIES, EXT_ORACLES
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "top_customers": q_top_customers,
@@ -845,6 +851,7 @@ QUERIES = {
     "er_clusters": q_er_clusters,
     "doc_fingerprints": q_doc_fingerprints,
 }
+QUERIES.update(_ext()[0])
 
 
 def oracles() -> dict[str, str]:
@@ -868,4 +875,5 @@ def oracles() -> dict[str, str]:
         "ann_topk": SQL_ANN_TOPK,
         "embedding_pairs": SQL_EMBEDDING_PAIRS,
         # er_clusters, doc_fingerprints: rows-only (non-SQL-expressible)
+        **_ext()[1],
     }

@@ -1,0 +1,363 @@
+"""Second batch of catalog queries: scalar/JSON functions, per-group
+top-k, running windows, anti-joins, candidate generation, SimHash,
+multimodal stubs, ER quality metrics.
+
+Same contract as pipelines/queries.py (column names/types and float
+canonicalization match the DuckDB oracle exactly)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.normalize import NORMALIZE_SQL, normalize_surface_array, remove_wiki_brackets
+from .queries import _canon_round, _read, _sql_round, _TOKS
+
+
+# ---------------------------------------------------------------------
+# M1/M2: normalization scalar functions over a table column
+# ---------------------------------------------------------------------
+
+
+def q_part_norm(sf_dir: str):
+    """≙ normalize_surface_form (loaders.py:137-148) + remove_wiki_brackets
+    (loaders.py:207-215) applied as vectorized projections."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": b["p_partkey"],
+            "norm_name": normalize_surface_array(remove_wiki_brackets(b["p_name"])),
+        })
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+_DEBRACKET = r"regexp_replace(p_name, ' \([^()]*\)$', '')"
+_NORM_NAME = NORMALIZE_SQL.format(col=_DEBRACKET)
+SQL_PART_NORM = f"""
+SELECT p_partkey,
+       {_NORM_NAME} AS norm_name
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------
+# O2-style per-group top-k
+# ---------------------------------------------------------------------
+
+
+def q_orders_topk_per_customer(sf_dir: str, k: int = 2):
+    """Top-k orders per customer by total price (per-group sort+limit)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["o_custkey", "o_orderkey", "o_totalprice", "rank"]]
+
+    return ds.groupby("o_custkey").map_groups(topk, batch_format="pandas")
+
+
+SQL_ORDERS_TOPK_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 2
+"""
+
+
+# ---------------------------------------------------------------------
+# Ordered running window per key
+# ---------------------------------------------------------------------
+
+
+def q_user_running_value(sf_dir: str):
+    """Per-user running sum of value ordered by (ts, event_id) — the
+    ordered-state/window operator (SURVEY §2.9 generalization)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        out = pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+        })
+        out["running_value"] = [float(f"{v:.4f}") for v in g["value"].cumsum()]
+        return out
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+
+
+SQL_USER_RUNNING_VALUE = f"""
+SELECT event_id, user_id,
+       {_sql_round("sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)", 4)} AS running_value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------
+# Scalar JSON extraction (≙ ujson-per-line parsing throughout reference)
+# ---------------------------------------------------------------------
+
+_K_RE = re.compile(r'"k":\s*(-?\d+)')
+
+
+def q_events_extract_k(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        ks = [int(m.group(1)) if (m := _K_RE.search(p)) else None
+              for p in b["props"].to_pylist()]
+        return pa.table({"event_id": b["event_id"],
+                         "k": pa.array(ks, type=pa.int64())})
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+SQL_EVENTS_EXTRACT_K = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+"""
+
+
+# ---------------------------------------------------------------------
+# Anti-join: documents with NO near-duplicate partner (≙ M18 NIL filter)
+# ---------------------------------------------------------------------
+
+
+def q_docs_without_neardup(sf_dir: str):
+    """Anti-join documents against the near-dup pair table: broadcast
+    the (small) dup-id set instead of a shuffle join."""
+    import ray
+
+    from .queries import q_neardup_shingle
+
+    pairs = q_neardup_shingle(sf_dir)
+    dup_ids = set()
+    for b in pairs.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        dup_ids.update(b["doc_a"].to_pylist())
+        dup_ids.update(b["doc_b"].to_pylist())
+    ref = ray.put(np.array(sorted(dup_ids), dtype=np.int64))
+
+    class AntiJoin:
+        def __init__(self):
+            self.dups = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.dups, ids)
+            pos = np.clip(pos, 0, max(len(self.dups) - 1, 0))
+            is_dup = (len(self.dups) > 0) & (self.dups[pos] == ids)
+            return b.filter(pa.array(~is_dup))
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return ds.map_batches(AntiJoin, batch_format="pyarrow", concurrency=(1, 2))
+
+
+from .queries import _sql_shingles  # noqa: E402
+
+SQL_DOCS_WITHOUT_NEARDUP = f"""
+WITH sh AS ({_sql_shingles()}),
+u AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+c AS (SELECT doc_id, len(shingles) AS n FROM sh),
+p AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+  FROM u x JOIN u y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2
+),
+e AS (
+  SELECT a, b FROM p JOIN c ca ON ca.doc_id = a JOIN c cb ON cb.doc_id = b
+  WHERE inter / CAST(ca.n + cb.n - inter AS DOUBLE) >= 0.5
+),
+dups AS (SELECT a AS doc_id FROM e UNION SELECT b FROM e)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+"""
+
+
+# ---------------------------------------------------------------------
+# Candidate generation: per-surface top-k candidates by prior (≙ O1,
+# candidate_generator.py:87-94 truncation to max_candidates)
+# ---------------------------------------------------------------------
+
+
+def q_candidate_topk(sf_dir: str, k: int = 3):
+    import pandas as pd
+
+    from .queries import q_pem_table
+
+    pem = q_pem_table(sf_dir)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cnt", "entity"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["surface", "rank", "entity", "cnt"]]
+
+    return pem.groupby("surface").map_groups(topk, batch_format="pandas")
+
+
+SQL_CANDIDATE_TOPK = f"""
+WITH toks AS (
+  SELECT source AS entity, unnest(list_distinct({_TOKS})) AS surface FROM documents
+), pem AS (
+  SELECT surface, entity, count(*) AS cnt FROM toks GROUP BY 1, 2
+)
+SELECT surface, rank, entity, cnt FROM (
+  SELECT surface, entity, cnt,
+         row_number() OVER (PARTITION BY surface ORDER BY cnt DESC, entity) AS rank
+  FROM pem
+) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------
+# SimHash fingerprints + banded candidates (rows-only: engine hashes)
+# ---------------------------------------------------------------------
+
+
+def q_simhash_fingerprints(sf_dir: str):
+    from ..functions.simhash import simhash_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(b: pa.Table) -> pa.Table:
+        f = simhash_batch(b["text"].to_pylist())
+        return pa.table({"doc_id": b["doc_id"],
+                         "simhash": pa.array(f.view(np.int64), type=pa.int64())})
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def q_simhash_candidates(sf_dir: str, max_hamming: int = 12):
+    """SimHash near-dup candidates: 4×16-bit band blocking + exact
+    Hamming verification (pigeonhole-exact for distance ≤ 3; banded
+    recall beyond).  Rows-only (hash-valued)."""
+    from .. import default_num_partitions
+    from ..functions.simhash import SIMHASH_BANDS, hamming_distance, simhash_band_values, simhash_batch
+    from ..stages.pairs import make_pairs_partition
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def emit(b: pa.Table) -> pa.Table:
+        fp = simhash_batch(b["text"].to_pylist())
+        bands = simhash_band_values(fp)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "block_key": pa.array(bands.ravel().view(np.int64), type=pa.int64()),
+            "page_id": pa.array(np.repeat(ids, SIMHASH_BANDS), type=pa.int64()),
+        })
+
+    nparts = default_num_partitions()
+    blocks = ds.map_batches(emit, batch_format="pyarrow") \
+               .repartition(num_blocks=nparts, keys=["block_key"], sort=True)
+    pairs = blocks.map_batches(
+        lambda t: make_pairs_partition(t, max_block_size=1 << 20),
+        batch_format="pyarrow", batch_size=None,
+    ).select_columns(["a", "b"])
+
+    # verify with exact hamming over a broadcast fingerprint map
+    import ray
+
+    fps = {}
+    for b in q_simhash_fingerprints(sf_dir).iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        fps.update(zip(b["doc_id"].to_pylist(), b["simhash"].to_pylist()))
+    items = sorted(fps.items())
+    ref = ray.put((np.array([i for i, _ in items], dtype=np.int64),
+                   np.array([v for _, v in items], dtype=np.int64).view(np.uint64)))
+
+    class Verify:
+        def __init__(self):
+            self.ids, self.fp = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                                 "doc_b": pa.array([], type=pa.int64()),
+                                 "hamming": pa.array([], type=pa.int64())})
+            a = b["a"].to_numpy(zero_copy_only=False)
+            bb = b["b"].to_numpy(zero_copy_only=False)
+            # dedup within batch (pairs may arrive from several bands)
+            order = np.lexsort((bb, a))
+            a, bb = a[order], bb[order]
+            keep = np.ones(len(a), dtype=bool)
+            keep[1:] = (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])
+            a, bb = a[keep], bb[keep]
+            fa = self.fp[np.searchsorted(self.ids, a)]
+            fb = self.fp[np.searchsorted(self.ids, bb)]
+            d = hamming_distance(fa, fb).astype(np.int64)
+            m = d <= max_hamming
+            return pa.table({"doc_a": pa.array(a[m], type=pa.int64()),
+                             "doc_b": pa.array(bb[m], type=pa.int64()),
+                             "hamming": pa.array(d[m], type=pa.int64())})
+
+    deduped = pairs.repartition(num_blocks=nparts, keys=["a", "b"], sort=False)
+    return deduped.map_batches(Verify, batch_format="pyarrow", batch_size=None,
+                               concurrency=(1, 2))
+
+
+# ---------------------------------------------------------------------
+# Multimodal stub pipeline (rows-only)
+# ---------------------------------------------------------------------
+
+
+def q_media_features(sf_dir: str):
+    """Treat each document's utf-8 bytes as an opaque media blob and run
+    the actor-pool feature extractor (stages/multimodal.py)."""
+    from ..stages.multimodal import media_feature_stage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "media": pa.array([t.encode() for t in b["text"].to_pylist()], type=pa.binary()),
+        })
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    out = media_feature_stage(media)
+    return out.select_columns(["doc_id", "n_bytes", "byte_entropy", "mean_intensity"])
+
+
+# ---------------------------------------------------------------------
+# ER quality metrics (rows-only; distributed pairwise P/R/F1)
+# ---------------------------------------------------------------------
+
+
+def q_er_quality(sf_dir: str):
+    from .evaluation import er_quality
+
+    return er_quality(sf_dir)
+
+
+EXT_QUERIES = {
+    "part_norm": q_part_norm,
+    "orders_topk_per_customer": q_orders_topk_per_customer,
+    "user_running_value": q_user_running_value,
+    "events_extract_k": q_events_extract_k,
+    "docs_without_neardup": q_docs_without_neardup,
+    "candidate_topk": q_candidate_topk,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "simhash_candidates": q_simhash_candidates,
+    "media_features": q_media_features,
+    "er_quality": q_er_quality,
+}
+
+EXT_ORACLES = {
+    "part_norm": SQL_PART_NORM,
+    "orders_topk_per_customer": SQL_ORDERS_TOPK_PER_CUSTOMER,
+    "user_running_value": SQL_USER_RUNNING_VALUE,
+    "events_extract_k": SQL_EVENTS_EXTRACT_K,
+    "docs_without_neardup": SQL_DOCS_WITHOUT_NEARDUP,
+    "candidate_topk": SQL_CANDIDATE_TOPK,
+    # simhash_*, media_features, er_quality: rows-only (engine hashes /
+    # model state / requires ground-truth table outside oracle views)
+}

@@ -1,0 +1,85 @@
+"""Multimodal (image/audio/video) stages: opaque binary columns +
+typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The container has no decode libraries (PIL/ffmpeg), so the DECODERS are
+deterministic stand-ins behind the same interface a real decoder would
+use (≙ the strategy SURVEY.md prescribes): the Ray-side plumbing —
+schema, batch sizing, actor signature, output layout — is real and
+tested, and swapping ``_decode_stub`` for e.g. ``PIL.Image.open`` is a
+one-function change.
+
+Batch sizing: media blobs are orders of magnitude bigger than text
+rows, so these stages run with SMALL batch_size (see
+``media_feature_stage``) to keep batch × concurrency within worker
+heap, per the engine's memory rules.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def _decode_stub(blob: bytes) -> np.ndarray:
+    """Deterministic fake 'decode': blob bytes → (16, 16) uint8 'image'.
+
+    Real deployments replace this with an actual decoder; everything
+    downstream (feature extraction, batching, schema) is unchanged.
+    Raises ValueError on empty blobs like a real decoder would.
+    """
+    if not blob:
+        raise ValueError("empty media blob")
+    h = hashlib.blake2b(blob, digest_size=32).digest()
+    rng = np.random.default_rng(np.frombuffer(h[:8], dtype=np.uint64)[0])
+    return rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: binary media column → per-item features.
+
+    State (a real model / decoder context) is built once per actor in
+    ``__init__``; ``__call__`` is per batch.  Output schema:
+      (id:int64, n_bytes:int64, byte_entropy:float64,
+       mean_intensity:float64, feature:binary[64 f32])
+    """
+
+    def __init__(self, id_col: str = "doc_id", media_col: str = "media"):
+        self.id_col = id_col
+        self.media_col = media_col
+        # "model": a fixed projection matrix, loaded once per actor
+        rng = np.random.default_rng(1234)
+        self.proj = rng.standard_normal((256, 64)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        blobs = batch[self.media_col].to_pylist()
+        n_bytes, entropy, mean_int, feats = [], [], [], []
+        for blob in blobs:
+            b = np.frombuffer(blob, dtype=np.uint8)
+            n_bytes.append(len(b))
+            counts = np.bincount(b, minlength=256)
+            p = counts[counts > 0] / len(b)
+            entropy.append(float(-(p * np.log2(p)).sum()))
+            img = _decode_stub(blob)
+            mean_int.append(float(img.mean()))
+            hist = np.bincount(img.ravel(), minlength=256).astype(np.float32)
+            feats.append((hist @ self.proj).tobytes())
+        return pa.table({
+            self.id_col: pa.array(ids, type=pa.int64()),
+            "n_bytes": pa.array(n_bytes, type=pa.int64()),
+            "byte_entropy": pa.array(entropy, type=pa.float64()),
+            "mean_intensity": pa.array(mean_int, type=pa.float64()),
+            "feature": pa.array(feats, type=pa.binary()),
+        })
+
+
+def media_feature_stage(ds, id_col: str = "doc_id", media_col: str = "media",
+                        concurrency=(1, 4), batch_size: int = 256):
+    """Run the extractor actor pool with media-sized batches."""
+    return ds.map_batches(
+        MediaFeatureExtractor, batch_format="pyarrow",
+        fn_constructor_kwargs={"id_col": id_col, "media_col": media_col},
+        concurrency=concurrency, batch_size=batch_size,
+    )

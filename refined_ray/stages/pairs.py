@@ -151,25 +151,48 @@ def dedup_pairs_partition(batch: pa.Table) -> pa.Table:
 
 
 def enumerate_pairs(block_rows, max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
-                    num_partitions: int | None = None):
-    """(block_key, page_id) rows → deduped (a, b, …) candidate pairs."""
+                    num_partitions: int | None = None, exchange: str = "disk"):
+    """(block_key, page_id) rows → deduped (a, b, …) candidate pairs.
+
+    ``exchange`` selects the all-to-all implementation:
+      "disk" (default) — partitioned-Parquet external shuffle
+        (stages/exchange.py): parallel file I/O, no aggregator actors;
+        the right choice whenever local disk / shared storage is fast.
+      "ray"  — Ray's actor-based hash shuffle (keyed repartition); on a
+        single node it serializes through the raylet and plateaus, but
+        it needs no storage.
+    Both produce identical pair sets (every partition function sorts
+    internally)."""
+    import ray
+
     from .. import default_num_partitions
 
     num_partitions = num_partitions or default_num_partitions()
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+
+    if exchange == "disk":
+        from .exchange import exchange_map_partitions
+
+        p = max(num_partitions, 2 * cpus)
+        pairs, clean1 = exchange_map_partitions(
+            block_rows, ["block_key"],
+            lambda t: make_pairs_partition(t, max_block_size), p)
+        deduped, clean2 = exchange_map_partitions(
+            pairs, ["a", "b"], dedup_pairs_partition, p)
+        deduped = deduped.materialize()
+        clean1()
+        clean2()
+        return deduped
+
     parted = block_rows.repartition(num_blocks=num_partitions, keys=["block_key"], sort=True)
     pairs = parted.map_batches(
         lambda t: make_pairs_partition(t, max_block_size), batch_format="pyarrow",
         batch_size=None,  # whole-block batches: a block IS the partition
     )
     # dedup by pair: hash-partition on (a, b) so each pair's copies
-    # co-locate, then one vectorized segment pass per partition.
-    # map task granularity is the BLOCK, so the dedup shuffle uses ~2
-    # partitions per CPU: its output blocks are what the downstream
-    # scorer pool parallelizes over (8 blocks would cap it at 8 tasks).
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    deduped = pairs.repartition(num_blocks=max(num_partitions, 2 * cpus),
+    # co-locate, then one vectorized segment pass per partition; ~1
+    # partition per CPU so the downstream scorer pool has enough blocks.
+    deduped = pairs.repartition(num_blocks=max(num_partitions, cpus),
                                 keys=["a", "b"], sort=False) \
                    .map_batches(dedup_pairs_partition, batch_format="pyarrow", batch_size=None)
     return deduped

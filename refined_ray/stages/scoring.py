@@ -119,8 +119,8 @@ class PairScorer:
             return batch
         return _score_features(
             batch.select(["a", "b", "n_shared_blocks", "block_size", "capped"]),
-            _binary_to_matrix(batch["sig_a"], "<u8"),
-            _binary_to_matrix(batch["sig_b"], "<u8"),
+            _binary_to_matrix(batch["sig_a"], "<u2"),
+            _binary_to_matrix(batch["sig_b"], "<u2"),
             _binary_to_matrix(batch["emb_a"], "<f4"),
             _binary_to_matrix(batch["emb_b"], "<f4"),
             batch["head_a"].to_pylist(), batch["head_b"].to_pylist(), self.w,
@@ -175,7 +175,7 @@ def broadcast_payload_ref(payload):
     for b in payload.select_columns(["page_id", "sig", "emb", "head"]).iter_batches(
             batch_size=65536, batch_format="pyarrow"):
         ids_parts.append(b["page_id"].to_numpy(zero_copy_only=False))
-        sig_parts.append(_binary_to_matrix(b["sig"], "<u8"))
+        sig_parts.append(_binary_to_matrix(b["sig"], "<u2"))
         emb_parts.append(_binary_to_matrix(b["emb"], "<f4"))
         head_parts.append(np.array(b["head"].to_pylist(), dtype="S16"))
     ids = np.concatenate(ids_parts)
@@ -206,8 +206,10 @@ def _default_concurrency():
     # scoring stage is short — pre-create the whole pool instead
     import ray
 
-    cpus = ray.cluster_resources().get("CPU", 8) if ray.is_initialized() else 8
-    return max(4, int(cpus) // 2)
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    # never claim more than half the cluster: a pool that demands all
+    # CPUs deadlocks against its own upstream shuffle tasks
+    return max(2, cpus // 2)
 
 
 def score_pairs(enriched, threshold: float = DEFAULT_THRESHOLD, concurrency=None, **map_kwargs):

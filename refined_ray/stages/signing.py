@@ -43,18 +43,37 @@ def page_id_array(urls) -> np.ndarray:
 
 
 def sign_pages_batch(batch: pa.Table, text_col: str = "extracted_text") -> pa.Table:
-    urls = batch["url"].to_pylist()
-    texts = batch[text_col].to_pylist()
-    n = len(urls)
+    import pyarrow.compute as pc
 
-    flat, starts = tokenize_batch(texts)
-    tok_h = hash_str_array(flat) if flat else __import__("numpy").empty(0, dtype="uint64")
-    sh, sh_starts = shingle_hashes(flat, starts, tok_h=tok_h)
-    sig = minhash_signatures(sh, sh_starts)  # (n, 128)
+    from ..functions.tokenize import tokenize_hash_arrow
+
+    urls = batch["url"].to_pylist()
+    n = batch.num_rows
+
+    # Arrow-native tokenize+hash: C++ lower/split + buffer-level numpy
+    # hashing — the py-regex/py-string path costs ~0.2 ms/KB and was
+    # the pipeline's single largest compute sink at benchmark scale.
+    tok_h, starts, tokens = tokenize_hash_arrow(batch[text_col])
+    sh, sh_starts = shingle_hashes(None, starts, tok_h=tok_h)
+    # store the low 16 bits of each minhash bucket: bucket-equality
+    # (all est_jaccard and banding need) gains a false-match prob of
+    # only 2^-16 per bucket, while signature bytes drop 4x (1 KB ->
+    # 256 B/page) across payload, shuffle, broadcast and compare.
+    sig = minhash_signatures(sh, sh_starts).astype(np.uint16)  # (n, 128)
     emb = embed_from_hashes(tok_h, starts)  # (n, 64)
 
-    heads = [" ".join(flat[starts[i] : min(starts[i] + HEAD_TOKENS, starts[i + 1])]) for i in range(n)]
-    head_norm = normalize_surface_array(pa.array(heads, type=pa.string()))
+    # heads: first ≤8 tokens per doc, gathered + joined in Arrow
+    h_start = starts[:-1]
+    h_end = np.minimum(h_start + HEAD_TOKENS, starts[1:])
+    cnt = h_end - h_start
+    idx = np.repeat(h_start, cnt) + (np.arange(cnt.sum(), dtype=np.int64)
+                                     - np.repeat(np.cumsum(cnt) - cnt, cnt))
+    head_flat = tokens.take(pa.array(idx, type=pa.int64()))
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(cnt, out=offsets[1:])
+    head_list = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int64()).cast(pa.int32()), head_flat)
+    heads = pc.binary_join(head_list, " ")
+    head_norm = normalize_surface_array(heads)
 
     return pa.table(
         {
