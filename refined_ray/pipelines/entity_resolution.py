@@ -4,10 +4,10 @@ clustering over Parquet web pages (the BASELINE.json north rule).
     read_parquet(url, warc_ts, html, text, lang)
       └─ map_batches(extract_text)      byte-identical text per url
       └─ map_batches(sign_pages)        MinHash sig + hash emb + head key
-      ├─ map_batches(emit_block_keys)   64 LSH bands + mention key (narrow)
-      │    └─ groupby(block_key) → pairs (salted/capped, logged)
-      │    └─ groupby(a,b) → deduped pairs
-      └─ join payloads → map_batches(PairScorer actor pool)
+      ├─ map_batches(emit_block_keys)   adaptive LSH bands + mention key (narrow)
+      │    └─ keyed exchange(block_key) → pairs (salted/capped, logged)
+      │    └─ keyed exchange(a,b) → deduped pairs
+      └─ broadcast payload (or hash joins) → PairScorer actor pool
       └─ filter(score ≥ τ) → edges
       └─ connected_components (min-label propagation + pointer jumping)
       └─ (url, cluster_id = min page_id of component)
@@ -75,13 +75,8 @@ def er_cluster_pages(
     rides through the clustering stage as a pass-through column, so no
     re-attachment join is needed.
 
-    Stage boundaries are ``materialize()`` barriers: each wide op
-    (blocking shuffle, pair dedup, payload joins) runs alone rather
-    than overlapping with the next shuffle.  Concurrent hash-shuffle
-    operators each provision their own aggregator-actor pool, so
-    overlapping them multiplies actor count without adding throughput;
-    the barrier is also exactly where the checkpointer persists stage
-    outputs for resume (state/manifests.py).
+    For a resumable run with per-stage checkpoints, use
+    ``er_cluster_pages_checkpointed``.
     """
     from .. import default_num_partitions
 
@@ -127,3 +122,64 @@ def er_edges(sf_dir: str, threshold: float = DEFAULT_THRESHOLD,
         scored, edges = score_pairs(enriched, threshold=threshold)
     edges = edges.materialize()
     return payload, scored, edges
+
+
+def er_cluster_pages_checkpointed(
+    sf_dir: str,
+    checkpoint_root: str,
+    threshold: float = DEFAULT_THRESHOLD,
+    max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
+    num_partitions: int | None = None,
+    amplify: int = 1,
+    fatten: int = 1,
+):
+    """Flagship pipeline with per-stage Parquet checkpoints + lineage
+    manifests (state/manifests.py) — the ``ray job submit`` entry for
+    resumable runs (≙ the reference's artifact gating,
+    preprocess_all.py:149-336, made partition-granular).
+
+    A rerun with the same inputs skips every completed stage (verified
+    by fingerprint); changing an upstream parameter invalidates that
+    stage and everything after it, because each stage's fingerprint
+    chains the upstream fingerprint.
+    """
+    import hashlib
+
+    from .. import default_num_partitions
+    from ..state.manifests import StageCheckpointer
+
+    num_partitions = num_partitions or default_num_partitions()
+    cp = StageCheckpointer(checkpoint_root)
+
+    def fp(*parts) -> str:
+        return hashlib.blake2b("|".join(str(p) for p in parts).encode(),
+                               digest_size=16).hexdigest()
+
+    fp_payload = fp("payload", sf_dir, amplify, fatten)
+    payload = cp.run_stage("payload", fp_payload,
+                           lambda: build_payload(sf_dir, amplify=amplify, fatten=fatten))
+
+    fp_pairs = fp("pairs", fp_payload, max_block_size, num_partitions)
+    pairs = cp.run_stage(
+        "pairs", fp_pairs,
+        lambda: enumerate_pairs(emit_block_keys(payload),
+                                max_block_size=max_block_size,
+                                num_partitions=num_partitions))
+
+    fp_edges = fp("edges", fp_pairs, threshold)
+
+    def build_edges():
+        _scored, edges = score_pairs_broadcast(pairs, payload, threshold=threshold)
+        return edges.select_columns(["a", "b"])
+
+    edges = cp.run_stage("edges", fp_edges, build_edges)
+
+    fp_labels = fp("labels", fp_edges)
+
+    def build_labels():
+        vertices = payload.select_columns(["page_id", "url"])
+        labeled = connected_components(vertices, edges, num_partitions=num_partitions)
+        return labeled.select_columns(["url", "component"]).rename_columns(
+            {"component": "cluster_id"})
+
+    return cp.run_stage("labels", fp_labels, build_labels)

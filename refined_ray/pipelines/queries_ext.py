@@ -338,6 +338,19 @@ def q_er_quality(sf_dir: str):
     return er_quality(sf_dir)
 
 
+def q_er_clusters_checkpointed(sf_dir: str):
+    """Flagship ER through the per-stage checkpoint/lineage layer; a
+    repeated call with unchanged inputs resumes from the manifests."""
+    import os
+
+    from .entity_resolution import er_cluster_pages_checkpointed
+
+    root = os.path.join("/tmp/refined_ray_checkpoints",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    return er_cluster_pages_checkpointed(sf_dir, root)
+
+
+
 EXT_QUERIES = {
     "part_norm": q_part_norm,
     "orders_topk_per_customer": q_orders_topk_per_customer,
@@ -349,6 +362,7 @@ EXT_QUERIES = {
     "simhash_candidates": q_simhash_candidates,
     "media_features": q_media_features,
     "er_quality": q_er_quality,
+    "er_clusters_checkpointed": q_er_clusters_checkpointed,
 }
 
 EXT_ORACLES = {
