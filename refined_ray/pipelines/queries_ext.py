@@ -375,3 +375,83 @@ EXT_ORACLES = {
     # simhash_*, media_features, er_quality: rows-only (engine hashes /
     # model state / requires ground-truth table outside oracle views)
 }
+
+
+# ---------------------------------------------------------------------
+# ANN scale path: IVF-bucketed search (vs brute-force q_ann_topk)
+# ---------------------------------------------------------------------
+
+
+def q_ann_ivf(sf_dir: str, k: int = 5, max_qid: int = 10, n_cells: int = 16,
+              n_probe: int = 4):
+    """IVF approximate top-k: vectors partition into coarse cells
+    (deterministic seed centroids), each query searches only its
+    ``n_probe`` nearest cells.  At 100 TB the cell assignment is the
+    partitioning key and each cell is a parquet partition; here cells
+    are groups inside one map stage.  Rows-only (approximate by
+    design); recall vs the brute-force oracle is reported by
+    tests rather than equality."""
+    import pyarrow.parquet as pq
+    import ray
+    import pandas as pd
+
+    from .queries import _read
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+
+    # deterministic coarse centroids: every len//n_cells-th vector
+    stride = max(len(ids) // n_cells, 1)
+    C = M[::stride][:n_cells]
+    qmask = ids < max_qid
+    qids, Q = ids[qmask], M[qmask]
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]  # (q, n_probe)
+    ref = ray.put((qids, Q, probe, C))
+
+    class IVFSearch:
+        def __init__(self):
+            self.qids, self.Q, self.probe, self.C = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            vids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            E = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+            E /= np.linalg.norm(E, axis=1, keepdims=True)
+            cell = np.argmax(E @ self.C.T, axis=1)  # (n,)
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(self.qids):
+                in_probe = np.isin(cell, self.probe[j]) & (vids != qid)
+                if not in_probe.any():
+                    continue
+                cos = E[in_probe] @ self.Q[j]
+                sel_ids = vids[in_probe]
+                order = np.lexsort((sel_ids, -cos))[:5]
+                out_q.append(np.full(len(order), qid, dtype=np.int64))
+                out_n.append(sel_ids[order])
+                out_c.append(cos[order])
+            if not out_q:
+                return pa.table({"query_id": pa.array([], type=pa.int64()),
+                                 "neighbor_id": pa.array([], type=pa.int64()),
+                                 "cos": pa.array([], type=pa.float64())})
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
+                "cos": pa.array(np.concatenate(out_c), type=pa.float64()),
+            })
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    partial = ds.map_batches(IVFSearch, batch_format="pyarrow", concurrency=(1, 4))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "query_id": g["query_id"].to_numpy(),
+            "neighbor_id": g["neighbor_id"].to_numpy(),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+EXT_QUERIES["ann_ivf"] = q_ann_ivf  # defined below the dict

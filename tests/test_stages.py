@@ -153,3 +153,17 @@ def test_flagship_pipeline_f1_is_one(ray_session):
     rec = tp / (tp + fn) if tp + fn else 1.0
     f1 = 2 * prec * rec / (prec + rec) if prec + rec else 1.0
     assert f1 >= 0.99, (tp, fp, fn)
+
+
+def test_ann_ivf_recall_vs_bruteforce(ray_session):
+    """IVF with n_probe=4/16 cells must recover most brute-force
+    neighbors (approximate op: recall gate, not equality)."""
+    from refined_ray.pipelines.queries import q_ann_topk
+    from refined_ray.pipelines.queries_ext import q_ann_ivf
+
+    exact = q_ann_topk(SF_SMALL).to_pandas()
+    approx = q_ann_ivf(SF_SMALL).to_pandas()
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    a = set(zip(approx.query_id, approx.neighbor_id))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall
