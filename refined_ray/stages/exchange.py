@@ -18,6 +18,11 @@ file I/O:
                on the complete partition, fusing exchange-read with
                partition processing
 
+Crossover: the exchange pays ~2-3 s of fixed cost (file round-trip +
+two executions), so it wins above ~1M rows and loses below — callers
+at oracle-gate scale (sf0.01, tens of k rows) keep Ray's keyed
+repartition, the flagship benchmark path (≥1M pair rows) uses this.
+
 This is the classic external-shuffle layout (and exactly the
 "partitioned parquet + manifest" resumability scheme of SURVEY §4):
 on a multi-node cluster `root` is shared storage and a failed reducer
