@@ -167,3 +167,45 @@ def test_ann_ivf_recall_vs_bruteforce(ray_session):
     a = set(zip(approx.query_id, approx.neighbor_id))
     recall = len(e & a) / len(e)
     assert recall >= 0.5, recall
+
+
+def test_disk_exchange_matches_ray_shuffle(ray_session):
+    """The external shuffle and Ray's keyed repartition must produce
+    identical grouped results (arbitrary key distribution incl. a hot
+    key spanning many input blocks)."""
+    import ray.data as rd
+
+    from refined_ray.stages.exchange import exchange_map_partitions
+
+    rng = np.random.default_rng(5)
+    n = 20_000
+    keys = rng.integers(0, 50, size=n).astype(np.int64)
+    keys[: n // 4] = 7  # hot key
+    vals = rng.integers(0, 1 << 40, size=n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys), "v": pa.array(vals)})) \
+           .repartition(num_blocks=13)
+
+    def group_stats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "vmin": pa.array([], type=pa.int64())})
+        k = t["k"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        counts = np.diff(np.r_[starts, len(k)])
+        return pa.table({"k": pa.array(k[starts], type=pa.int64()),
+                         "n": pa.array(counts, type=pa.int64()),
+                         "vmin": pa.array(v[starts], type=pa.int64())})
+
+    out, cleanup = exchange_map_partitions(ds, ["k"], group_stats, 6)
+    got = out.to_pandas().sort_values("k").reset_index(drop=True)
+    cleanup()
+
+    import pandas as pd
+
+    df = pd.DataFrame({"k": keys, "v": vals})
+    want = df.groupby("k").agg(n=("v", "size"), vmin=("v", "min")).reset_index()
+    assert got.equals(want.sort_values("k").reset_index(drop=True))
