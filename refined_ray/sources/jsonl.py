@@ -1,0 +1,60 @@
+"""JSONL sources/sinks — the reference's native record format.
+
+≙ the reference's line-by-line JSONL loaders (loaders.py:17-288, one
+``ujson.loads`` per line over 14 lookup files) and its ``.part`` →
+atomic-rename JSONL writers (process_wikidata_dump.py:94-211), as Ray
+Data equivalents:
+
+- ``read_jsonl``   — `ray.data.read_json` with cluster-sized read
+                     parallelism (lines parsed in Arrow, not python).
+- ``write_jsonl``  — partitioned ``.jsonl`` files via map_batches
+                     tasks, each written to a temp name then atomically
+                     renamed (a torn run never leaves half a file).
+- ``jsonl_to_parquet`` — one-pass converter (the first step any JSONL
+                     corpus takes into this engine; parquet from then
+                     on for column pruning).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyarrow as pa
+
+
+def read_jsonl(path: str, **kwargs):
+    import ray
+    import ray.data as rd
+
+    from .. import configure_data_context
+
+    configure_data_context()
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    kwargs.setdefault("override_num_blocks", 2 * cpus)
+    return rd.read_json(path, **kwargs)
+
+
+def write_jsonl(ds, out_dir: str) -> int:
+    """Write a Dataset as a directory of .jsonl files (one per block),
+    atomic per file.  Returns number of files written."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        name = uuid.uuid4().hex
+        tmp = os.path.join(out_dir, f".{name}.part")
+        with open(tmp, "w") as f:
+            for row in batch.to_pylist():
+                f.write(json.dumps(row, default=str) + "\n")
+        os.rename(tmp, os.path.join(out_dir, f"{name}.jsonl"))
+        return pa.table({"files": pa.array([1], type=pa.int64())})
+
+    marker = ds.map_batches(write_block, batch_format="pyarrow", batch_size=None)
+    return int(marker.count())
+
+
+def jsonl_to_parquet(jsonl_path: str, parquet_dir: str):
+    ds = read_jsonl(jsonl_path)
+    ds.write_parquet(parquet_dir)
+    return parquet_dir

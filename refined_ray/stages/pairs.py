@@ -74,11 +74,19 @@ def make_pairs_partition(batch: pa.Table, max_block_size: int = DEFAULT_MAX_BLOC
         out_sz.append(np.full(cnt, s, dtype=np.int32))
         out_cap.append(np.zeros(cnt, dtype=np.int8))
 
-    # capped blocks: chain linkage (ids are sorted within group)
+    # capped blocks — the north rule's salted-key + pair-cap handling:
+    # members of an oversized block are SALTED into ~size/max_block_size
+    # sub-blocks by a stable hash of their id; each sub-block emits all
+    # pairs (bounded O(s·max_block_size) total), and a chain over the
+    # sorted members guarantees the block stays one connected candidate
+    # set.  Every such pair is flagged capped=1 — never silent.
     big = seg_sizes > max_block_size
     if big.any():
+        from ..functions.hashing import splitmix64
+
         starts_b = seg_starts[big]
         sizes_b = seg_sizes[big]
+        # chain over sorted members (connectivity guarantee)
         cnt = sizes_b - 1
         base = np.repeat(starts_b, cnt)
         offs = np.arange(cnt.sum()) - np.repeat(np.cumsum(cnt) - cnt, cnt)
@@ -87,6 +95,26 @@ def make_pairs_partition(batch: pa.Table, max_block_size: int = DEFAULT_MAX_BLOC
         out_b.append(ids[idx + 1])
         out_sz.append(np.repeat(sizes_b.astype(np.int32), cnt))
         out_cap.append(np.ones(cnt.sum(), dtype=np.int8))
+
+        # salted sub-blocks: all pairs within each sub-block
+        for s0, sz in zip(starts_b, sizes_b):
+            members = ids[s0:s0 + sz]
+            n_sub = int(np.ceil(sz / max_block_size))
+            salt = (splitmix64(members.view(np.uint64)) % np.uint64(n_sub)).astype(np.int64)
+            order2 = np.argsort(salt, kind="stable")
+            m_sorted = members[order2]
+            s_sorted = salt[order2]
+            sub_starts = np.flatnonzero(np.r_[True, s_sorted[1:] != s_sorted[:-1]])
+            sub_sizes = np.diff(np.r_[sub_starts, sz])
+            for u0, usz in zip(sub_starts, sub_sizes):
+                if usz < 2:
+                    continue
+                iu, ju = np.triu_indices(int(usz), k=1)
+                sub = m_sorted[u0:u0 + usz]
+                out_a.append(sub[iu])
+                out_b.append(sub[ju])
+                out_sz.append(np.full(iu.size, sz, dtype=np.int32))
+                out_cap.append(np.ones(iu.size, dtype=np.int8))
 
     if not out_a:
         return _empty_pairs()

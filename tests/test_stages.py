@@ -30,8 +30,11 @@ def test_extract_text_byte_identical(ray_session):
 
 
 def _brute_force_pairs(rows, max_block_size):
-    """Oracle for make_pairs_partition: python dict grouping."""
+    """Oracle for make_pairs_partition: python dict grouping, with the
+    capped-block semantics (chain + salted sub-block all-pairs)."""
     from collections import defaultdict
+
+    from refined_ray.functions.hashing import splitmix64
 
     blocks = defaultdict(set)
     for k, v in rows:
@@ -45,6 +48,14 @@ def _brute_force_pairs(rows, max_block_size):
             pairs.update((a, b) for a, b in combinations(ids, 2))
         else:
             pairs.update(zip(ids, ids[1:]))  # chain
+            n_sub = -(-len(ids) // max_block_size)
+            arr = np.array(ids, dtype=np.int64)
+            salt = (splitmix64(arr.view(np.uint64)) % np.uint64(n_sub)).astype(int)
+            sub = defaultdict(list)
+            for i, v in zip(salt, ids):
+                sub[i].append(v)
+            for members in sub.values():
+                pairs.update((min(a, b), max(a, b)) for a, b in combinations(sorted(members), 2))
     return pairs
 
 
@@ -209,3 +220,26 @@ def test_disk_exchange_matches_ray_shuffle(ray_session):
     df = pd.DataFrame({"k": keys, "v": vals})
     want = df.groupby("k").agg(n=("v", "size"), vmin=("v", "min")).reset_index()
     assert got.equals(want.sort_values("k").reset_index(drop=True))
+
+
+def test_jsonl_roundtrip(ray_session, tmp_path):
+    """JSONL sink (atomic per-file) then source reproduce the table."""
+    import ray.data as rd
+
+    from refined_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    tbl = pa.table({
+        "id": pa.array(range(500), type=pa.int64()),
+        "name": pa.array([f"row {i} with ünicode" for i in range(500)]),
+        "score": pa.array([i / 7 for i in range(500)], type=pa.float64()),
+    })
+    ds = rd.from_arrow(tbl).repartition(num_blocks=4)
+    out = str(tmp_path / "out")
+    n_files = write_jsonl(ds, out)
+    assert n_files >= 1
+    assert all(f.endswith(".jsonl") for f in __import__("os").listdir(out))
+
+    back = read_jsonl(out).to_pandas().sort_values("id").reset_index(drop=True)
+    orig = tbl.to_pandas().sort_values("id").reset_index(drop=True)
+    assert back[["id", "name"]].equals(orig[["id", "name"]])
+    assert (back["score"] - orig["score"]).abs().max() < 1e-12
