@@ -160,11 +160,23 @@ def er_cluster_pages_checkpointed(
                            lambda: build_payload(sf_dir, amplify=amplify, fatten=fatten))
 
     fp_pairs = fp("pairs", fp_payload, max_block_size, num_partitions)
+    pairs_fresh = not cp.is_complete("pairs", fp_pairs)
     pairs = cp.run_stage(
         "pairs", fp_pairs,
         lambda: enumerate_pairs(emit_block_keys(payload),
                                 max_block_size=max_block_size,
                                 num_partitions=num_partitions))
+    if pairs_fresh:
+        # skew accounting (north rule: caps are logged, never silent)
+        from ray.data.aggregate import Max, Sum
+
+        agg = pairs.aggregate(Sum("capped", alias_name="n_capped"),
+                              Max("block_size", alias_name="max_block_seen"))
+        cp.update_counters("pairs", {
+            "n_capped_pairs": int(agg["n_capped"] or 0),
+            "max_block_size_seen": int(agg["max_block_seen"] or 0),
+            "pair_cap": max_block_size,
+        })
 
     fp_edges = fp("edges", fp_pairs, threshold)
 

@@ -94,3 +94,14 @@ class StageCheckpointer:
             json.dump(man, f, indent=1)
         os.rename(tmp, self._manifest_path(stage))
         return rd.read_parquet(out_dir)
+
+    def update_counters(self, stage: str, counters: dict) -> None:
+        """Merge computed counters into an existing manifest (atomic)."""
+        man = self.manifest(stage)
+        if man is None:
+            return
+        man["counters"] = {**man.get("counters", {}), **counters}
+        tmp = self._manifest_path(stage) + ".part"
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=1)
+        os.rename(tmp, self._manifest_path(stage))

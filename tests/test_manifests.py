@@ -70,3 +70,16 @@ def test_flagship_checkpoint_resume(ray_session, tmp_path):
     assert cp.manifest("edges")["rows"] == counters1["edges"]
     c = out3.sort_values("url").reset_index(drop=True)
     assert a.equals(c)
+
+
+def test_pairs_manifest_records_skew_counters(ray_session, tmp_path):
+    from refined_ray.pipelines.entity_resolution import er_cluster_pages_checkpointed
+    from refined_ray.state.manifests import StageCheckpointer
+    from tests.conftest import SF_SMALL
+
+    root = str(tmp_path / "cp2")
+    er_cluster_pages_checkpointed(SF_SMALL, root).count()
+    man = StageCheckpointer(root).manifest("pairs")
+    c = man["counters"]
+    assert set(c) >= {"n_capped_pairs", "max_block_size_seen", "pair_cap"}
+    assert c["pair_cap"] == 64 and c["max_block_size_seen"] >= 1
