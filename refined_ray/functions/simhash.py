@@ -29,9 +29,15 @@ def simhash_batch(texts) -> np.ndarray:
     bits = ((tok_h[:, None] >> np.arange(64, dtype=_U64)[None, :]) & _U64(1)).astype(np.int32)
     signs = bits * 2 - 1  # {0,1} → {−1,+1}
     sums = np.zeros((n_docs, 64), dtype=np.int64)
-    nonempty = np.diff(starts) > 0
-    acc = np.add.reduceat(signs, starts[:-1].clip(max=len(flat) - 1), axis=0)
-    sums[nonempty] = acc[nonempty]
+    # reduceat only over NONEMPTY segment starts: empty segments have
+    # zero length, so the start of the next nonempty segment equals the
+    # end of the current one and the reduceat boundaries are exact.
+    # (Clipping starts into the flat array — the previous approach —
+    # corrupted the preceding doc's segment whenever trailing docs were
+    # empty, making fingerprints batch-boundary-dependent.)
+    nonempty = np.flatnonzero(np.diff(starts) > 0)
+    if len(nonempty):
+        sums[nonempty] = np.add.reduceat(signs, starts[nonempty], axis=0)
     pos = (sums > 0).astype(np.uint8)
     return np.packbits(pos, axis=1, bitorder="little").view(_U64).ravel()
 

@@ -67,6 +67,7 @@ def er_cluster_pages(
     num_partitions: int | None = None,
     amplify: int = 1,
     fatten: int = 1,
+    exchange_root: str | None = None,
 ):
     """Full pipeline → Dataset(url, cluster_id).
 
@@ -84,6 +85,7 @@ def er_cluster_pages(
     payload, _scored, edges = er_edges(
         sf_dir, threshold=threshold, max_block_size=max_block_size,
         num_partitions=num_partitions, amplify=amplify, fatten=fatten,
+        exchange_root=exchange_root,
     )
 
     vertices = payload.select_columns(["page_id", "url"])
@@ -95,15 +97,20 @@ def er_cluster_pages(
 
 def er_edges(sf_dir: str, threshold: float = DEFAULT_THRESHOLD,
              max_block_size: int = DEFAULT_MAX_BLOCK_SIZE, num_partitions: int | None = None,
-             amplify: int = 1, fatten: int = 1):
-    """Payload + scored pairs + accepted edges (shared pipeline head)."""
+             amplify: int = 1, fatten: int = 1, exchange_root: str | None = None):
+    """Payload + scored pairs + accepted edges (shared pipeline head).
+
+    ``exchange_root``: directory for the disk exchange's partitioned
+    files — on a multi-node cluster pass SHARED storage (defaults to
+    $REFINED_RAY_EXCHANGE_ROOT or node-local /tmp, single-node only)."""
     from .. import default_num_partitions
 
     num_partitions = num_partitions or default_num_partitions()
     payload = build_payload(sf_dir, amplify=amplify, fatten=fatten).materialize()  # reused by 3 consumers
     block_rows = emit_block_keys(payload)
     pairs = enumerate_pairs(block_rows, max_block_size=max_block_size,
-                            num_partitions=num_partitions)
+                            num_partitions=num_partitions,
+                            exchange_root=exchange_root)
     # blocking repartitions, pair dedup and the scorer fuse into ONE
     # streaming execution: aggregator pools are sized to cluster CPUs
     # (configure_data_context), so chained shuffle ops pipeline

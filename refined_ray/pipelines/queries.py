@@ -529,25 +529,45 @@ def _neardup_pairs(sf_dir: str, shingle_k: int, threshold: float, num_bands: int
                                 type=pa.int64()),
         })
 
+    # sort=False on both exchanges: the partition fns sort internally,
+    # and Ray's hash-shuffle finalize sort_by() crashes on the
+    # zero-column blocks it synthesizes for EMPTY partitions (reproduced
+    # with a 4-doc corpus producing zero pairs).
     nparts = default_num_partitions()
     blocks = payload.map_batches(emit, batch_format="pyarrow") \
-                    .repartition(num_blocks=nparts, keys=["block_key"], sort=True)
+                    .repartition(num_blocks=nparts, keys=["block_key"], sort=False)
     pairs = blocks.map_batches(
         lambda t: make_pairs_partition(t, max_block_size=1 << 30), batch_format="pyarrow",
         batch_size=None,  # whole-block batches: a block IS the partition
     ).select_columns(["a", "b"]) \
-     .repartition(num_blocks=nparts, keys=["a", "b"], sort=True)
+     .repartition(num_blocks=nparts, keys=["a", "b"], sort=False)
 
     def dedup(b: pa.Table) -> pa.Table:
         a = b["a"].to_numpy(zero_copy_only=False)
         bb = b["b"].to_numpy(zero_copy_only=False)
         if len(a) == 0:
-            return b
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        order = np.lexsort((bb, a))
+        a, bb = a[order], bb[order]
         keep = np.ones(len(a), dtype=bool)
         keep[1:] = (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])
-        return b.filter(pa.array(keep))
+        return pa.table({"a": pa.array(a[keep], type=pa.int64()),
+                         "b": pa.array(bb[keep], type=pa.int64())})
 
     pairs = pairs.map_batches(dedup, batch_format="pyarrow", batch_size=None).materialize()
+
+    # Fully-empty candidate set (no band collisions at all): Ray's hash
+    # join synthesizes zero-column blocks for an empty input dataset and
+    # acero rejects the key reference — short-circuit.  count() on a
+    # materialized dataset is metadata, not recompute.
+    if pairs.count() == 0:
+        import ray.data as rd
+
+        empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                          "doc_b": pa.array([], type=pa.int64()),
+                          "jaccard": pa.array([], type=pa.float64())})
+        return payload, rd.from_arrow(empty)
 
     side = payload.select_columns(["doc_id", "set", "n_distinct"])
     a_side = side.rename_columns({"doc_id": "a", "set": "set_a", "n_distinct": "na"})
@@ -851,7 +871,12 @@ QUERIES = {
     "er_clusters": q_er_clusters,
     "doc_fingerprints": q_doc_fingerprints,
 }
-QUERIES.update(_ext()[0])
+try:
+    QUERIES.update(_ext()[0])
+except ImportError:
+    # queries_ext is mid-import (it imports this module first); it
+    # completes the registration itself at the end of its body.
+    pass
 
 
 def oracles() -> dict[str, str]:

@@ -136,32 +136,22 @@ SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
 
 
 def q_docs_without_neardup(sf_dir: str):
-    """Anti-join documents against the near-dup pair table: broadcast
-    the (small) dup-id set instead of a shuffle join."""
-    import ray
-
+    """Anti-join documents against the near-dup pair table — a true
+    distributed ``left_anti`` hash join: the dup-id side never touches
+    the driver (round-1 collected every id into a Python set, which is
+    unbounded when most of the corpus is duplicated)."""
     from .queries import q_neardup_shingle
 
-    pairs = q_neardup_shingle(sf_dir)
-    dup_ids = set()
-    for b in pairs.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
-        dup_ids.update(b["doc_a"].to_pylist())
-        dup_ids.update(b["doc_b"].to_pylist())
-    ref = ray.put(np.array(sorted(dup_ids), dtype=np.int64))
-
-    class AntiJoin:
-        def __init__(self):
-            self.dups = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ids = b["doc_id"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(self.dups, ids)
-            pos = np.clip(pos, 0, max(len(self.dups) - 1, 0))
-            is_dup = (len(self.dups) > 0) & (self.dups[pos] == ids)
-            return b.filter(pa.array(~is_dup))
-
+    pairs = q_neardup_shingle(sf_dir).materialize()
     ds = _read(sf_dir, "documents", ["doc_id"])
-    return ds.map_batches(AntiJoin, batch_format="pyarrow", concurrency=(1, 2))
+    # Ray's hash join chokes on a fully-empty build side (zero-column
+    # blocks); with zero dup pairs the anti-join is the identity.
+    if pairs.count() == 0:
+        return ds
+    dups = pairs.select_columns(["doc_a"]).rename_columns({"doc_a": "dup_id"}) \
+                .union(pairs.select_columns(["doc_b"]).rename_columns({"doc_b": "dup_id"}))
+    return ds.join(dups, join_type="left_anti", num_partitions=4,
+                   on=("doc_id",), right_on=("dup_id",))
 
 
 from .queries import _sql_shingles  # noqa: E402
@@ -258,7 +248,7 @@ def q_simhash_candidates(sf_dir: str, max_hamming: int = 12):
 
     nparts = default_num_partitions()
     blocks = ds.map_batches(emit, batch_format="pyarrow") \
-               .repartition(num_blocks=nparts, keys=["block_key"], sort=True)
+               .repartition(num_blocks=nparts, keys=["block_key"], sort=False)
     pairs = blocks.map_batches(
         lambda t: make_pairs_partition(t, max_block_size=1 << 20),
         batch_format="pyarrow", batch_size=None,
@@ -455,3 +445,10 @@ def q_ann_ivf(sf_dir: str, k: int = 5, max_qid: int = 10, n_cells: int = 16,
 
 
 EXT_QUERIES["ann_ivf"] = q_ann_ivf  # defined below the dict
+
+# complete the catalog registration for the queries_ext-first import
+# order (queries.py skips its own update when this module is mid-import)
+from .queries import QUERIES as _QUERIES  # noqa: E402
+
+for _k, _v in EXT_QUERIES.items():
+    _QUERIES.setdefault(_k, _v)

@@ -44,7 +44,11 @@ import pyarrow.parquet as pq
 
 from ..functions.hashing import splitmix64
 
-EXCHANGE_ROOT = "/tmp/refined_ray_exchange"
+# On a multi-node cluster this must be SHARED storage (NFS / fuse-mounted
+# object store) — every reducer reads files written by every node.  It is
+# parameterized via env or per-call `exchange_root=` through the pipeline
+# API (enumerate_pairs / er_cluster_pages).
+EXCHANGE_ROOT = os.environ.get("REFINED_RAY_EXCHANGE_ROOT", "/tmp/refined_ray_exchange")
 
 
 def _partition_ids(batch: pa.Table, key_cols: list[str], num_partitions: int) -> np.ndarray:
@@ -57,13 +61,14 @@ def _partition_ids(batch: pa.Table, key_cols: list[str], num_partitions: int) ->
 
 
 def exchange_map_partitions(ds, key_cols: list[str], partition_fn,
-                            num_partitions: int, concurrency: int | None = None):
+                            num_partitions: int, concurrency: int | None = None,
+                            exchange_root: str | None = None):
     """Hash-exchange ``ds`` on ``key_cols`` and apply ``partition_fn``
     to each complete partition.  Returns (Dataset, cleanup_fn); call
     cleanup_fn() once the returned Dataset has been fully consumed."""
     import ray.data as rd
 
-    root = os.path.join(EXCHANGE_ROOT, uuid.uuid4().hex)
+    root = os.path.join(exchange_root or EXCHANGE_ROOT, uuid.uuid4().hex)
     for p in range(num_partitions):
         os.makedirs(os.path.join(root, f"part={p}"), exist_ok=True)
 
@@ -75,35 +80,67 @@ def exchange_map_partitions(ds, key_cols: list[str], partition_fn,
             part_sorted = part[order]
             bounds = np.flatnonzero(np.r_[True, part_sorted[1:] != part_sorted[:-1]])
             sizes = np.diff(np.r_[bounds, len(part_sorted)])
-            fid = uuid.uuid4().hex
+            # Commit protocol: file names are a CONTENT hash of the block
+            # (deterministic across task retries), written to a temp name
+            # and atomically renamed — a retried writer task REPLACES its
+            # files instead of duplicating rows alongside a partial first
+            # attempt.  (Two byte-identical input blocks would collide on
+            # one name; upstream blocks carry distinct ids/keys so this
+            # does not occur in practice, and the failure mode — dropping
+            # an exact duplicate block — is flagged by row counters.)
+            import hashlib
+
+            h = hashlib.blake2b(digest_size=16)
+            for col in sorted_tbl.itercolumns():
+                for chunk in col.chunks if isinstance(col, pa.ChunkedArray) else [col]:
+                    for buf in chunk.buffers():
+                        if buf is not None:
+                            h.update(buf)
+            fid = h.hexdigest()
             for b0, sz in zip(bounds, sizes):
                 p = int(part_sorted[b0])
-                pq.write_table(
-                    sorted_tbl.slice(int(b0), int(sz)),
-                    os.path.join(root, f"part={p}", f"{fid}.parquet"),
-                    compression="none",
-                )
-        return pa.table({"files": pa.array([batch.num_rows], type=pa.int64())})
+                final = os.path.join(root, f"part={p}", f"{fid}.parquet")
+                tmp = final + f".{uuid.uuid4().hex}.tmp"
+                pq.write_table(sorted_tbl.slice(int(b0), int(sz)), tmp,
+                               compression="none")
+                os.replace(tmp, final)
+        # marker row carries the input schema so the all-empty fallback
+        # can reproduce it (ADVICE: key-only synthetic schemas broke
+        # partition_fns that read non-key columns)
+        return pa.table({"files": pa.array([batch.num_rows], type=pa.int64()),
+                         "schema_ser": pa.array([batch.schema.serialize().to_pybytes()],
+                                                type=pa.binary())})
 
     # drain the writer (the barrier every shuffle has); batch_size=None
-    # → one writer call per BLOCK, bounding file count at blocks × P
-    ds.map_batches(writer, batch_format="pyarrow", batch_size=None).count()
+    # → one writer call per BLOCK, bounding file count at blocks × P.
+    # The marker rows are tiny (1 row + serialized schema per block).
+    markers = ds.map_batches(writer, batch_format="pyarrow", batch_size=None).take_all()
+    if markers:
+        input_schema = pa.ipc.read_schema(pa.py_buffer(markers[0]["schema_ser"]))
+    else:
+        # zero blocks produced — the input is empty; fetching its schema
+        # re-plans a trivially empty pipeline
+        sch = ds.schema()
+        input_schema = (pa.schema(list(zip(sch.names, sch.types))) if sch is not None
+                        else pa.schema([(c, pa.int64()) for c in key_cols]))
 
     def _empty_input() -> pa.Table:
         # derive the input schema from any written file (partitions can
-        # be individually empty); all-empty → int64 key columns
+        # be individually empty); all-empty → the schema captured from
+        # the writer markers (exact input schema, non-key columns too)
         for q in range(num_partitions):
             d = os.path.join(root, f"part={q}")
-            fs = os.listdir(d)
+            fs = [f for f in os.listdir(d) if f.endswith(".parquet")]
             if fs:
                 return pq.read_table(os.path.join(d, fs[0])).slice(0, 0)
-        return pa.table({c: pa.array([], type=pa.int64()) for c in key_cols})
+        return input_schema.empty_table()
 
     def reader(batch: pa.Table) -> pa.Table:
         out = []
         for p in batch["id"].to_pylist():
             d = os.path.join(root, f"part={p}")
-            files = [os.path.join(d, f) for f in os.listdir(d)]
+            # only committed files — a crashed writer may leave *.tmp
+            files = [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
             if not files:
                 continue
             tbl = pa.concat_tables([pq.read_table(f) for f in files])

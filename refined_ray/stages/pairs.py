@@ -179,7 +179,8 @@ def dedup_pairs_partition(batch: pa.Table) -> pa.Table:
 
 
 def enumerate_pairs(block_rows, max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
-                    num_partitions: int | None = None, exchange: str = "disk"):
+                    num_partitions: int | None = None, exchange: str = "disk",
+                    exchange_root: str | None = None):
     """(block_key, page_id) rows → deduped (a, b, …) candidate pairs.
 
     ``exchange`` selects the all-to-all implementation:
@@ -204,15 +205,20 @@ def enumerate_pairs(block_rows, max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
         p = max(num_partitions, 2 * cpus)
         pairs, clean1 = exchange_map_partitions(
             block_rows, ["block_key"],
-            lambda t: make_pairs_partition(t, max_block_size), p)
+            lambda t: make_pairs_partition(t, max_block_size), p,
+            exchange_root=exchange_root)
         deduped, clean2 = exchange_map_partitions(
-            pairs, ["a", "b"], dedup_pairs_partition, p)
+            pairs, ["a", "b"], dedup_pairs_partition, p,
+            exchange_root=exchange_root)
         deduped = deduped.materialize()
         clean1()
         clean2()
         return deduped
 
-    parted = block_rows.repartition(num_blocks=num_partitions, keys=["block_key"], sort=True)
+    # sort=False: make_pairs_partition lexsorts internally, and Ray's
+    # hash-shuffle finalize sort_by() crashes on the zero-column blocks
+    # it synthesizes for empty partitions.
+    parted = block_rows.repartition(num_blocks=num_partitions, keys=["block_key"], sort=False)
     pairs = parted.map_batches(
         lambda t: make_pairs_partition(t, max_block_size), batch_format="pyarrow",
         batch_size=None,  # whole-block batches: a block IS the partition

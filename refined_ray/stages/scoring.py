@@ -147,8 +147,9 @@ class PairScorerBroadcast:
         self.w = np.array([w["est_jaccard"], w["cos_sim"], w["jw_sim"], w["lev_sim"]])
         self.threshold = threshold
         # all four arrays are numpy → zero-copy views into the shared
-        # object-store copy (heads are fixed-width S16 bytes, not python
-        # strings, exactly so this deref stays zero-copy per actor)
+        # object-store copy (heads are fixed-width S64 bytes — 16 chars
+        # × max UTF-8 width — not python strings, exactly so this deref
+        # stays zero-copy per actor)
         self.ids, self.sig, self.emb, self.heads = ray.get(payload_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -177,7 +178,12 @@ def broadcast_payload_ref(payload):
         ids_parts.append(b["page_id"].to_numpy(zero_copy_only=False))
         sig_parts.append(_binary_to_matrix(b["sig"], "<u2"))
         emb_parts.append(_binary_to_matrix(b["emb"], "<f4"))
-        head_parts.append(np.array(b["head"].to_pylist(), dtype="S16"))
+        # truncate to 16 CHARACTERS (matching the join path's
+        # _score_features cap), then store as S64 — 16 codepoints × max
+        # 4 UTF-8 bytes — so no codepoint is ever split mid-sequence and
+        # broadcast/join scoring is byte-identical for non-ASCII heads
+        head_parts.append(np.array([h[:16].encode("utf-8") for h in b["head"].to_pylist()],
+                                   dtype="S64"))
     ids = np.concatenate(ids_parts)
     order = np.argsort(ids)
     sig = np.concatenate(sig_parts)[order]

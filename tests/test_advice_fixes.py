@@ -1,0 +1,120 @@
+"""Regression tests for the round-1 ADVICE findings:
+
+1. simhash batch-boundary determinism with empty docs (medium)
+2. disk-exchange writer retry idempotence via deterministic file names
+3. disk-exchange all-empty input keeps the full input schema
+4. docs_without_neardup on a corpus with no near-dup pairs
+5. broadcast/join scorer head-truncation equivalence for non-ASCII
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_simhash_independent_of_trailing_empty_docs():
+    from refined_ray.functions.simhash import simhash_batch
+
+    solo = simhash_batch(["a b c"])
+    with_trailing_empty = simhash_batch(["a b c", ""])
+    with_inner_empty = simhash_batch(["a b c", "", "x y"])
+    assert solo[0] == with_trailing_empty[0]
+    assert solo[0] == with_inner_empty[0]
+    assert with_inner_empty[2] == simhash_batch(["x y"])[0]
+    # empty docs hash to the all-zero fingerprint, deterministically
+    assert with_trailing_empty[1] == np.uint64(0)
+
+
+def test_simhash_batch_split_invariance():
+    from refined_ray.functions.simhash import simhash_batch
+
+    texts = ["alpha beta gamma", "", "delta", "epsilon zeta eta theta", ""]
+    whole = simhash_batch(texts)
+    parts = np.concatenate([simhash_batch(texts[:2]), simhash_batch(texts[2:])])
+    assert (whole == parts).all()
+
+
+def test_exchange_writer_filenames_are_content_deterministic(ray_session, tmp_path):
+    """A retried writer task re-writes the SAME file names (content hash),
+    so retries replace rather than duplicate partition files."""
+    import os
+
+    import ray.data as rd
+
+    from refined_ray.stages.exchange import exchange_map_partitions
+
+    tbl = pa.table({"k": pa.array(np.arange(100) % 7, type=pa.int64()),
+                    "v": pa.array(np.arange(100), type=pa.int64())})
+
+    def ident(t: pa.Table) -> pa.Table:
+        return t
+
+    names = []
+    for _ in range(2):
+        ds = rd.from_arrow(tbl).repartition(2)
+        out, clean = exchange_map_partitions(
+            ds, ["k"], ident, 4, exchange_root=str(tmp_path))
+        assert out.count() == 100
+        run_dir = [d for d in os.listdir(tmp_path)][0]
+        files = set()
+        for part in os.listdir(tmp_path / run_dir):
+            for f in os.listdir(tmp_path / run_dir / part):
+                files.add((part, f))
+        names.append(files)
+        clean()
+        os.rmdir(tmp_path / run_dir) if os.path.exists(tmp_path / run_dir) else None
+    assert names[0] == names[1]  # same input blocks -> same committed names
+    assert all(f.endswith(".parquet") for _, f in names[0])
+
+
+def test_exchange_all_empty_input_preserves_schema(ray_session):
+    import ray.data as rd
+
+    from refined_ray.stages.exchange import exchange_map_partitions
+
+    empty = pa.table({"k": pa.array([], type=pa.int64()),
+                      "payload": pa.array([], type=pa.string())})
+
+    def needs_payload(t: pa.Table) -> pa.Table:
+        # accesses a NON-key column — round 1 synthesized key-only
+        # schemas for all-empty inputs and this raised KeyError
+        return t.select(["k", "payload"])
+
+    ds = rd.from_arrow(empty)
+    out, clean = exchange_map_partitions(ds, ["k"], needs_payload, 2)
+    res = out.take_all()
+    clean()
+    assert res == []
+
+
+def test_docs_without_neardup_no_dups(ray_session, tmp_path, monkeypatch):
+    """Anti-join must not crash when the pair table is empty."""
+    import pyarrow.parquet as pq
+
+    from refined_ray.pipelines.queries_ext import q_docs_without_neardup
+
+    # corpus of 4 completely distinct docs -> zero near-dup pairs
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array(["alpha beta gamma delta epsilon",
+                          "one two three four five",
+                          "red green blue yellow purple",
+                          "cat dog bird fish mouse"], type=pa.string()),
+        "lang": pa.array(["en"] * 4), "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([30] * 4, type=pa.int64()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = q_docs_without_neardup(str(tmp_path))
+    ids = sorted(r["doc_id"] for r in out.take_all())
+    assert ids == [0, 1, 2, 3]
+
+
+def test_scorer_head_truncation_broadcast_equals_join_path():
+    """Non-ASCII heads must score identically on both attachment paths:
+    chars-then-encode (S64) round-trips exactly."""
+    heads = ["über straße " + "é" * 20, "плохой час " + "ж" * 10, "ascii head only"]
+    s64 = np.array([h[:16].encode("utf-8") for h in heads], dtype="S64")
+    decoded = [s.decode("utf-8", "ignore") for s in s64]
+    assert decoded == [h[:16] for h in heads]
