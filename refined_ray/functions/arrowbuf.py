@@ -1,0 +1,38 @@
+"""Zero-copy numpy views over Arrow variable-width binary columns.
+
+Companion to stages/scoring._binary_to_matrix (fixed-width blobs);
+this handles RAGGED blobs (per-row sorted hash sets, token lists) via
+offset math on the raw Arrow buffers — no per-cell .as_py() round
+trips in hot verification loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def binary_segments(col) -> tuple[np.ndarray, np.ndarray]:
+    """binary/large_binary column → (flat uint8 view, int64 offsets).
+
+    ``flat[offsets[i]:offsets[i+1]]`` is row i's blob.  Offsets are
+    normalized to start at 0; ``flat`` is a view into the Arrow data
+    buffer (no copy).  Rows must be non-null.
+    """
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset: arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    flat = data[offs[0]: offs[-1]]
+    return flat, offs - offs[0]
+
+
+def u64_segments(col) -> tuple[np.ndarray, np.ndarray]:
+    """binary column whose blobs are little-endian uint64 arrays →
+    (flat <u8-typed values, int64 element offsets)."""
+    flat, offs = binary_segments(col)
+    return flat.view("<u8"), offs // 8

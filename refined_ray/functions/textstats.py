@@ -92,22 +92,38 @@ def langid_batch(texts) -> tuple[np.ndarray, np.ndarray]:
     return codes, best_n / total
 
 
+_FP_SEED = _U64(0xCBF29CE484222325)
+_FP_R = _U64(0x9E3779B97F4A7C15)  # odd → invertible multiplier mod 2^64
+
+
 def fingerprint_batch(texts) -> np.ndarray:
-    """Order-sensitive uint64 document fingerprint (rolling hash over
-    the token-hash stream) — ≙ a content-defined chunking / winnowing
-    fingerprint base; identical token streams ⇒ identical fingerprints."""
+    """Order-sensitive uint64 document fingerprint — ≙ a content-defined
+    chunking / winnowing fingerprint base; identical token streams ⇒
+    identical fingerprints, permuted streams ⇒ different ones.
+
+    Polynomial rolling hash fp = mix(seed ^ Σ h_i·r^i ^ len·r), fully
+    vectorized over the batch's flat token-hash stream (power table +
+    one reduceat) — no per-token Python loop (the round-1 FNV chain was
+    inherently sequential).  Batch-split invariant: per-doc positions
+    restart at every segment and empty docs take the seed path."""
     flat, starts = tokenize_batch(texts)
     n_docs = len(starts) - 1
-    out = np.zeros(n_docs, dtype=_U64)
-    if not flat:
-        return out
-    h = hash_str_array(flat)
+    starts = np.asarray(starts, dtype=np.int64)
+    lens = np.diff(starts)
+    base = np.full(n_docs, _FP_SEED, dtype=_U64)
     with np.errstate(over="ignore"):
-        for d in range(n_docs):
-            seg = h[starts[d] : starts[d + 1]]
-            acc = _U64(0xCBF29CE484222325)
-            for v in seg:
-                acc = (acc ^ v) * _U64(0x100000001B3)
-            out[d] = acc
-    out = splitmix64(out)
-    return out
+        mixed_len = lens.astype(_U64) * _FP_R
+        if not flat:
+            return splitmix64(base ^ mixed_len)
+        h = hash_str_array(flat)
+        pos = np.arange(len(h), dtype=np.int64) - np.repeat(starts[:-1], lens)
+        maxlen = int(lens.max())
+        pows = np.ones(maxlen, dtype=_U64)
+        if maxlen > 1:
+            np.multiply.accumulate(np.full(maxlen - 1, _FP_R, dtype=_U64), out=pows[1:])
+        terms = h * pows[pos]
+        sums = np.zeros(n_docs, dtype=_U64)
+        nonempty = np.flatnonzero(lens > 0)
+        if len(nonempty):
+            sums[nonempty] = np.add.reduceat(terms, starts[:-1][nonempty])
+        return splitmix64(base ^ sums ^ mixed_len)

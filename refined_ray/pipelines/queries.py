@@ -380,14 +380,19 @@ FROM documents GROUP BY 1
 
 
 def q_pem_table(sf_dir: str):
-    """PEM build: P(entity|mention) via grouped count + per-group
-    normalize + desc sort (≙ A1, generate_pem.py:72-164 — the
-    reference's one true wide shuffle, done distributed here).
-    mention = token (distinct per doc), entity = source."""
-    import pandas as pd
+    """PEM build: P(entity|mention) via ONE surface-keyed exchange + a
+    vectorized segment pass per partition (≙ A1, generate_pem.py:72-164
+    — the reference's one true wide shuffle, done distributed here).
+    mention = token (distinct per doc), entity = source.
 
-    from ray.data.aggregate import Count
-
+    Scale shape: the reference's PEM has ~18M surfaces; round 1 ran a
+    hash aggregate THEN millions of per-group pandas calls.  This
+    version hash-partitions the exploded (surface, entity) rows once,
+    then counts + normalizes in a single lexsort/reduceat pass per
+    partition (the pattern measured 17× faster in stages/pairs.py).
+    Sort keys are hash-primary so string comparisons only break ties."""
+    from .. import default_num_partitions
+    from ..functions.hashing import hash_str_array
     from ..functions.tokenize import tokenize_batch
 
     ds = _read(sf_dir, "documents", ["source", "text"])
@@ -404,16 +409,41 @@ def q_pem_table(sf_dir: str):
         return pa.table({"surface": pa.array(surf, type=pa.string()),
                          "entity": pa.array(ent, type=pa.string())})
 
-    counts = ds.map_batches(explode, batch_format="pyarrow") \
-               .groupby(["surface", "entity"]).aggregate(Count(alias_name="cnt"))
+    nparts = default_num_partitions()
+    parted = ds.map_batches(explode, batch_format="pyarrow") \
+               .repartition(num_blocks=nparts, keys=["surface"], sort=False)
 
-    def normalize(group: pd.DataFrame) -> pd.DataFrame:
-        total = group["cnt"].sum()
-        g = group.copy()
-        g["prob"] = g["cnt"] / float(total)
-        return g[["surface", "entity", "cnt", "prob"]]
+    def pem_partition(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table({"surface": pa.array([], type=pa.string()),
+                             "entity": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64()),
+                             "prob": pa.array([], type=pa.float64())})
+        s = b["surface"].to_numpy(zero_copy_only=False)
+        e = b["entity"].to_numpy(zero_copy_only=False)
+        hs = hash_str_array(s).view(np.int64)
+        he = hash_str_array(e).view(np.int64)
+        # order by (hash(s), s, hash(e), e): integer-primary, object
+        # string compares only among hash ties — exact contiguity
+        order = np.lexsort((e, he, s, hs))
+        s, e = s[order], e[order]
+        pair_new = np.r_[True, (s[1:] != s[:-1]) | (e[1:] != e[:-1])]
+        pair_starts = np.flatnonzero(pair_new)
+        cnt = np.diff(np.r_[pair_starts, n])
+        ps, pe = s[pair_starts], e[pair_starts]
+        surf_new = np.r_[True, ps[1:] != ps[:-1]]
+        surf_starts = np.flatnonzero(surf_new)
+        totals = np.add.reduceat(cnt, surf_starts)
+        per_pair_tot = np.repeat(totals, np.diff(np.r_[surf_starts, len(ps)]))
+        return pa.table({
+            "surface": pa.array(ps, type=pa.string()),
+            "entity": pa.array(pe, type=pa.string()),
+            "cnt": pa.array(cnt, type=pa.int64()),
+            "prob": pa.array(cnt / per_pair_tot.astype(np.float64), type=pa.float64()),
+        })
 
-    return counts.groupby("surface").map_groups(normalize, batch_format="pandas")
+    return parted.map_batches(pem_partition, batch_format="pyarrow", batch_size=None)
 
 
 SQL_PEM_TABLE = f"""
@@ -576,21 +606,37 @@ def _neardup_pairs(sf_dir: str, shingle_k: int, threshold: float, num_bands: int
     enriched = enriched.join(b_side, join_type="inner", num_partitions=nparts, on=("b",)).materialize()
 
     def verify(b: pa.Table) -> pa.Table:
+        """Exact set-Jaccard, fully vectorized: both sets of every pair
+        are distinct within themselves, so after one lexsort of (pair,
+        value) over the concatenated streams, each adjacent duplicate IS
+        one intersection element — counted per pair with bincount.  The
+        blob columns are read via zero-copy offset math (arrowbuf), no
+        per-cell .as_py()."""
+        from ..functions.arrowbuf import u64_segments
+
         n = b.num_rows
-        out_a, out_b, out_j = [], [], []
-        for i in range(n):
-            sa = np.frombuffer(b["set_a"][i].as_py(), dtype="<u8")
-            sb = np.frombuffer(b["set_b"][i].as_py(), dtype="<u8")
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            j = inter / union if union else 1.0
-            if j >= threshold:
-                out_a.append(b["a"][i].as_py())
-                out_b.append(b["b"][i].as_py())
-                out_j.append(j)
-        return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
-                         "doc_b": pa.array(out_b, type=pa.int64()),
-                         "jaccard": pa.array(out_j, type=pa.float64())})
+        if n == 0:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64()),
+                             "jaccard": pa.array([], type=pa.float64())})
+        a_ids = b["a"].to_numpy(zero_copy_only=False)
+        b_ids = b["b"].to_numpy(zero_copy_only=False)
+        A, offa = u64_segments(b["set_a"])
+        B, offb = u64_segments(b["set_b"])
+        na, nb = np.diff(offa), np.diff(offb)
+        pid = np.concatenate([np.repeat(np.arange(n), na),
+                              np.repeat(np.arange(n), nb)])
+        vals = np.concatenate([A, B])
+        order = np.lexsort((vals, pid))
+        p, v = pid[order], vals[order]
+        dup = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
+        inter = np.bincount(p[1:][dup], minlength=n)
+        union = na + nb - inter
+        j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        m = j >= threshold
+        return pa.table({"doc_a": pa.array(a_ids[m], type=pa.int64()),
+                         "doc_b": pa.array(b_ids[m], type=pa.int64()),
+                         "jaccard": pa.array(j[m], type=pa.float64())})
 
     return payload, enriched.map_batches(verify, batch_format="pyarrow")
 
@@ -771,37 +817,108 @@ SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
 """
 
 
-def q_embedding_pairs(sf_dir: str, threshold: float = 0.45):
-    """All embedding pairs with cosine >= tau: broadcast the (small)
-    normalized matrix, each batch emits pairs (row, later-id rows).
-    The 100TB path replaces the broadcast with LSH/IVF bucketing."""
+def q_embedding_pairs(sf_dir: str, threshold: float = 0.45, n_chunks: int = 8):
+    """All embedding pairs with cosine >= tau — EXACT, distributed as
+    C·(C+1)/2 block matmuls over persisted normalized chunks.
+
+    Scale shape: exact all-pairs is inherently O(N²) compute, but the
+    plan bounds per-task memory at 2 chunks (N/C rows each) and never
+    holds the matrix on the driver (round 1 pq.read_table-ed the whole
+    table + broadcast it).  Writers persist each vector once into its
+    hash chunk; a tiny C²/2-row task list fans out the block compares.
+    At 100 TB the *approximate* family (q_ann_ivf / simhash / MinHash)
+    is the right tool; this operator is the exact-threshold oracle-
+    matched path, chunk-count-tunable so a chunk fits worker heap."""
+    import hashlib
+    import os
+    import uuid
+
     import pyarrow.parquet as pq
-    import ray
+    import ray.data as rd
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    all_ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    ref = ray.put((all_ids, M))
+    from ..stages.exchange import EXCHANGE_ROOT
 
-    class PairsVsAll:
-        def __init__(self):
-            self.ids, self.M = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            vids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            E = np.array(b["embedding"].to_pylist(), dtype=np.float64)
-            E /= np.linalg.norm(E, axis=1, keepdims=True)
-            cos = E @ self.M.T
-            rows, cols = np.nonzero((cos >= threshold) & (vids[:, None] < self.ids[None, :]))
-            return pa.table({
-                "vec_a": pa.array(vids[rows], type=pa.int64()),
-                "vec_b": pa.array(self.ids[cols], type=pa.int64()),
-                "cos": _canon_round(list(cos[rows, cols]), 6),
-            })
+    root = os.path.join(EXCHANGE_ROOT, "embpairs-" + uuid.uuid4().hex)
+    for c in range(n_chunks):
+        os.makedirs(os.path.join(root, f"chunk={c}"), exist_ok=True)
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ds.map_batches(PairsVsAll, batch_format="pyarrow", concurrency=(1, 4))
+
+    def write_chunks(b: pa.Table) -> pa.Table:
+        vids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        E = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(E, axis=1, keepdims=True)
+        np.divide(E, norms, out=E, where=norms > 0)
+        chunk = (vids % n_chunks).astype(np.int64)
+        # deterministic (content-hash) file names: a retried writer task
+        # replaces its files instead of duplicating them
+        fid = hashlib.blake2b(vids.tobytes(), digest_size=16).hexdigest()
+        for c in np.unique(chunk):
+            m = chunk == c
+            tbl = pa.table({
+                "vec_id": pa.array(vids[m], type=pa.int64()),
+                "emb": pa.array([row.tobytes() for row in E[m]], type=pa.binary()),
+            })
+            final = os.path.join(root, f"chunk={int(c)}", f"{fid}.parquet")
+            tmp = final + f".{uuid.uuid4().hex}.tmp"
+            pq.write_table(tbl, tmp, compression="none")
+            os.replace(tmp, final)
+        return pa.table({"n": pa.array([b.num_rows], type=pa.int64())})
+
+    # barrier: all chunks on storage before any block task reads
+    ds.map_batches(write_chunks, batch_format="pyarrow").count()
+
+    def _load_chunk(c: int):
+        d = os.path.join(root, f"chunk={c}")
+        files = [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
+        if not files:
+            return np.array([], dtype=np.int64), np.zeros((0, 1))
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        flat = np.frombuffer(b"".join(t["emb"].to_pylist()), dtype=np.float64)
+        return ids, flat.reshape(len(ids), -1)
+
+    def block_compare(b: pa.Table) -> pa.Table:
+        out_a, out_b, out_c = [], [], []
+        for i, j in zip(b["i"].to_pylist(), b["j"].to_pylist()):
+            ia, Ma = _load_chunk(i)
+            if i == j:
+                ib, Mb = ia, Ma
+            else:
+                ib, Mb = _load_chunk(j)
+            if not len(ia) or not len(ib):
+                continue
+            cos = Ma @ Mb.T
+            if i == j:
+                rows, cols = np.nonzero((cos >= threshold) & (ia[:, None] < ib[None, :]))
+                va, vb = ia[rows], ib[cols]
+            else:
+                # each unordered cross-chunk pair appears exactly once in
+                # the (i<j) block; normalize to (min, max) id order
+                rows, cols = np.nonzero(cos >= threshold)
+                va = np.minimum(ia[rows], ib[cols])
+                vb = np.maximum(ia[rows], ib[cols])
+            out_a.append(va)
+            out_b.append(vb)
+            out_c.append(cos[rows, cols])
+        if not out_a:
+            return pa.table({"vec_a": pa.array([], type=pa.int64()),
+                             "vec_b": pa.array([], type=pa.int64()),
+                             "cos": pa.array([], type=pa.float64())})
+        return pa.table({
+            "vec_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+            "vec_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            "cos": _canon_round(list(np.concatenate(out_c)), 6),
+        })
+
+    tasks = rd.from_items([{"i": i, "j": j}
+                           for i in range(n_chunks) for j in range(i, n_chunks)])
+    out = tasks.map_batches(block_compare, batch_format="pyarrow",
+                            batch_size=1).materialize()
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 SQL_EMBEDDING_PAIRS = f"""

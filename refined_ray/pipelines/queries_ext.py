@@ -180,19 +180,49 @@ SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dups)
 
 
 def q_candidate_topk(sf_dir: str, k: int = 3):
-    import pandas as pd
+    """Per-surface top-k candidates by count (≙ O1 truncation).
 
+    Scale shape: the PEM output is already surface-partitioned (the
+    q_pem_table exchange), but a second keyed repartition keeps this
+    operator standalone; top-k is one vectorized lexsort + positional
+    mask per partition — no per-group pandas calls (~18M surfaces in
+    the reference's PEM)."""
+    from .. import default_num_partitions
+    from ..functions.hashing import hash_str_array
     from .queries import q_pem_table
 
     pem = q_pem_table(sf_dir)
+    nparts = default_num_partitions()
+    parted = pem.repartition(num_blocks=nparts, keys=["surface"], sort=False)
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cnt", "entity"], ascending=[False, True]).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["surface", "rank", "entity", "cnt"]]
+    def topk_partition(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table({"surface": pa.array([], type=pa.string()),
+                             "rank": pa.array([], type=pa.int64()),
+                             "entity": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        s = b["surface"].to_numpy(zero_copy_only=False)
+        e = b["entity"].to_numpy(zero_copy_only=False)
+        c = b["cnt"].to_numpy(zero_copy_only=False)
+        hs = hash_str_array(s).view(np.int64)
+        # (hash(s), s) groups surfaces exactly; within a surface order
+        # by cnt desc, entity asc — matches the SQL row_number() window
+        order = np.lexsort((e, -c, s, hs))
+        s, e, c = s[order], e[order], c[order]
+        seg_new = np.r_[True, s[1:] != s[:-1]]
+        seg_starts = np.flatnonzero(seg_new)
+        seg_len = np.diff(np.r_[seg_starts, n])
+        pos = np.arange(n) - np.repeat(seg_starts, seg_len)
+        keep = pos < k
+        return pa.table({
+            "surface": pa.array(s[keep], type=pa.string()),
+            "rank": pa.array(pos[keep] + 1, type=pa.int64()),
+            "entity": pa.array(e[keep], type=pa.string()),
+            "cnt": pa.array(c[keep], type=pa.int64()),
+        })
 
-    return pem.groupby("surface").map_groups(topk, batch_format="pandas")
+    return parted.map_batches(topk_partition, batch_format="pyarrow", batch_size=None)
 
 
 SQL_CANDIDATE_TOPK = f"""
@@ -230,15 +260,21 @@ def q_simhash_fingerprints(sf_dir: str):
 def q_simhash_candidates(sf_dir: str, max_hamming: int = 12):
     """SimHash near-dup candidates: 4×16-bit band blocking + exact
     Hamming verification (pigeonhole-exact for distance ≤ 3; banded
-    recall beyond).  Rows-only (hash-valued)."""
+    recall beyond).  Rows-only (hash-valued).
+
+    Scale shape: fingerprints are computed ONCE into a materialized
+    Dataset; band keys derive from it; verification attaches the two
+    fingerprints to each pair with distributed hash joins.  No doc's
+    fingerprint ever touches the driver (round 1 collected the whole
+    corpus into a Python dict — unbounded at 100 TB)."""
     from .. import default_num_partitions
-    from ..functions.simhash import SIMHASH_BANDS, hamming_distance, simhash_band_values, simhash_batch
+    from ..functions.simhash import SIMHASH_BANDS, hamming_distance, simhash_band_values
     from ..stages.pairs import make_pairs_partition
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    fps = q_simhash_fingerprints(sf_dir).materialize()  # computed once, 2 consumers
 
     def emit(b: pa.Table) -> pa.Table:
-        fp = simhash_batch(b["text"].to_pylist())
+        fp = b["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
         bands = simhash_band_values(fp)
         ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
@@ -247,51 +283,58 @@ def q_simhash_candidates(sf_dir: str, max_hamming: int = 12):
         })
 
     nparts = default_num_partitions()
-    blocks = ds.map_batches(emit, batch_format="pyarrow") \
-               .repartition(num_blocks=nparts, keys=["block_key"], sort=False)
+    blocks = fps.map_batches(emit, batch_format="pyarrow") \
+                .repartition(num_blocks=nparts, keys=["block_key"], sort=False)
     pairs = blocks.map_batches(
         lambda t: make_pairs_partition(t, max_block_size=1 << 20),
         batch_format="pyarrow", batch_size=None,
-    ).select_columns(["a", "b"])
+    ).select_columns(["a", "b"]) \
+     .repartition(num_blocks=nparts, keys=["a", "b"], sort=False)
 
-    # verify with exact hamming over a broadcast fingerprint map
-    import ray
+    def dedup(b: pa.Table) -> pa.Table:
+        # pairs may arrive from several bands; (a,b) co-locate per the
+        # keyed repartition, so one sorted pass per partition dedups
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        if len(a) == 0:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        order = np.lexsort((bb, a))
+        a, bb = a[order], bb[order]
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])
+        return pa.table({"a": pa.array(a[keep], type=pa.int64()),
+                         "b": pa.array(bb[keep], type=pa.int64())})
 
-    fps = {}
-    for b in q_simhash_fingerprints(sf_dir).iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
-        fps.update(zip(b["doc_id"].to_pylist(), b["simhash"].to_pylist()))
-    items = sorted(fps.items())
-    ref = ray.put((np.array([i for i, _ in items], dtype=np.int64),
-                   np.array([v for _, v in items], dtype=np.int64).view(np.uint64)))
+    pairs = pairs.map_batches(dedup, batch_format="pyarrow", batch_size=None).materialize()
+    if pairs.count() == 0:  # empty build side breaks Ray's hash join
+        import ray.data as rd
 
-    class Verify:
-        def __init__(self):
-            self.ids, self.fp = ray.get(ref)
+        return rd.from_arrow(pa.table({"doc_a": pa.array([], type=pa.int64()),
+                                       "doc_b": pa.array([], type=pa.int64()),
+                                       "hamming": pa.array([], type=pa.int64())}))
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            if b.num_rows == 0:
-                return pa.table({"doc_a": pa.array([], type=pa.int64()),
-                                 "doc_b": pa.array([], type=pa.int64()),
-                                 "hamming": pa.array([], type=pa.int64())})
-            a = b["a"].to_numpy(zero_copy_only=False)
-            bb = b["b"].to_numpy(zero_copy_only=False)
-            # dedup within batch (pairs may arrive from several bands)
-            order = np.lexsort((bb, a))
-            a, bb = a[order], bb[order]
-            keep = np.ones(len(a), dtype=bool)
-            keep[1:] = (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])
-            a, bb = a[keep], bb[keep]
-            fa = self.fp[np.searchsorted(self.ids, a)]
-            fb = self.fp[np.searchsorted(self.ids, bb)]
-            d = hamming_distance(fa, fb).astype(np.int64)
-            m = d <= max_hamming
-            return pa.table({"doc_a": pa.array(a[m], type=pa.int64()),
-                             "doc_b": pa.array(bb[m], type=pa.int64()),
-                             "hamming": pa.array(d[m], type=pa.int64())})
+    fa = fps.rename_columns({"doc_id": "a", "simhash": "fp_a"})
+    fb = fps.rename_columns({"doc_id": "b", "simhash": "fp_b"})
+    enriched = pairs.join(fa, join_type="inner", num_partitions=nparts, on=("a",)) \
+                    .join(fb, join_type="inner", num_partitions=nparts, on=("b",))
 
-    deduped = pairs.repartition(num_blocks=nparts, keys=["a", "b"], sort=False)
-    return deduped.map_batches(Verify, batch_format="pyarrow", batch_size=None,
-                               concurrency=(1, 2))
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64()),
+                             "hamming": pa.array([], type=pa.int64())})
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        f_a = b["fp_a"].to_numpy(zero_copy_only=False).view(np.uint64)
+        f_b = b["fp_b"].to_numpy(zero_copy_only=False).view(np.uint64)
+        d = hamming_distance(f_a, f_b).astype(np.int64)
+        m = d <= max_hamming
+        return pa.table({"doc_a": pa.array(a[m], type=pa.int64()),
+                         "doc_b": pa.array(bb[m], type=pa.int64()),
+                         "hamming": pa.array(d[m], type=pa.int64())})
+
+    return enriched.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------
@@ -381,34 +424,65 @@ def q_ann_ivf(sf_dir: str, k: int = 5, max_qid: int = 10, n_cells: int = 16,
     are groups inside one map stage.  Rows-only (approximate by
     design); recall vs the brute-force oracle is reported by
     tests rather than equality."""
-    import pyarrow.parquet as pq
     import ray
     import pandas as pd
 
     from .queries import _read
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
-    # deterministic coarse centroids: every len//n_cells-th vector
-    stride = max(len(ids) // n_cells, 1)
-    C = M[::stride][:n_cells]
-    qmask = ids < max_qid
-    qids, Q = ids[qmask], M[qmask]
+    # Coarse centroids from a BOUNDED sample (n_cells*64 rows via
+    # limit()) — never the full matrix on the driver (round 1 loaded
+    # all N vectors, the exact materialization IVF exists to avoid).
+    # Deterministic: limit() takes the first rows in file order.
+    sample = ds.limit(n_cells * 64).take_all()
+    S = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(S, axis=1, keepdims=True)
+    np.divide(S, norms, out=S, where=norms > 0)
+    stride = max(len(S) // n_cells, 1)
+    C = S[::stride][:n_cells]
+
+    # query vectors: a bounded filtered read (max_qid rows)
+    qrows = sorted((r["vec_id"], r["embedding"])
+                   for r in ds.filter(expr=f"vec_id < {max_qid}").take_all())
+    qids = np.array([v for v, _ in qrows], dtype=np.int64)
+    Q = np.array([e for _, e in qrows], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]  # (q, n_probe)
     ref = ray.put((qids, Q, probe, C))
 
+    class AssignCells:
+        """Cell assignment as its OWN map stage — at 100 TB this column
+        is the partition key: write_parquet(partition_cols=["cell"]) once,
+        then each query batch reads only its n_probe cell partitions."""
+
+        def __init__(self):
+            _, _, self.probe, self.C = ray.get(ref)
+            self.probed = np.unique(self.probe)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            E = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+            norms = np.linalg.norm(E, axis=1, keepdims=True)
+            np.divide(E, norms, out=E, where=norms > 0)
+            cell = np.argmax(E @ self.C.T, axis=1).astype(np.int64)
+            # prune: drop every vector in a cell no query probes
+            keep = np.isin(cell, self.probed)
+            return pa.table({
+                "vec_id": b["vec_id"].filter(pa.array(keep)),
+                "embedding": b["embedding"].filter(pa.array(keep)),
+                "cell": pa.array(cell[keep], type=pa.int64()),
+            })
+
     class IVFSearch:
         def __init__(self):
-            self.qids, self.Q, self.probe, self.C = ray.get(ref)
+            self.qids, self.Q, self.probe, _ = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             vids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             E = np.array(b["embedding"].to_pylist(), dtype=np.float64)
-            E /= np.linalg.norm(E, axis=1, keepdims=True)
-            cell = np.argmax(E @ self.C.T, axis=1)  # (n,)
+            norms = np.linalg.norm(E, axis=1, keepdims=True)
+            np.divide(E, norms, out=E, where=norms > 0)
+            cell = b["cell"].to_numpy(zero_copy_only=False)
             out_q, out_n, out_c = [], [], []
             for j, qid in enumerate(self.qids):
                 in_probe = np.isin(cell, self.probe[j]) & (vids != qid)
@@ -430,8 +504,8 @@ def q_ann_ivf(sf_dir: str, k: int = 5, max_qid: int = 10, n_cells: int = 16,
                 "cos": pa.array(np.concatenate(out_c), type=pa.float64()),
             })
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    partial = ds.map_batches(IVFSearch, batch_format="pyarrow", concurrency=(1, 4))
+    partial = ds.map_batches(AssignCells, batch_format="pyarrow", concurrency=(1, 4)) \
+                .map_batches(IVFSearch, batch_format="pyarrow", concurrency=(1, 4))
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
