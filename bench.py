@@ -101,33 +101,34 @@ def _scaling_child(num_cpus: int) -> dict:
 def scaling() -> None:
     """Same job at two parallelism levels in fresh processes (stands in
     for the N vs 4N node-cluster criterion; see BASELINE.md)."""
-    results = []
-    for cpus in (4, 16):
-        # best of 2 fresh processes: single-node wall times vary ±30%
-        # (shared page cache + raylet); the min is the stable signal
-        runs = []
-        for _ in range(2):
-            out = subprocess.run(
-                [sys.executable, __file__, "--scaling-child", str(cpus)],
-                capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            line = out.stdout.strip().splitlines()[-1]
-            runs.append(json.loads(line))
-        results.append(min(runs, key=lambda r: r["sec"]))
+    # 3 fresh processes per level, INTERLEAVED (2,8,2,8,2,8) so ambient
+    # host load hits both levels alike; min is the stable envelope —
+    # this sandbox carries background load (observed loadavg ~5 while
+    # idle) that inflates single runs by up to ~75%.
+    runs_by_level: dict[int, list] = {2: [], 8: []}
+    for cpus in (2, 8, 2, 8, 2, 8):
+        out = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(cpus)],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        runs_by_level[cpus].append(json.loads(line))
+    results = [min(runs_by_level[c], key=lambda r: r["sec"]) for c in (2, 8)]
     r_n, r_4n = results
     tput_n = r_n["rows"] / r_n["sec"]
     tput_4n = r_4n["rows"] / r_4n["sec"]
     eff = (tput_4n / tput_n) / (r_4n["num_cpus"] / r_n["num_cpus"])
     print(json.dumps({
-        "metric": "er_clusters scaling efficiency (N=4 -> 4N=16 cpus)",
+        "metric": "er_clusters scaling efficiency (N=2 -> 4N=8 cpus)",
         "value": round(eff, 4),
         "unit": "efficiency",
         "runs": results,
+        "all_runs": {str(c): [r["sec"] for r in rs] for c, rs in runs_by_level.items()},
         "throughput_rows_per_sec": {"cpusN": round(tput_n, 1), "cpus4N": round(tput_4n, 1)},
         "speedup": round(r_n["sec"] / r_4n["sec"], 3),
         "sf": SF_DIR,
         "note": "N vs 4N CPUs in fresh local processes stands in for N vs 4N nodes; "
-                "4/16 chosen so neither level saturates single-node DRAM bandwidth, "
+                "2/8 chosen so neither level saturates single-node DRAM bandwidth, "
                 "which (unlike a real multi-node cluster) does not grow with CPU count",
     }))
 

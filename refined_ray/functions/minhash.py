@@ -161,10 +161,16 @@ def minhash_signatures(flat_shingles: np.ndarray, sh_starts: np.ndarray, num_per
     if fat.any():
         shift = _U64(64 - int(np.log2(num_perms)))
         fat_counts = counts[fat]
-        base = np.repeat(sh_starts[:-1][fat], fat_counts)
-        offs = np.arange(fat_counts.sum(), dtype=np.int64) - np.repeat(
-            np.cumsum(fat_counts) - fat_counts, fat_counts)
-        h = splitmix64(flat_shingles[base + offs] ^ _PERM_SEEDS[0])
+        if sparse.any():
+            base = np.repeat(sh_starts[:-1][fat], fat_counts)
+            offs = np.arange(fat_counts.sum(), dtype=np.int64) - np.repeat(
+                np.cumsum(fat_counts) - fat_counts, fat_counts)
+            gathered = flat_shingles[base + offs]
+        else:
+            # every doc fat → the gather is the identity; skip one full
+            # pass over the (large) shingle stream
+            gathered = flat_shingles
+        h = splitmix64(gathered ^ _PERM_SEEDS[0])
         bucket = (h >> shift).astype(np.int64)
         n_fat = int(fat.sum())
         doc_idx = np.repeat(np.arange(n_fat, dtype=np.int64), fat_counts)

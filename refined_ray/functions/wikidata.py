@@ -1,0 +1,61 @@
+"""Wikidata raw-entity projection (M5 ≙ reference extract_useful_info,
+offline_data_generation/process_wikidata_dump.py:10-48): one raw
+entity JSON → the flat record the downstream lookups consume.
+
+Projected fields: qcode, English label/description, alias list,
+sitelink count, enwiki title, and the object qcodes of the relations
+the engine uses (P31 instance-of, P279 subclass-of, P17 country,
+P641 sport, P106 occupation, P131 located-in).
+
+Pure function over one parsed JSON dict → usable as
+``ds.map_batches`` over a JSONL dump read (sources/jsonl.py) or
+``flat_map``; no state, no ordering assumptions.
+"""
+
+from __future__ import annotations
+
+RELATIONS = ("P31", "P279", "P17", "P641", "P106", "P131")
+
+
+def _claim_object_qcodes(entity: dict, pid: str) -> list[str]:
+    out = []
+    for claim in entity.get("claims", {}).get(pid, []):
+        try:
+            val = claim["mainsnak"]["datavalue"]["value"]
+        except (KeyError, TypeError):
+            continue
+        if isinstance(val, dict) and "id" in val:
+            out.append(val["id"])
+    return out
+
+
+def project_entity(entity: dict) -> dict | None:
+    """Raw Wikidata entity dict → flat projection (None for non-items)."""
+    qcode = entity.get("id")
+    if not qcode or not qcode.startswith("Q"):
+        return None
+    labels = entity.get("labels", {})
+    descs = entity.get("descriptions", {})
+    aliases = entity.get("aliases", {})
+    sitelinks = entity.get("sitelinks", {})
+    row = {
+        "qcode": qcode,
+        "label": (labels.get("en") or {}).get("value"),
+        "description": (descs.get("en") or {}).get("value"),
+        "aliases": [a.get("value") for a in aliases.get("en", []) if a.get("value")],
+        "sitelinks_count": len(sitelinks),
+        "enwiki_title": (sitelinks.get("enwiki") or {}).get("title"),
+        "statements_count": sum(len(v) for v in entity.get("claims", {}).values()),
+    }
+    for pid in RELATIONS:
+        row[pid] = _claim_object_qcodes(entity, pid)
+    return row
+
+
+def project_entities_batch(rows: list[dict]) -> list[dict]:
+    out = []
+    for r in rows:
+        p = project_entity(r)
+        if p is not None:
+            out.append(p)
+    return out

@@ -338,6 +338,559 @@ def q_simhash_candidates(sf_dir: str, max_hamming: int = 12):
 
 
 # ---------------------------------------------------------------------
+# M12: span overlap merge over real spans (stages/spans.py ≙ reference
+# merge_spans, general_utils.py:212-238).  Spans live in token-ordinal
+# space: prioritized = non-stopword runs >= 2 tokens (the mention
+# detector's phrases), additional = every single non-stopword token.
+# The merge keeps all phrases plus only the isolated tokens.
+# ---------------------------------------------------------------------
+
+
+def q_span_merge(sf_dir: str):
+    from ..functions.tokenize import STOPWORD_SET, tokenize_batch
+    from ..stages.spans import merge_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def per_doc(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        ids = b["doc_id"].to_pylist()
+        flat, starts = tokenize_batch(texts)
+        out_id, out_start, out_ln = [], [], []
+        for i, did in enumerate(ids):
+            toks = flat[starts[i]:starts[i + 1]]
+            nonstop = [j for j, t in enumerate(toks) if t not in STOPWORD_SET]
+            additional = [{"start": j, "ln": 1, "text": toks[j]} for j in nonstop]
+            prioritized = []
+            run: list[int] = []
+            for j in nonstop + [-2]:
+                if run and j != run[-1] + 1:
+                    if len(run) >= 2:
+                        prioritized.append({"start": run[0], "ln": len(run),
+                                            "text": " ".join(toks[run[0]:run[-1] + 1])})
+                    run = []
+                run.append(j)
+            merged = merge_spans(additional, prioritized)
+            for s in merged:
+                out_id.append(did)
+                out_start.append(s["start"] + 1)  # 1-based ordinal (SQL range())
+                out_ln.append(s["ln"])
+        return pa.table({"doc_id": pa.array(out_id, type=pa.int64()),
+                         "start_ord": pa.array(out_start, type=pa.int64()),
+                         "ln": pa.array(out_ln, type=pa.int64())})
+
+    return ds.map_batches(per_doc, batch_format="pyarrow")
+
+
+def _sql_span_merge() -> str:
+    from .queries import _STOP_SQL
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok,
+         unnest(range(1, len({_TOKS}) + 1)) AS ord
+  FROM documents
+), nw AS (
+  SELECT doc_id, ord FROM t WHERE tok NOT IN {_STOP_SQL}
+), isl AS (
+  SELECT doc_id, ord,
+         ord - row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS island
+  FROM nw
+)
+SELECT doc_id, CAST(min(ord) AS BIGINT) AS start_ord, CAST(count(*) AS BIGINT) AS ln
+FROM isl GROUP BY doc_id, island
+"""
+
+
+# ---------------------------------------------------------------------
+# M13: date parsing / normalization with doc-level format inference
+# (functions/dates.py ≙ reference DateHandler, date_utils.py:97-370)
+# ---------------------------------------------------------------------
+
+_MONTH_NAMES = ["", "January", "February", "March", "April", "May", "June",
+                "July", "August", "September", "October", "November", "December"]
+
+
+def _order_date_text(key: int, d) -> str:
+    """Deterministic mention text for an order date, 3 formats cycled:
+    numeric day-first (ambiguity-bearing), month-name, year-only."""
+    f = key % 3
+    if f == 0:
+        return f"{d.day:02d}/{d.month:02d}/{d.year}"
+    if f == 1:
+        return f"{_MONTH_NAMES[d.month]} {d.day:02d}, {d.year}"
+    return str(d.year)
+
+
+def q_date_normalize(sf_dir: str):
+    """Per-mention date normalization (no doc context): numeric dates
+    with both fields <= 12 stay unresolved (known_format=false)."""
+    from ..functions.dates import parse_date_mention
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        keys = b["o_orderkey"].to_pylist()
+        dates = b["o_orderdate"].to_pylist()
+        texts = [_order_date_text(k, d) for k, d in zip(keys, dates)]
+        day, mon, yr, kf = [], [], [], []
+        for t in texts:
+            ps = parse_date_mention(t)
+            p = ps[0] if ps else None
+            # sentinel 0 = unresolved (avoids nullable-int NaN
+            # round-trips in cross-engine comparison)
+            day.append(p.day if p and p.day else 0)
+            mon.append(p.month if p and p.month else 0)
+            yr.append(p.year if p and p.year else 0)
+            kf.append(p.known_format if p else False)
+        return pa.table({
+            "o_orderkey": pa.array(keys, type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "day": pa.array(day, type=pa.int64()),
+            "month": pa.array(mon, type=pa.int64()),
+            "year": pa.array(yr, type=pa.int64()),
+            "known_format": pa.array(kf, type=pa.bool_()),
+        })
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+SQL_DATE_NORMALIZE = """
+WITH t AS (
+  SELECT o_orderkey, o_orderkey % 3 AS f,
+         day(o_orderdate) AS d, month(o_orderdate) AS m, year(o_orderdate) AS y,
+         CASE o_orderkey % 3
+           WHEN 0 THEN strftime(o_orderdate, '%d/%m/%Y')
+           WHEN 1 THEN strftime(o_orderdate, '%B %d, %Y')
+           ELSE CAST(year(o_orderdate) AS VARCHAR) END AS text
+  FROM orders
+)
+SELECT o_orderkey, text,
+  CAST(COALESCE(CASE WHEN f=0 THEN (CASE WHEN d>12 THEN d WHEN m>12 THEN m END)
+            WHEN f=1 THEN d END, 0) AS BIGINT) AS day,
+  CAST(COALESCE(CASE WHEN f=0 THEN (CASE WHEN d>12 THEN m WHEN m>12 THEN d END)
+            WHEN f=1 THEN m END, 0) AS BIGINT) AS month,
+  CAST(COALESCE(CASE WHEN f=0 THEN (CASE WHEN d>12 OR m>12 THEN y END)
+            ELSE y END, 0) AS BIGINT) AS year,
+  (NOT (f=0 AND d<=12 AND m<=12)) AS known_format
+FROM t
+"""
+
+
+def q_date_doc_infer(sf_dir: str):
+    """Doc-level date-format inference: each customer's orders form one
+    'document' of numeric day-first date mentions; unambiguous dates
+    (day>12, or misparsed month>12) reveal the order and resolve the
+    ambiguous ones — the reference's resolve_multiple second pass as a
+    keyed-repartition + per-group fold (doc-local state only)."""
+    from .. import default_num_partitions
+    from ..functions.dates import apply_doc_format, infer_doc_format, parse_date_mention
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+    nparts = default_num_partitions()
+    parted = ds.repartition(num_blocks=nparts, keys=["o_custkey"], sort=False)
+
+    def per_partition(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table({"o_custkey": pa.array([], type=pa.int64()),
+                             "o_orderkey": pa.array([], type=pa.int64()),
+                             "text": pa.array([], type=pa.string()),
+                             "day": pa.array([], type=pa.int64()),
+                             "month": pa.array([], type=pa.int64()),
+                             "year": pa.array([], type=pa.int64())})
+        cust = b["o_custkey"].to_numpy(zero_copy_only=False)
+        okey = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, cust))
+        cust, okey = cust[order], okey[order]
+        dates = [b["o_orderdate"][int(i)].as_py() for i in order]
+        texts = [f"{d.day:02d}/{d.month:02d}/{d.year}" for d in dates]
+        starts = np.flatnonzero(np.r_[True, cust[1:] != cust[:-1]])
+        bounds = np.r_[starts, n]
+        day = np.full(n, -1, dtype=object)
+        mon = np.full(n, -1, dtype=object)
+        yr = np.full(n, -1, dtype=object)
+        for g in range(len(starts)):
+            lo, hi = bounds[g], bounds[g + 1]
+            ps = [parse_date_mention(t)[0] for t in texts[lo:hi]]
+            ps = apply_doc_format(ps, infer_doc_format(ps))
+            for i, p in enumerate(ps):
+                day[lo + i] = p.day or 0
+                mon[lo + i] = p.month or 0
+                yr[lo + i] = p.year or 0
+        return pa.table({
+            "o_custkey": pa.array(cust, type=pa.int64()),
+            "o_orderkey": pa.array(okey, type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "day": pa.array(list(day), type=pa.int64()),
+            "month": pa.array(list(mon), type=pa.int64()),
+            "year": pa.array(list(yr), type=pa.int64()),
+        })
+
+    return parted.map_batches(per_partition, batch_format="pyarrow", batch_size=None)
+
+
+SQL_DATE_DOC_INFER = """
+WITH t AS (
+  SELECT o_custkey, o_orderkey,
+         day(o_orderdate) AS d, month(o_orderdate) AS m, year(o_orderdate) AS y,
+         strftime(o_orderdate, '%d/%m/%Y') AS text
+  FROM orders
+), g AS (
+  SELECT *,
+         bool_or(d > 12) OVER (PARTITION BY o_custkey) AS any_df,
+         bool_or(d <= 12 AND m > 12) OVER (PARTITION BY o_custkey) AS any_mf
+  FROM t
+)
+SELECT o_custkey, o_orderkey, text,
+  CAST(COALESCE(CASE WHEN d>12 THEN d WHEN m>12 THEN m
+            WHEN any_df AND NOT any_mf THEN d
+            WHEN any_mf AND NOT any_df THEN m END, 0) AS BIGINT) AS day,
+  CAST(COALESCE(CASE WHEN d>12 THEN m WHEN m>12 THEN d
+            WHEN any_df AND NOT any_mf THEN m
+            WHEN any_mf AND NOT any_df THEN d END, 0) AS BIGINT) AS month,
+  CAST(COALESCE(CASE WHEN d>12 OR m>12 OR (any_df != any_mf) THEN y END, 0) AS BIGINT) AS year
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------
+# M14/M15: class-DAG ancestor closure + implication pruning
+# (stages/classdag.py ≙ reference class_handler.py:22-122).  The DAG is
+# built from the customer→{nation, segment} and nation→region tables —
+# a real multi-parent DAG, small enough to broadcast (like the
+# reference's ~1.4k-class DAG); the closure runs in an actor pool with
+# a per-actor memo.
+# ---------------------------------------------------------------------
+
+
+def _class_dag_edges(sf_dir: str) -> dict[str, list[str]]:
+    """child → parents from the small dimension tables (driver-side
+    read of bounded side tables, ≙ reference lookups load)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey", "c_mktsegment"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    parents: dict[str, list[str]] = {}
+    for k, nk, seg in zip(cust["c_custkey"].to_pylist(),
+                          cust["c_nationkey"].to_pylist(),
+                          cust["c_mktsegment"].to_pylist()):
+        parents[f"c{k}"] = [f"n{nk}", f"seg_{seg}"]
+    for nk, rk in zip(nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist()):
+        parents[f"n{nk}"] = [f"r{rk}"]
+    return parents
+
+
+_SQL_CLASS_EDGES = """
+edges AS (
+  SELECT 'c' || c_custkey AS child, 'n' || c_nationkey AS parent FROM customer
+  UNION ALL SELECT 'c' || c_custkey, 'seg_' || c_mktsegment FROM customer
+  UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation
+),
+anc AS (
+  SELECT child AS node, parent AS anc FROM edges
+  UNION
+  SELECT a.node, e.parent FROM anc a JOIN edges e ON e.child = a.anc
+)
+"""
+
+
+def q_class_closure(sf_dir: str):
+    """Per-customer implied class set (remove_self=False): the class
+    itself plus every transitive ancestor, exploded to rows."""
+    import ray
+
+    from ..stages.classdag import ClassDAG
+
+    ref = ray.put(_class_dag_edges(sf_dir))
+
+    class Closure:
+        def __init__(self):
+            self.dag = ClassDAG(ray.get(ref))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ent, cls = [], []
+            for k in b["c_custkey"].to_pylist():
+                for c in sorted(self.dag.implied(frozenset([f"c{k}"]),
+                                                 remove_self=False)):
+                    ent.append(k)
+                    cls.append(c)
+            return pa.table({"entity": pa.array(ent, type=pa.int64()),
+                             "class": pa.array(cls, type=pa.string())})
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+    return ds.map_batches(Closure, batch_format="pyarrow", concurrency=(1, 4))
+
+
+SQL_CLASS_CLOSURE = f"""
+WITH RECURSIVE {_SQL_CLASS_EDGES}
+SELECT CAST(c_custkey AS BIGINT) AS entity, 'c' || c_custkey AS class FROM customer
+UNION ALL
+SELECT CAST(c_custkey AS BIGINT), a.anc FROM customer
+JOIN anc a ON a.node = 'c' || c_custkey
+"""
+
+
+def q_class_prune(sf_dir: str):
+    """Type-implication pruning: each customer carries the direct set
+    {own class, own nation (implied → pruned), an unrelated nation
+    (kept), that nation's region (implied by it → pruned)} — the
+    minimal antichain keeps exactly {own class, unrelated nation}."""
+    import ray
+
+    from ..stages.classdag import ClassDAG
+
+    ref = ray.put(_class_dag_edges(sf_dir))
+
+    class Prune:
+        def __init__(self):
+            self.dag = ClassDAG(ray.get(ref))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ent, cls = [], []
+            for k, nk in zip(b["c_custkey"].to_pylist(),
+                             b["c_nationkey"].to_pylist()):
+                other = (nk + 7) % 25
+                other_region = next(iter(self.dag.parents.get(f"n{other}", ["r?"])))
+                direct = frozenset([f"c{k}", f"n{nk}", f"n{other}", other_region])
+                for c in sorted(self.dag.prune(direct)):
+                    ent.append(k)
+                    cls.append(c)
+            return pa.table({"entity": pa.array(ent, type=pa.int64()),
+                             "class": pa.array(cls, type=pa.string())})
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    return ds.map_batches(Prune, batch_format="pyarrow", concurrency=(1, 4))
+
+
+SQL_CLASS_PRUNE = f"""
+WITH RECURSIVE {_SQL_CLASS_EDGES},
+direct AS (
+  SELECT c_custkey AS entity, 'c' || c_custkey AS class FROM customer
+  UNION ALL SELECT c_custkey, 'n' || c_nationkey FROM customer
+  UNION ALL SELECT c_custkey, 'n' || ((c_nationkey + 7) % 25) FROM customer
+  UNION ALL SELECT c.c_custkey, 'r' || n.n_regionkey
+            FROM customer c JOIN nation n ON n.n_nationkey = (c.c_nationkey + 7) % 25
+),
+implied AS (
+  SELECT DISTINCT d.entity, a.anc AS class
+  FROM direct d JOIN anc a ON a.node = d.class
+)
+SELECT CAST(d.entity AS BIGINT) AS entity, d.class FROM direct d
+WHERE NOT EXISTS (SELECT 1 FROM implied i
+                  WHERE i.entity = d.entity AND i.class = d.class)
+"""
+
+
+# ---------------------------------------------------------------------
+# O6: corpus shuffle (≙ reference shuffle.sh /
+# merge_files_and_extract_links.py:105).  rows-only: the permutation is
+# engine-internal; the pytest gate asserts it is a permutation and
+# deterministic under a fixed seed.
+# ---------------------------------------------------------------------
+
+
+def q_corpus_shuffle(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    shuffled = ds.random_shuffle(seed=42)
+
+    # tag shuffle positions per block so the output records the new order
+    class Tag:
+        def __init__(self):
+            self.base = 0
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            pos = np.arange(self.base, self.base + n, dtype=np.int64)
+            self.base += n
+            return pa.table({"doc_id": b["doc_id"],
+                             "block_pos": pa.array(pos, type=pa.int64())})
+
+    return shuffled.map_batches(Tag, batch_format="pyarrow", concurrency=1)
+
+
+# ---------------------------------------------------------------------
+# S7: CSV table source + ground-truth merge (≙ reference
+# dataset_factory.py:312-511: pandas read_csv + GT merge by row id).
+# The CSV is staged once from the parquet table (driver-side cache),
+# then read DISTRIBUTED with ray.data.read_csv and joined to the
+# nation "ground truth" side.
+# ---------------------------------------------------------------------
+
+
+def q_csv_customers(sf_dir: str):
+    import os
+
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    cache = os.path.join("/tmp/refined_ray_data/csv_cache",
+                         os.path.basename(os.path.normpath(sf_dir)))
+    os.makedirs(cache, exist_ok=True)
+    csv_path = os.path.join(cache, "customer.csv")
+    if not os.path.exists(csv_path):
+        t = pq.read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+        tmp = csv_path + ".tmp"
+        pacsv.write_csv(t, tmp)
+        os.replace(tmp, csv_path)
+
+    customers = rd.read_csv(csv_path)
+    gt = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    def widen(b: pa.Table) -> pa.Table:
+        # CSV inference yields int64 keys; align the parquet GT side
+        return pa.table({"n_nationkey": b["n_nationkey"].cast(pa.int64()),
+                         "n_name": b["n_name"]})
+
+    gt = gt.map_batches(widen, batch_format="pyarrow")
+    joined = customers.join(gt, join_type="inner", num_partitions=4,
+                            on=("c_nationkey",), right_on=("n_nationkey",))
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b["c_custkey"].cast(pa.int64()),
+            "c_name": b["c_name"],
+            "nation": b["n_name"],
+            "c_acctbal": b["c_acctbal"].cast(pa.float64()),
+        })
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
+SQL_CSV_CUSTOMERS = """
+SELECT c_custkey, c_name, n_name AS nation, c_acctbal
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------
+# J8: main-entity weak labels (≙ reference
+# wikipedia_dataset.py:226-274 merge_in_main_entity_mentions: doc title
+# parts matched against detected spans → weak supervision).  Title
+# analogue: the doc's first two tokens; spans: the non-stopword phrase
+# runs; weak label: a phrase sharing >= 1 token with the title.
+# ---------------------------------------------------------------------
+
+
+def q_weak_labels(sf_dir: str):
+    from ..functions.tokenize import STOPWORD_SET, tokenize_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def per_doc(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        ids = b["doc_id"].to_pylist()
+        flat, starts = tokenize_batch(texts)
+        out_id, out_surface = [], []
+        for i, did in enumerate(ids):
+            toks = flat[starts[i]:starts[i + 1]]
+            title_parts = set(toks[:2])
+            run: list[str] = []
+            for t in toks + [None]:
+                if t is not None and t not in STOPWORD_SET:
+                    run.append(t)
+                else:
+                    if len(run) >= 2 and title_parts & set(run):
+                        out_id.append(did)
+                        out_surface.append(" ".join(run))
+                    run = []
+        return pa.table({"doc_id": pa.array(out_id, type=pa.int64()),
+                         "surface": pa.array(out_surface, type=pa.string())})
+
+    return ds.map_batches(per_doc, batch_format="pyarrow")
+
+
+def _sql_weak_labels() -> str:
+    from .queries import SQL_MENTION_PHRASES
+
+    return f"""
+WITH phrases AS ({SQL_MENTION_PHRASES}),
+title AS (
+  SELECT doc_id, list_slice({_TOKS}, 1, 2) AS parts FROM documents
+)
+SELECT p.doc_id, p.surface
+FROM phrases p JOIN title t ON t.doc_id = p.doc_id
+WHERE len(list_intersect(string_split(p.surface, ' '), t.parts)) > 0
+"""
+
+
+# ---------------------------------------------------------------------
+# M7: sentence splitting (functions/sentences.py ≙ reference Punkt
+# splitter, preprocessor.py:240-247).  The corpus has no sentence
+# punctuation, so each doc's filtered tokens are chunked into 8-token
+# sentences joined with ". " — the ENGINE then runs the real splitter
+# over that text and must recover the chunk boundaries and exact char
+# offsets (the SQL oracle reconstructs them arithmetically).
+# ---------------------------------------------------------------------
+
+
+def q_sentence_split(sf_dir: str, chunk: int = 8):
+    from ..functions.sentences import ABBREVIATIONS, split_sentences
+    from ..functions.tokenize import tokenize_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def per_doc(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        ids = b["doc_id"].to_pylist()
+        flat, starts = tokenize_batch(texts)
+        out = {"doc_id": [], "sent_idx": [], "sentence": [], "start": [], "ln": []}
+        for i, did in enumerate(ids):
+            toks = [t for t in flat[starts[i]:starts[i + 1]]
+                    if len(t) >= 2 and t not in ABBREVIATIONS]
+            if not toks:
+                continue
+            text_s = ". ".join(" ".join(toks[j:j + chunk])
+                               for j in range(0, len(toks), chunk)) + "."
+            for idx, (s, e) in enumerate(split_sentences(text_s)):
+                out["doc_id"].append(did)
+                out["sent_idx"].append(idx)
+                out["sentence"].append(text_s[s:e])
+                out["start"].append(s)
+                out["ln"].append(e - s)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "sent_idx": pa.array(out["sent_idx"], type=pa.int64()),
+            "sentence": pa.array(out["sentence"], type=pa.string()),
+            "start": pa.array(out["start"], type=pa.int64()),
+            "ln": pa.array(out["ln"], type=pa.int64()),
+        })
+
+    return ds.map_batches(per_doc, batch_format="pyarrow")
+
+
+def _sql_sentence_split() -> str:
+    from ..functions.sentences import ABBREVIATIONS
+
+    abbrev_sql = "(" + ", ".join(f"'{a}'" for a in sorted(ABBREVIATIONS)) + ")"
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok,
+         unnest(range(1, len({_TOKS}) + 1)) AS ord
+  FROM documents
+), f AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS r
+  FROM t WHERE len(tok) >= 2 AND tok NOT IN {abbrev_sql}
+), chunks AS (
+  SELECT doc_id, CAST((r - 1) // 8 AS BIGINT) AS sent_idx,
+         string_agg(tok, ' ' ORDER BY r) || '.' AS sentence
+  FROM f GROUP BY 1, 2
+)
+SELECT doc_id, sent_idx, sentence,
+  CAST(COALESCE(sum(len(sentence) + 1) OVER (
+      PARTITION BY doc_id ORDER BY sent_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start,
+  CAST(len(sentence) AS BIGINT) AS ln
+FROM chunks
+"""
+
+
+# ---------------------------------------------------------------------
 # Multimodal stub pipeline (rows-only)
 # ---------------------------------------------------------------------
 
@@ -393,6 +946,15 @@ EXT_QUERIES = {
     "candidate_topk": q_candidate_topk,
     "simhash_fingerprints": q_simhash_fingerprints,
     "simhash_candidates": q_simhash_candidates,
+    "date_normalize": q_date_normalize,
+    "date_doc_infer": q_date_doc_infer,
+    "span_merge": q_span_merge,
+    "class_closure": q_class_closure,
+    "class_prune": q_class_prune,
+    "corpus_shuffle": q_corpus_shuffle,
+    "csv_customers": q_csv_customers,
+    "weak_labels": q_weak_labels,
+    "sentence_split": q_sentence_split,
     "media_features": q_media_features,
     "er_quality": q_er_quality,
     "er_clusters_checkpointed": q_er_clusters_checkpointed,
@@ -405,6 +967,16 @@ EXT_ORACLES = {
     "events_extract_k": SQL_EVENTS_EXTRACT_K,
     "docs_without_neardup": SQL_DOCS_WITHOUT_NEARDUP,
     "candidate_topk": SQL_CANDIDATE_TOPK,
+    "date_normalize": SQL_DATE_NORMALIZE,
+    "date_doc_infer": SQL_DATE_DOC_INFER,
+    "span_merge": _sql_span_merge(),
+    "class_closure": SQL_CLASS_CLOSURE,
+    "class_prune": SQL_CLASS_PRUNE,
+    "csv_customers": SQL_CSV_CUSTOMERS,
+    "weak_labels": _sql_weak_labels(),
+    "sentence_split": _sql_sentence_split(),
+    # corpus_shuffle: rows-only (engine-internal permutation; pytest
+    # gate asserts permutation + fixed-seed determinism)
     # simhash_*, media_features, er_quality: rows-only (engine hashes /
     # model state / requires ground-truth table outside oracle views)
 }

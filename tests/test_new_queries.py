@@ -1,0 +1,58 @@
+"""Gates for the round-2 operator additions that have no SQL oracle
+(corpus shuffle) plus smoke checks for the per-doc span/date queries."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_corpus_shuffle_is_deterministic_permutation(ray_session):
+    from refined_ray.pipelines.queries_ext import q_corpus_shuffle
+
+    out1 = q_corpus_shuffle(SF).to_pandas().sort_values("block_pos")
+    out2 = q_corpus_shuffle(SF).to_pandas().sort_values("block_pos")
+    orig = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]).to_pandas()
+    # permutation of the corpus
+    assert sorted(out1.doc_id) == sorted(orig.doc_id)
+    # fixed seed → identical order across runs
+    assert (out1.doc_id.to_numpy() == out2.doc_id.to_numpy()).all()
+    # actually shuffled (astronomically unlikely to be identity)
+    assert (out1.doc_id.to_numpy() != np.sort(out1.doc_id.to_numpy())).any()
+
+
+def test_span_merge_matches_duckdb(ray_session):
+    import duckdb
+
+    from refined_ray.pipelines.queries_ext import EXT_ORACLES, q_span_merge
+
+    mine = q_span_merge(SF).to_pandas().sort_values(
+        ["doc_id", "start_ord"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    theirs = con.execute(EXT_ORACLES["span_merge"]).fetchdf().sort_values(
+        ["doc_id", "start_ord"]).reset_index(drop=True)
+    assert len(mine) == len(theirs)
+    assert (mine.doc_id.values == theirs.doc_id.values).all()
+    assert (mine.start_ord.values == theirs.start_ord.values).all()
+    assert (mine.ln.values == theirs.ln.values).all()
+
+
+def test_date_doc_infer_matches_duckdb(ray_session):
+    import duckdb
+
+    from refined_ray.pipelines.queries_ext import EXT_ORACLES, q_date_doc_infer
+
+    mine = q_date_doc_infer(SF).to_pandas().sort_values(
+        ["o_custkey", "o_orderkey"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF}/orders.parquet'")
+    theirs = con.execute(EXT_ORACLES["date_doc_infer"]).fetchdf().sort_values(
+        ["o_custkey", "o_orderkey"]).reset_index(drop=True)
+    assert len(mine) == len(theirs)
+    for c in ["day", "month", "year"]:
+        assert (mine[c].values == theirs[c].values).all(), c
