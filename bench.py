@@ -38,6 +38,8 @@ HEADLINE = [
     "doc_token_stats",
     "lineitem_agg",
     "events_hourly",
+    "simhash_candidates",
+    "date_doc_infer",
 ]
 
 

@@ -13,7 +13,7 @@ import pyarrow as pa
 
 
 def binary_segments(col) -> tuple[np.ndarray, np.ndarray]:
-    """binary/large_binary column → (flat uint8 view, int64 offsets).
+    """binary/string (incl. large_) column → (flat uint8 view, int64 offsets).
 
     ``flat[offsets[i]:offsets[i+1]]`` is row i's blob.  Offsets are
     normalized to start at 0; ``flat`` is a view into the Arrow data
@@ -23,7 +23,8 @@ def binary_segments(col) -> tuple[np.ndarray, np.ndarray]:
     n = len(arr)
     if n == 0:
         return np.empty(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
-    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    wide = pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type)
+    off_dtype = np.int64 if wide else np.int32
     offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
         arr.offset: arr.offset + n + 1].astype(np.int64)
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)

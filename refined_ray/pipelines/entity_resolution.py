@@ -112,6 +112,29 @@ def er_edges(sf_dir: str, threshold: float = DEFAULT_THRESHOLD,
 
     num_partitions = num_partitions or default_num_partitions()
     payload = build_payload(sf_dir, amplify=amplify, fatten=fatten).materialize()  # reused by 3 consumers
+
+    # Payload attachment: broadcast when the payload fits in worker
+    # memory (one ray.put, zero joins — the join path's enriched pair
+    # stream is ~25× corpus size since every pair row carries two 1 KB
+    # signatures); fall back to two hash joins beyond the budget.
+    n_pages = payload.count()
+    use_broadcast = n_pages * PAYLOAD_ROW_BYTES <= BROADCAST_MAX_BYTES
+
+    # The broadcast assembly is DRIVER-side memcpy over the materialized
+    # payload (zero-copy plasma derefs, no dataset execution) — overlap
+    # it with the pair-enumeration exchange so its wall time disappears
+    # behind the shuffle instead of adding a serial term.
+    ref_box: dict = {}
+    builder = None
+    if use_broadcast:
+        import threading
+
+        from ..stages.scoring import broadcast_payload_ref
+
+        builder = threading.Thread(
+            target=lambda: ref_box.update(ref=broadcast_payload_ref(payload)))
+        builder.start()
+
     block_rows = emit_block_keys(payload)
     pairs = enumerate_pairs(block_rows, max_block_size=max_block_size,
                             num_partitions=num_partitions,
@@ -121,14 +144,10 @@ def er_edges(sf_dir: str, threshold: float = DEFAULT_THRESHOLD,
     # (configure_data_context), so chained shuffle ops pipeline
     # block-by-block instead of thrashing the scheduler, and
     # per-execution actor spin-up is paid once for the whole chain.
-    #
-    # Payload attachment: broadcast when the payload fits in worker
-    # memory (one ray.put, zero joins — the join path's enriched pair
-    # stream is ~25× corpus size since every pair row carries two 1 KB
-    # signatures); fall back to two hash joins beyond the budget.
-    n_pages = payload.count()
-    if n_pages * PAYLOAD_ROW_BYTES <= BROADCAST_MAX_BYTES:
-        scored, edges = score_pairs_broadcast(pairs, payload, threshold=threshold)
+    if use_broadcast:
+        builder.join()
+        scored, edges = score_pairs_broadcast(pairs, payload, threshold=threshold,
+                                              payload_ref=ref_box["ref"])
     else:
         enriched = attach_payloads(pairs, payload, num_partitions=num_partitions)
         scored, edges = score_pairs(enriched, threshold=threshold)

@@ -891,6 +891,114 @@ FROM chunks
 
 
 # ---------------------------------------------------------------------
+# T7/D5: candidate generation with person-name coreference, end to end
+# (stages/candidates.py).  Mentions = phrase runs + single tokens per
+# doc in order; PEM = phrase surface → per-source counts (built with
+# the keyed-exchange segment pass); every entity is "human" so
+# multi-token mentions propagate their candidates to their parts
+# within the SAME document only.  Rows-only: the coref fold is
+# stateful-per-doc and not SQL-expressible; pytest gates the fold
+# semantics (tests/test_candidates.py).
+# ---------------------------------------------------------------------
+
+
+def q_person_coref(sf_dir: str, max_candidates: int = 3):
+    import ray
+
+    from ..functions.tokenize import STOPWORD_SET, tokenize_batch
+    from ..stages.candidates import add_candidates_to_doc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def _doc_mentions(toks: list[str]) -> list[str]:
+        out, run = [], []
+        for t in toks + [None]:
+            if t is not None and t not in STOPWORD_SET:
+                run.append(t)
+            else:
+                if len(run) >= 2:
+                    out.append(" ".join(run))
+                elif len(run) == 1:
+                    out.append(run[0])
+                run = []
+        return out
+
+    # phrase-level PEM (surface → [(source, prob)]), distributed build
+    def explode(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        sources = b["source"].to_pylist()
+        flat, starts = tokenize_batch(texts)
+        surf, ent = [], []
+        for i, src in enumerate(sources):
+            toks = flat[starts[i]:starts[i + 1]]
+            for m in set(_doc_mentions(toks)):
+                surf.append(m)
+                ent.append(src)
+        return pa.table({"surface": pa.array(surf, type=pa.string()),
+                         "entity": pa.array(ent, type=pa.string())})
+
+    from .. import default_num_partitions
+    nparts = default_num_partitions()
+    counts = ds.map_batches(explode, batch_format="pyarrow") \
+               .repartition(num_blocks=nparts, keys=["surface"], sort=False)
+
+    # bounded driver assembly of the PEM side table (counted budget, ≙
+    # the flagship's broadcast guard): at reference scale this side
+    # would stay a Dataset and attach via hash join instead.
+    PEM_BUDGET_ROWS = 2_000_000
+    pem: dict[str, list[tuple[str, float]]] = {}
+    n_rows = 0
+    from collections import Counter, defaultdict
+
+    per_surface: dict[str, Counter] = defaultdict(Counter)
+    for b in counts.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        n_rows += b.num_rows
+        if n_rows > PEM_BUDGET_ROWS:
+            raise NotImplementedError(
+                "phrase-PEM exceeds broadcast budget; use the hash-join "
+                "candidate attachment path for corpora this large")
+        for s, e in zip(b["surface"].to_pylist(), b["entity"].to_pylist()):
+            per_surface[s][e] += 1
+    for s, ctr in per_surface.items():
+        total = sum(ctr.values())
+        pem[s] = sorted(((e, c / total) for e, c in ctr.items()),
+                        key=lambda x: (-x[1], x[0]))
+    humans = {e for ctr in per_surface.values() for e in ctr}
+    ref = ray.put((pem, humans))
+
+    class Coref:
+        def __init__(self):
+            self.pem, self.humans = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            texts = b["text"].to_pylist()
+            ids = b["doc_id"].to_pylist()
+            flat, starts = tokenize_batch(texts)
+            out = {"doc_id": [], "mention_ord": [], "surface": [],
+                   "qcode": [], "prob": []}
+            for i, did in enumerate(ids):
+                mentions = _doc_mentions(flat[starts[i]:starts[i + 1]])
+                cands = add_candidates_to_doc(mentions, self.pem, self.humans,
+                                              max_candidates=1)
+                for j, (m, cl) in enumerate(zip(mentions, cands)):
+                    q, p = cl[0]
+                    out["doc_id"].append(did)
+                    out["mention_ord"].append(j)
+                    out["surface"].append(m)
+                    out["qcode"].append(q)
+                    out["prob"].append(p)
+            return pa.table({
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "mention_ord": pa.array(out["mention_ord"], type=pa.int64()),
+                "surface": pa.array(out["surface"], type=pa.string()),
+                "qcode": pa.array(out["qcode"], type=pa.string()),
+                "prob": pa.array(out["prob"], type=pa.float64()),
+            })
+
+    return ds.map_batches(Coref, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------
 # Multimodal stub pipeline (rows-only)
 # ---------------------------------------------------------------------
 
@@ -955,6 +1063,7 @@ EXT_QUERIES = {
     "csv_customers": q_csv_customers,
     "weak_labels": q_weak_labels,
     "sentence_split": q_sentence_split,
+    "person_coref": q_person_coref,
     "media_features": q_media_features,
     "er_quality": q_er_quality,
     "er_clusters_checkpointed": q_er_clusters_checkpointed,

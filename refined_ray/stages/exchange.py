@@ -156,6 +156,13 @@ def exchange_map_partitions(ds, key_cols: list[str], partition_fn,
     )
 
     def cleanup():
-        shutil.rmtree(root, ignore_errors=True)
+        # deletion runs on a daemon thread: rmtree over blocks×P small
+        # files costs seconds of DRIVER time (a fixed serial term the
+        # scaling benchmark pays at every parallelism level) and nothing
+        # downstream reads the files again
+        import threading
+
+        threading.Thread(target=shutil.rmtree, args=(root,),
+                         kwargs={"ignore_errors": True}, daemon=True).start()
 
     return out, cleanup

@@ -169,27 +169,65 @@ class PairScorerBroadcast:
 
 
 def broadcast_payload_ref(payload):
-    """Materialize the payload into sorted numpy arrays and ray.put it."""
+    """Materialize the payload into sorted numpy arrays and ray.put it.
+
+    Reads the already-materialized payload via ``to_arrow_refs`` —
+    zero-copy plasma derefs, no fresh streaming-executor run — so this
+    DRIVER-side assembly is memcpy-bound (it is a fixed serial cost the
+    scaling benchmark pays at every parallelism level)."""
     import ray
 
     ids_parts, sig_parts, emb_parts, head_parts = [], [], [], []
-    for b in payload.select_columns(["page_id", "sig", "emb", "head"]).iter_batches(
-            batch_size=65536, batch_format="pyarrow"):
+    for b in _payload_tables(payload):
         ids_parts.append(b["page_id"].to_numpy(zero_copy_only=False))
         sig_parts.append(_binary_to_matrix(b["sig"], "<u2"))
         emb_parts.append(_binary_to_matrix(b["emb"], "<f4"))
         # truncate to 16 CHARACTERS (matching the join path's
         # _score_features cap), then store as S64 — 16 codepoints × max
         # 4 UTF-8 bytes — so no codepoint is ever split mid-sequence and
-        # broadcast/join scoring is byte-identical for non-ASCII heads
-        head_parts.append(np.array([h[:16].encode("utf-8") for h in b["head"].to_pylist()],
-                                   dtype="S64"))
+        # broadcast/join scoring is byte-identical for non-ASCII heads.
+        # Vectorized: Arrow codeunit slice → zero-copy buffer scatter
+        # into a fixed-width byte matrix (this loop is DRIVER-side
+        # serial work, so no per-row python encode).
+        import pyarrow.compute as pc
+
+        from ..functions.arrowbuf import binary_segments
+
+        trunc = pc.utf8_slice_codeunits(b["head"].combine_chunks()
+                                        if isinstance(b["head"], pa.ChunkedArray)
+                                        else b["head"], 0, 16)
+        flat, offs = binary_segments(trunc)
+        nh = len(offs) - 1
+        lens = np.diff(offs)
+        mat = np.zeros((nh, 64), dtype=np.uint8)
+        if len(flat):
+            mat[np.repeat(np.arange(nh), lens),
+                np.arange(len(flat)) - np.repeat(offs[:-1], lens)] = flat
+        head_parts.append(mat.view("S64").ravel())
     ids = np.concatenate(ids_parts)
     order = np.argsort(ids)
     sig = np.concatenate(sig_parts)[order]
     emb = np.concatenate(emb_parts)[order]
     heads = np.concatenate(head_parts)[order]
     return ray.put((ids[order], sig, emb, heads))
+
+
+def _payload_tables(payload):
+    """Iterate a payload Dataset as Arrow tables, zero-copy when it is
+    already materialized (to_arrow_refs), streaming otherwise."""
+    import ray
+
+    try:
+        refs = payload.to_arrow_refs()
+    except Exception:
+        refs = None
+    if refs is not None:
+        for r in refs:
+            t = ray.get(r)
+            if t.num_rows:
+                yield t
+    else:
+        yield from payload.iter_batches(batch_size=65536, batch_format="pyarrow")
 
 
 def attach_payloads(pairs, payload, num_partitions: int = 16):
@@ -233,14 +271,38 @@ def score_pairs(enriched, threshold: float = DEFAULT_THRESHOLD, concurrency=None
 
 
 def score_pairs_broadcast(pairs, payload, threshold: float = DEFAULT_THRESHOLD,
-                          concurrency=None, **map_kwargs):
-    """Broadcast-path scorer: narrow pairs + ray.put payload, no joins."""
-    concurrency = concurrency or _default_concurrency()
+                          concurrency=None, payload_ref=None, **map_kwargs):
+    """Broadcast-path scorer: narrow pairs + ray.put payload, no joins.
+
+    ``payload_ref``: a precomputed ``broadcast_payload_ref`` result —
+    pass it when the caller overlapped the broadcast build with another
+    stage (see er_edges)."""
     map_kwargs.setdefault("batch_size", 16384)
-    ref = broadcast_payload_ref(payload)
-    scored = pairs.map_batches(
-        PairScorerBroadcast, batch_format="pyarrow", concurrency=concurrency,
-        fn_constructor_kwargs={"payload_ref": ref, "threshold": threshold}, **map_kwargs
-    )
+    ref = payload_ref if payload_ref is not None else broadcast_payload_ref(payload)
+    w = WEIGHTS
+    wv = np.array([w["est_jaccard"], w["cos_sim"], w["jw_sim"], w["lev_sim"]])
+
+    # STATELESS tasks, not an actor pool: pool spin-up costs ~2 s of
+    # flat wall per run, while per-task ray.get of the broadcast tuple
+    # is a zero-copy plasma deref on the same node — there is no real
+    # per-actor state to amortize (the cascade is pure numpy).
+    def score(batch: pa.Table, _ref=ref, _w=wv, _t=threshold) -> pa.Table:
+        import ray
+
+        if batch.num_rows == 0:
+            return batch
+        ids, sig, emb, heads = ray.get(_ref)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(ids, a)
+        ib = np.searchsorted(ids, b)
+        return _score_features(
+            batch, sig[ia], sig[ib], emb[ia], emb[ib],
+            [s.decode("utf-8", "ignore") for s in heads[ia]],
+            [s.decode("utf-8", "ignore") for s in heads[ib]], _w,
+            threshold=_t,
+        )
+
+    scored = pairs.map_batches(score, batch_format="pyarrow", **map_kwargs)
     edges = scored.filter(expr=f"score >= {threshold}")
     return scored, edges

@@ -64,7 +64,14 @@ def test_exchange_writer_filenames_are_content_deterministic(ray_session, tmp_pa
                 files.add((part, f))
         names.append(files)
         clean()
-        os.rmdir(tmp_path / run_dir) if os.path.exists(tmp_path / run_dir) else None
+        # cleanup is async (daemon thread) — wait for it so run 2 sees
+        # a fresh exchange root
+        import time
+
+        for _ in range(100):
+            if not os.path.exists(tmp_path / run_dir):
+                break
+            time.sleep(0.05)
     assert names[0] == names[1]  # same input blocks -> same committed names
     assert all(f.endswith(".parquet") for _, f in names[0])
 
