@@ -999,6 +999,106 @@ def q_person_coref(sf_dir: str, max_candidates: int = 3):
 
 
 # ---------------------------------------------------------------------
+# A2: distinct → contiguous index (≙ reference build_entity_index,
+# preprocess_all.py:112-122: distinct qcodes over PEM → 0..n-1).
+# Distributed zip-with-index: distinct + sort, then per-block offsets
+# from a cumulative count pass — no driver-side enumerate loop.
+# ---------------------------------------------------------------------
+
+
+def q_entity_index(sf_dir: str):
+    import ray
+
+    ds = _read(sf_dir, "documents", ["source"])
+    distinct = ds.groupby("source").count().select_columns(["source"]) \
+                 .sort("source").materialize()
+
+    # per-block (first_key, n_rows) → cumulative start offsets.  The
+    # driver sees ONE ROW PER BLOCK, never the data; blocks are sorted
+    # and keys globally distinct, so a block's first key identifies it.
+    def block_meta(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"first": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        return pa.table({"first": pa.array([b["source"][0].as_py()], type=pa.string()),
+                         "n": pa.array([b.num_rows], type=pa.int64())})
+
+    meta = sorted((r["first"], r["n"]) for r in
+                  distinct.map_batches(block_meta, batch_format="pyarrow",
+                                       batch_size=None).take_all())
+    offsets, acc = {}, 0
+    for first, n in meta:
+        offsets[first] = acc
+        acc += n
+    ref = ray.put(offsets)
+
+    def assign(b: pa.Table, _ref=ref) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"entity": pa.array([], type=pa.string()),
+                             "idx": pa.array([], type=pa.int64())})
+        offs = ray.get(_ref)
+        base = offs[b["source"][0].as_py()]
+        return pa.table({
+            "entity": b["source"],
+            "idx": pa.array(base + np.arange(b.num_rows, dtype=np.int64),
+                            type=pa.int64()),
+        })
+
+    return distinct.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+SQL_ENTITY_INDEX = """
+SELECT source AS entity, CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS idx
+FROM (SELECT DISTINCT source FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------
+# M8: doc → fixed-size token windows (≙ reference Doc.to_batch_elements,
+# doc_types.py:116-273: split a doc into ≤max_seq windows for the model
+# stage).  Vectorized across the batch; one row per window.
+# ---------------------------------------------------------------------
+
+
+def q_doc_windows(sf_dir: str, max_seq: int = 64):
+    from ..functions.tokenize import tokenize_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def windows(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        ids = np.asarray(b["doc_id"].to_pylist(), dtype=np.int64)
+        _, starts = tokenize_batch(texts)
+        lens = np.diff(np.asarray(starts, dtype=np.int64))
+        n_win = -(-lens // max_seq)  # ceil; 0 windows for empty docs
+        doc_rep = np.repeat(ids, n_win)
+        widx = np.arange(n_win.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(n_win) - n_win, n_win)
+        len_rep = np.repeat(lens, n_win)
+        start_tok = widx * max_seq + 1  # 1-based, matching SQL ord
+        n_tokens = np.minimum(max_seq, len_rep - widx * max_seq)
+        return pa.table({
+            "doc_id": pa.array(doc_rep, type=pa.int64()),
+            "window_idx": pa.array(widx, type=pa.int64()),
+            "start_tok": pa.array(start_tok, type=pa.int64()),
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
+        })
+
+    return ds.map_batches(windows, batch_format="pyarrow")
+
+
+SQL_DOC_WINDOWS = f"""
+WITH t AS (
+  SELECT doc_id, unnest(range(1, len({_TOKS}) + 1)) AS ord FROM documents
+)
+SELECT doc_id, CAST((ord - 1) // 64 AS BIGINT) AS window_idx,
+       CAST(min(ord) AS BIGINT) AS start_tok,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM t GROUP BY doc_id, (ord - 1) // 64
+"""
+
+
+# ---------------------------------------------------------------------
 # Multimodal stub pipeline (rows-only)
 # ---------------------------------------------------------------------
 
@@ -1064,6 +1164,8 @@ EXT_QUERIES = {
     "weak_labels": q_weak_labels,
     "sentence_split": q_sentence_split,
     "person_coref": q_person_coref,
+    "entity_index": q_entity_index,
+    "doc_windows": q_doc_windows,
     "media_features": q_media_features,
     "er_quality": q_er_quality,
     "er_clusters_checkpointed": q_er_clusters_checkpointed,
@@ -1084,6 +1186,8 @@ EXT_ORACLES = {
     "csv_customers": SQL_CSV_CUSTOMERS,
     "weak_labels": _sql_weak_labels(),
     "sentence_split": _sql_sentence_split(),
+    "entity_index": SQL_ENTITY_INDEX,
+    "doc_windows": SQL_DOC_WINDOWS,
     # corpus_shuffle: rows-only (engine-internal permutation; pytest
     # gate asserts permutation + fixed-seed determinism)
     # simhash_*, media_features, er_quality: rows-only (engine hashes /
