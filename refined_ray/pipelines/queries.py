@@ -219,6 +219,14 @@ def q_events_hourly(sf_dir: str):
     )
 
     def _round(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            # pin the empty-batch schema: the hash aggregate emits
+            # zero-schema empty blocks, which otherwise trigger
+            # "RefBundle with a different schema" warnings downstream
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "hour": pa.array([], type=pa.timestamp("us")),
+                             "n_events": pa.array([], type=pa.int64()),
+                             "total_value": pa.array([], type=pa.float64())})
         i = b.schema.get_field_index("total_value")
         hi = b.schema.get_field_index("hour")
         b = b.set_column(hi, "hour", b["hour"].cast(pa.timestamp("us")))

@@ -1201,7 +1201,7 @@ EXT_ORACLES = {
 
 
 def q_ann_ivf(sf_dir: str, k: int = 5, max_qid: int = 10, n_cells: int = 16,
-              n_probe: int = 4):
+              n_probe: int = 8):
     """IVF approximate top-k: vectors partition into coarse cells
     (deterministic seed centroids), each query searches only its
     ``n_probe`` nearest cells.  At 100 TB the cell assignment is the

@@ -177,7 +177,11 @@ def test_ann_ivf_recall_vs_bruteforce(ray_session):
     e = set(zip(exact.query_id, exact.neighbor_id))
     a = set(zip(approx.query_id, approx.neighbor_id))
     recall = len(e & a) / len(e)
-    assert recall >= 0.5, recall
+    # the synthetic embeddings are near-isotropic (no cluster
+    # structure), which is IVF's worst case: probing half the cells
+    # (n_probe=8/16) measures ~0.7 recall; real clustered corpora sit
+    # far higher at the same probe fraction
+    assert recall >= 0.6, recall
 
 
 def test_disk_exchange_matches_ray_shuffle(ray_session):
