@@ -1099,6 +1099,60 @@ FROM t GROUP BY doc_id, (ord - 1) // 64
 
 
 # ---------------------------------------------------------------------
+# Table linking (≙ the reference's FastAPI table-linking job, §3.3):
+# link a mention column against the PEM candidate table, top-k per
+# cell.  pipelines/table_linking.py holds the reusable pipeline.
+# ---------------------------------------------------------------------
+
+
+def q_table_link(sf_dir: str, k: int = 3):
+    from ..functions.tokenize import tokenize_batch
+    from .queries import q_pem_table
+    from .table_linking import link_cells
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_cells(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        ids = b["doc_id"].to_pylist()
+        flat, starts = tokenize_batch(texts)
+        rid, surf = [], []
+        for i, did in enumerate(ids):
+            if starts[i + 1] > starts[i]:
+                rid.append(did)
+                surf.append(flat[starts[i]])
+        return pa.table({
+            "row_id": pa.array(rid, type=pa.int64()),
+            "col": pa.array(["c0"] * len(rid), type=pa.string()),
+            "surface": pa.array(surf, type=pa.string()),
+        })
+
+    cells = docs.map_batches(to_cells, batch_format="pyarrow")
+    return link_cells(cells, q_pem_table(sf_dir), k=k)
+
+
+SQL_TABLE_LINK = f"""
+WITH toks AS (
+  SELECT source AS entity, unnest(list_distinct({_TOKS})) AS surface FROM documents
+), pem AS (
+  SELECT surface, entity, count(*) AS cnt,
+         count(*) / CAST(sum(count(*)) OVER (PARTITION BY surface) AS DOUBLE) AS prob
+  FROM toks GROUP BY 1, 2
+), ranked AS (
+  SELECT surface, entity, prob,
+         row_number() OVER (PARTITION BY surface ORDER BY prob DESC, entity) AS rank
+  FROM pem
+), cells AS (
+  SELECT doc_id AS row_id, 'c0' AS col, list_extract({_TOKS}, 1) AS surface
+  FROM documents WHERE len({_TOKS}) >= 1
+)
+SELECT c.row_id, c.col, c.surface, CAST(r.rank AS BIGINT) AS rank, r.entity, r.prob
+FROM cells c JOIN ranked r ON r.surface = c.surface
+WHERE r.rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------
 # Multimodal stub pipeline (rows-only)
 # ---------------------------------------------------------------------
 
@@ -1166,6 +1220,7 @@ EXT_QUERIES = {
     "person_coref": q_person_coref,
     "entity_index": q_entity_index,
     "doc_windows": q_doc_windows,
+    "table_link": q_table_link,
     "media_features": q_media_features,
     "er_quality": q_er_quality,
     "er_clusters_checkpointed": q_er_clusters_checkpointed,
@@ -1188,6 +1243,7 @@ EXT_ORACLES = {
     "sentence_split": _sql_sentence_split(),
     "entity_index": SQL_ENTITY_INDEX,
     "doc_windows": SQL_DOC_WINDOWS,
+    "table_link": SQL_TABLE_LINK,
     # corpus_shuffle: rows-only (engine-internal permutation; pytest
     # gate asserts permutation + fixed-seed determinism)
     # simhash_*, media_features, er_quality: rows-only (engine hashes /

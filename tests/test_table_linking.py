@@ -1,0 +1,51 @@
+"""Table-linking pipeline (≙ reference API table-linking job): oracle
+parity is covered by the driver gate; here we check broadcast/join
+path equivalence and NIL semantics."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+
+def _run(cells_tbl, pem_tbl, monkeypatch=None, force_join=False, k=2):
+    import ray.data as rd
+
+    import refined_ray.pipelines.table_linking as tl
+
+    if force_join:
+        monkeypatch.setattr(tl, "BROADCAST_MAX_PEM_ROWS", 0)
+    out = tl.link_cells(rd.from_arrow(cells_tbl), rd.from_arrow(pem_tbl), k=k)
+    return out.to_pandas().sort_values(
+        ["row_id", "col", "rank"]).reset_index(drop=True)
+
+
+CELLS = pa.table({
+    "row_id": pa.array([1, 2, 3], type=pa.int64()),
+    "col": pa.array(["c0", "c0", "c0"], type=pa.string()),
+    "surface": pa.array(["The Apple", "banana", "unknown thing"], type=pa.string()),
+})
+PEM = pa.table({
+    "surface": pa.array(["apple", "apple", "banana"], type=pa.string()),
+    "entity": pa.array(["Q1", "Q2", "Q3"], type=pa.string()),
+    "cnt": pa.array([3, 1, 5], type=pa.int64()),
+    "prob": pa.array([0.75, 0.25, 1.0], type=pa.float64()),
+})
+
+
+def test_linking_normalizes_and_ranks(ray_session):
+    out = _run(CELLS, PEM)
+    # "The Apple" normalizes to "apple" → two candidates ranked by prob
+    r1 = out[out.row_id == 1]
+    assert list(r1.entity) == ["Q1", "Q2"]
+    assert list(r1["rank"]) == [1, 2]
+    assert list(r1.surface) == ["The Apple", "The Apple"]  # original kept
+    # banana → one candidate; unknown → NIL = no rows
+    assert list(out[out.row_id == 2].entity) == ["Q3"]
+    assert len(out[out.row_id == 3]) == 0
+
+
+def test_join_path_equals_broadcast(ray_session, monkeypatch):
+    base = _run(CELLS, PEM)
+    joined = _run(CELLS, PEM, monkeypatch=monkeypatch, force_join=True)
+    pd.testing.assert_frame_equal(base, joined)
