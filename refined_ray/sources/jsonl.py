@@ -24,6 +24,14 @@ import uuid
 import pyarrow as pa
 
 
+# extension → Arrow CompressedInputStream codec (≙ the reference's
+# bz2-streamed dump readers, process_wikidata_dump.py:51-215).  A
+# compressed file is NOT splittable: it reads as one task — fine for
+# side tables; for corpus-scale inputs convert once via
+# ``jsonl_to_parquet`` (which also buys column pruning).
+_COMPRESSION_BY_EXT = {".gz": "gzip", ".bz2": "bz2", ".zst": "zstd"}
+
+
 def read_jsonl(path: str, **kwargs):
     import ray
     import ray.data as rd
@@ -33,6 +41,10 @@ def read_jsonl(path: str, **kwargs):
     configure_data_context()
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     kwargs.setdefault("override_num_blocks", 2 * cpus)
+    comp = _COMPRESSION_BY_EXT.get(os.path.splitext(path)[1])
+    if comp:
+        kwargs.setdefault("arrow_open_stream_args", {"compression": comp})
+        kwargs.setdefault("file_extensions", None)
     return rd.read_json(path, **kwargs)
 
 

@@ -39,3 +39,64 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
 def extract_pages(pages, **map_kwargs):
     """Dataset(url, warc_ts, html, lang, …) → Dataset(url, …, extracted_text)."""
     return pages.map_batches(extract_text_batch, batch_format="pyarrow", **map_kwargs)
+
+
+# ---------------------------------------------------------------------
+# M4: anchor-tag extraction + offset re-alignment (≙ reference
+# process_line, merge_files_and_extract_links.py:52-88: regex-find
+# <a href> anchors, then locate each surface in the CLEANED text with a
+# forward-moving cursor so offsets index the extracted text, not the
+# raw html).
+# ---------------------------------------------------------------------
+
+import re as _re
+
+_ANCHOR_RE = _re.compile(r'<a\s+href="([^"]*)"[^>]*>(.*?)</a>', _re.DOTALL)
+
+
+def _unescape(s: str) -> str:
+    for pat, rep in _UNESCAPES:
+        s = s.replace(pat, rep)
+    return s
+
+
+def extract_links_batch(batch: pa.Table) -> pa.Table:
+    """(url, html, …) → one row per anchor: (url, href, surface,
+    start, end) with char offsets into the page's EXTRACTED text.
+
+    Anchors whose surface cannot be located in the extracted text
+    (e.g. outside the body) are dropped, matching the reference's
+    skip-on-miss behavior.  Multi-match regex with offsets has no Arrow
+    kernel, so this runs per row — link extraction is a one-time
+    ingest-side pass, not a per-query hot path.
+    """
+    urls = batch["url"].to_pylist()
+    htmls = [h.decode("utf-8", "ignore") if isinstance(h, (bytes, bytearray)) else h
+             for h in batch["html"].to_pylist()]
+    extracted = extract_text_batch(batch.select(["url", "html"]))["extracted_text"].to_pylist()
+    out = {"url": [], "href": [], "surface": [], "start": [], "end": []}
+    for url, html, text in zip(urls, htmls, extracted):
+        if text is None:
+            continue
+        cursor = 0
+        for m in _ANCHOR_RE.finditer(html):
+            href = m.group(1)
+            surface = _unescape(_re.sub(r"<[^>]+>", "", m.group(2)))
+            if not surface:
+                continue
+            idx = text.find(surface, cursor)
+            if idx < 0:
+                continue
+            cursor = idx + len(surface)
+            out["url"].append(url)
+            out["href"].append(href)
+            out["surface"].append(surface)
+            out["start"].append(idx)
+            out["end"].append(idx + len(surface))
+    return pa.table({
+        "url": pa.array(out["url"], type=pa.string()),
+        "href": pa.array(out["href"], type=pa.string()),
+        "surface": pa.array(out["surface"], type=pa.string()),
+        "start": pa.array(out["start"], type=pa.int64()),
+        "end": pa.array(out["end"], type=pa.int64()),
+    })
