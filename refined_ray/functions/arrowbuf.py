@@ -37,3 +37,30 @@ def u64_segments(col) -> tuple[np.ndarray, np.ndarray]:
     (flat <u8-typed values, int64 element offsets)."""
     flat, offs = binary_segments(col)
     return flat.view("<u8"), offs // 8
+
+
+def exact_jaccard_pairs(col_a, col_b) -> np.ndarray:
+    """Row-wise EXACT Jaccard between two binary columns whose blobs
+    are sorted-distinct uint64 sets.
+
+    Fully vectorized: both sets of every pair are distinct within
+    themselves, so after one lexsort of (pair, value) over the
+    concatenated streams each adjacent duplicate IS one intersection
+    element — counted per pair with bincount.  Zero rows → empty array;
+    two empty sets → Jaccard 1.0 (same convention as the SQL oracles).
+    """
+    n = len(col_a)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    A, offa = u64_segments(col_a)
+    B, offb = u64_segments(col_b)
+    na, nb = np.diff(offa), np.diff(offb)
+    pid = np.concatenate([np.repeat(np.arange(n), na),
+                          np.repeat(np.arange(n), nb)])
+    vals = np.concatenate([A, B])
+    order = np.lexsort((vals, pid))
+    p, v = pid[order], vals[order]
+    dup = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
+    inter = np.bincount(p[1:][dup], minlength=n)
+    union = na + nb - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)

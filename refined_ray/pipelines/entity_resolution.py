@@ -39,7 +39,8 @@ PAYLOAD_ROW_BYTES = 1400
 BROADCAST_MAX_BYTES = 2_000_000_000
 
 
-def build_payload(sf_dir: str, amplify: int = 1, fatten: int = 1):
+def build_payload(sf_dir: str, amplify: int = 1, fatten: int = 1,
+                  emit_sets: bool = False):
     """webpages parquet → per-page payload Dataset (the shared table)."""
     import ray.data as rd
 
@@ -62,7 +63,7 @@ def build_payload(sf_dir: str, amplify: int = 1, fatten: int = 1):
     pages = rd.read_parquet(path, columns=["url", "html"],
                             override_num_blocks=num_blocks)
     extracted = extract_pages(pages)
-    return sign_pages(extracted)
+    return sign_pages(extracted, emit_sets=emit_sets)
 
 
 def er_cluster_pages(
@@ -73,6 +74,7 @@ def er_cluster_pages(
     amplify: int = 1,
     fatten: int = 1,
     exchange_root: str | None = None,
+    exact_verify: bool = False,
 ):
     """Full pipeline → Dataset(url, cluster_id).
 
@@ -90,7 +92,7 @@ def er_cluster_pages(
     payload, _scored, edges = er_edges(
         sf_dir, threshold=threshold, max_block_size=max_block_size,
         num_partitions=num_partitions, amplify=amplify, fatten=fatten,
-        exchange_root=exchange_root,
+        exchange_root=exchange_root, exact_verify=exact_verify,
     )
 
     vertices = payload.select_columns(["page_id", "url"])
@@ -100,18 +102,35 @@ def er_cluster_pages(
         {"component": "cluster_id"})
 
 
+# borderline band half-width for the exact-verification tier: the
+# 128-perm MinHash estimate has σ ≈ 0.044, so ±0.12 ≈ 2.7σ covers the
+# estimates whose true Jaccard may sit on the other side of 0.5
+EXACT_VERIFY_MARGIN = 0.12
+EXACT_JACCARD_THRESHOLD = 0.5
+
+
 def er_edges(sf_dir: str, threshold: float = DEFAULT_THRESHOLD,
              max_block_size: int = DEFAULT_MAX_BLOCK_SIZE, num_partitions: int | None = None,
-             amplify: int = 1, fatten: int = 1, exchange_root: str | None = None):
+             amplify: int = 1, fatten: int = 1, exchange_root: str | None = None,
+             exact_verify: bool = False):
     """Payload + scored pairs + accepted edges (shared pipeline head).
 
     ``exchange_root``: directory for the disk exchange's partitioned
     files — on a multi-node cluster pass SHARED storage (defaults to
-    $REFINED_RAY_EXCHANGE_ROOT or node-local /tmp, single-node only)."""
+    $REFINED_RAY_EXCHANGE_ROOT or node-local /tmp, single-node only).
+
+    ``exact_verify``: adds the exact tier — pairs whose MinHash
+    Jaccard estimate falls inside ±EXACT_VERIFY_MARGIN of the 0.5
+    component threshold are re-decided by EXACT set Jaccard (sorted
+    shingle sets joined onto just the borderline pairs).  Estimates
+    outside the band keep the cheap composite decision.  Costs one
+    extra payload column (~8 B/distinct shingle/page) and two joins
+    over the (small) borderline subset."""
     from .. import default_num_partitions
 
     num_partitions = num_partitions or default_num_partitions()
-    payload = build_payload(sf_dir, amplify=amplify, fatten=fatten).materialize()  # reused by 3 consumers
+    payload = build_payload(sf_dir, amplify=amplify, fatten=fatten,
+                            emit_sets=exact_verify).materialize()  # reused by 3 consumers
 
     # Payload attachment: broadcast when the payload fits in worker
     # memory (one ray.put, zero joins — the join path's enriched pair
@@ -151,8 +170,54 @@ def er_edges(sf_dir: str, threshold: float = DEFAULT_THRESHOLD,
     else:
         enriched = attach_payloads(pairs, payload, num_partitions=num_partitions)
         scored, edges = score_pairs(enriched, threshold=threshold)
+    if exact_verify:
+        edges = _exact_verify_edges(scored, payload, threshold=threshold,
+                                    num_partitions=num_partitions)
     edges = edges.materialize()
     return payload, scored, edges
+
+
+def _exact_verify_edges(scored, payload, threshold: float, num_partitions: int):
+    """Tiered decision: inside the borderline estimate band, EXACT set
+    Jaccard decides (the estimator cannot be trusted at the 0.5
+    component boundary); outside it, estimates ≥ hi accept and low
+    estimates fall back to the composite score, which rescues true
+    pairs whose MinHash estimate (OPH downward bias up to the empty-
+    bucket fraction) undershot the band."""
+    import pyarrow as pa
+
+    from ..functions.arrowbuf import exact_jaccard_pairs
+
+    lo = EXACT_JACCARD_THRESHOLD - EXACT_VERIFY_MARGIN
+    hi = EXACT_JACCARD_THRESHOLD + EXACT_VERIFY_MARGIN
+    confident = scored.filter(
+        expr=f"est_jaccard >= {hi} or (est_jaccard <= {lo} and score >= {threshold})"
+    ).select_columns(["a", "b"])
+    borderline = scored.filter(
+        expr=f"est_jaccard > {lo} and est_jaccard < {hi}").select_columns(["a", "b"])
+
+    borderline = borderline.materialize()
+    if borderline.count() == 0:  # empty build side breaks Ray's hash join
+        return confident
+
+    sets = payload.select_columns(["page_id", "set"])
+    a_side = sets.rename_columns({"page_id": "a", "set": "set_a"})
+    b_side = sets.rename_columns({"page_id": "b", "set": "set_b"})
+    enriched = borderline.join(a_side, join_type="inner",
+                               num_partitions=num_partitions, on=("a",)) \
+                         .join(b_side, join_type="inner",
+                               num_partitions=num_partitions, on=("b",))
+
+    def decide(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        j = exact_jaccard_pairs(b["set_a"], b["set_b"])
+        keep = pa.array(j >= EXACT_JACCARD_THRESHOLD)
+        return b.select(["a", "b"]).filter(keep)
+
+    verified = enriched.map_batches(decide, batch_format="pyarrow")
+    return confident.union(verified)
 
 
 def er_cluster_pages_checkpointed(

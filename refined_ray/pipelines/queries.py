@@ -614,33 +614,18 @@ def _neardup_pairs(sf_dir: str, shingle_k: int, threshold: float, num_bands: int
     enriched = enriched.join(b_side, join_type="inner", num_partitions=nparts, on=("b",)).materialize()
 
     def verify(b: pa.Table) -> pa.Table:
-        """Exact set-Jaccard, fully vectorized: both sets of every pair
-        are distinct within themselves, so after one lexsort of (pair,
-        value) over the concatenated streams, each adjacent duplicate IS
-        one intersection element — counted per pair with bincount.  The
-        blob columns are read via zero-copy offset math (arrowbuf), no
-        per-cell .as_py()."""
-        from ..functions.arrowbuf import u64_segments
+        """Exact set-Jaccard via the shared vectorized kernel
+        (functions/arrowbuf.exact_jaccard_pairs) — zero-copy offset
+        math, no per-cell .as_py()."""
+        from ..functions.arrowbuf import exact_jaccard_pairs
 
-        n = b.num_rows
-        if n == 0:
+        if b.num_rows == 0:
             return pa.table({"doc_a": pa.array([], type=pa.int64()),
                              "doc_b": pa.array([], type=pa.int64()),
                              "jaccard": pa.array([], type=pa.float64())})
+        j = exact_jaccard_pairs(b["set_a"], b["set_b"])
         a_ids = b["a"].to_numpy(zero_copy_only=False)
         b_ids = b["b"].to_numpy(zero_copy_only=False)
-        A, offa = u64_segments(b["set_a"])
-        B, offb = u64_segments(b["set_b"])
-        na, nb = np.diff(offa), np.diff(offb)
-        pid = np.concatenate([np.repeat(np.arange(n), na),
-                              np.repeat(np.arange(n), nb)])
-        vals = np.concatenate([A, B])
-        order = np.lexsort((vals, pid))
-        p, v = pid[order], vals[order]
-        dup = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
-        inter = np.bincount(p[1:][dup], minlength=n)
-        union = na + nb - inter
-        j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         m = j >= threshold
         return pa.table({"doc_a": pa.array(a_ids[m], type=pa.int64()),
                          "doc_b": pa.array(b_ids[m], type=pa.int64()),

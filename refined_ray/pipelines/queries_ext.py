@@ -1186,6 +1186,16 @@ def q_er_quality(sf_dir: str):
     return er_quality(sf_dir)
 
 
+def q_er_clusters_exact(sf_dir: str):
+    """Flagship ER with the exact-verification tier: borderline MinHash
+    estimates (±0.12 of the 0.5 component threshold) re-decided by
+    EXACT set Jaccard over joined shingle sets.  Rows-only (same
+    rows/schema as er_clusters; the F1 gates live in pytest)."""
+    from .entity_resolution import er_cluster_pages
+
+    return er_cluster_pages(sf_dir, exact_verify=True)
+
+
 def q_er_clusters_checkpointed(sf_dir: str):
     """Flagship ER through the per-stage checkpoint/lineage layer; a
     repeated call with unchanged inputs resumes from the manifests."""
@@ -1223,6 +1233,7 @@ EXT_QUERIES = {
     "table_link": q_table_link,
     "media_features": q_media_features,
     "er_quality": q_er_quality,
+    "er_clusters_exact": q_er_clusters_exact,
     "er_clusters_checkpointed": q_er_clusters_checkpointed,
 }
 

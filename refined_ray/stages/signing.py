@@ -42,7 +42,12 @@ def page_id_array(urls) -> np.ndarray:
     return np.array([stable_hash64_str(u) for u in urls], dtype=np.uint64).view(np.int64)
 
 
-def sign_pages_batch(batch: pa.Table, text_col: str = "extracted_text") -> pa.Table:
+def sign_pages_batch(batch: pa.Table, text_col: str = "extracted_text",
+                     emit_sets: bool = False) -> pa.Table:
+    """``emit_sets=True`` adds a ``set`` column (sorted-distinct shingle
+    hashes, little-endian uint64 bytes) enabling the exact-verification
+    tier of the ER pipeline — ~8 B per distinct shingle per page, so
+    only requested when exact semantics are needed."""
     import pyarrow.compute as pc
 
     from ..functions.tokenize import tokenize_hash_arrow
@@ -75,19 +80,35 @@ def sign_pages_batch(batch: pa.Table, text_col: str = "extracted_text") -> pa.Ta
     heads = pc.binary_join(head_list, " ")
     head_norm = normalize_surface_array(heads)
 
-    return pa.table(
-        {
-            "page_id": pa.array(page_id_array(urls), type=pa.int64()),
-            "url": batch["url"],
-            "head": head_norm,
-            "sig": pa.array([sig[i].tobytes() for i in range(n)], type=pa.binary()),
-            "emb": pa.array([emb[i].tobytes() for i in range(n)], type=pa.binary()),
-            "n_tokens": pa.array(np.diff(starts).astype(np.int32)),
-        }
-    )
+    cols = {
+        "page_id": pa.array(page_id_array(urls), type=pa.int64()),
+        "url": batch["url"],
+        "head": head_norm,
+        "sig": pa.array([sig[i].tobytes() for i in range(n)], type=pa.binary()),
+        "emb": pa.array([emb[i].tobytes() for i in range(n)], type=pa.binary()),
+        "n_tokens": pa.array(np.diff(starts).astype(np.int32)),
+    }
+    if emit_sets:
+        # per-doc sorted-distinct shingle sets, one lexsort + segment
+        # dedup over the flat stream (no per-doc np.unique loop)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(sh_starts))
+        order = np.lexsort((sh, doc_idx))
+        d_s, v_s = doc_idx[order], sh[order]
+        keep = np.r_[True, (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])]
+        d_s, v_s = d_s[keep], v_s[keep]
+        set_counts = np.bincount(d_s, minlength=n)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(set_counts * 8, out=offsets[1:])
+        cols["set"] = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offsets.astype(np.int32).tobytes()),
+             pa.py_buffer(v_s.tobytes())])
+    return pa.table(cols)
 
 
-def sign_pages(pages, text_col: str = "extracted_text", **map_kwargs):
+def sign_pages(pages, text_col: str = "extracted_text", emit_sets: bool = False,
+               **map_kwargs):
     return pages.map_batches(
-        lambda b: sign_pages_batch(b, text_col=text_col), batch_format="pyarrow", **map_kwargs
+        lambda b: sign_pages_batch(b, text_col=text_col, emit_sets=emit_sets),
+        batch_format="pyarrow", **map_kwargs
     )
