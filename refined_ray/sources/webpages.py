@@ -86,9 +86,8 @@ def _page_url(source: str, doc_id: int, variant: int) -> str:
 #   each repetition with 5% seeded dropout.  Shingle SETS are nearly
 #   unchanged, so the entity structure (exact-Jaccard components) is
 #   recomputed on the fattened texts and stays clean.
-# - ``amplify=K``: K corpus copies; copy c>0 rewrites a deterministic
-#   the VOCABULARY (every token t -> t + "c<c>x",
-#   appended).  The rewrite is
+# - ``amplify=K``: K corpus copies; copy c>0 deterministically rewrites
+#   the VOCABULARY (every token t -> t + "c<c>x").  The rewrite is
 #   a bijection on tokens, uniform across all docs of the copy, so
 #   within-copy Jaccard — and hence the entity ground truth — is
 #   IDENTICAL to the base corpus, while cross-copy 3-shingle Jaccard
