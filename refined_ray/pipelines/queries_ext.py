@@ -1157,6 +1157,26 @@ WHERE r.rank <= 3
 # ---------------------------------------------------------------------
 
 
+def q_media_frames(sf_dir: str):
+    """Video-shaped frame sampling over opaque blobs (rows-only: the
+    frame slicing is engine-internal plumbing; the pytest gate checks
+    fan-out counts and stride)."""
+    from ..stages.multimodal import frame_sample_stage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "media": pa.array([t.encode() for t in b["text"].to_pylist()],
+                              type=pa.binary()),
+        })
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    out = frame_sample_stage(media)
+    return out.select_columns(["doc_id", "frame_idx", "n_frames", "frame_mean"])
+
+
 def q_media_features(sf_dir: str):
     """Treat each document's utf-8 bytes as an opaque media blob and run
     the actor-pool feature extractor (stages/multimodal.py)."""
@@ -1232,6 +1252,7 @@ EXT_QUERIES = {
     "doc_windows": q_doc_windows,
     "table_link": q_table_link,
     "media_features": q_media_features,
+    "media_frames": q_media_frames,
     "er_quality": q_er_quality,
     "er_clusters_exact": q_er_clusters_exact,
     "er_clusters_checkpointed": q_er_clusters_checkpointed,
@@ -1370,7 +1391,119 @@ def q_ann_ivf(sf_dir: str, k: int = 5, max_qid: int = 10, n_cells: int = 16,
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def q_ann_ivf_partitioned(sf_dir: str, k: int = 5, max_qid: int = 10,
+                          n_cells: int = 16, n_probe: int = 8):
+    """IVF with CELL-PARTITIONED STORAGE — the true 100 TB layout: the
+    corpus is written once as parquet partitioned by coarse cell, and
+    each query batch READS ONLY its probe-cell partitions (I/O pruning,
+    not just compute pruning like q_ann_ivf).  Rows-only; the pytest
+    gate asserts result parity with q_ann_ivf under identical
+    centroids and that non-probed partitions are never read."""
+    import os
+    import shutil
+    import uuid
+
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from ..stages.exchange import EXCHANGE_ROOT
+    from .queries import _read
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    # centroids + queries: same bounded-sample scheme as q_ann_ivf
+    sample = ds.limit(n_cells * 64).take_all()
+    S = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(S, axis=1, keepdims=True)
+    np.divide(S, norms, out=S, where=norms > 0)
+    C = S[::max(len(S) // n_cells, 1)][:n_cells]
+    qrows = sorted((r["vec_id"], r["embedding"])
+                   for r in ds.filter(expr=f"vec_id < {max_qid}").take_all())
+    qids = np.array([v for v, _ in qrows], dtype=np.int64)
+    Q = np.array([e for _, e in qrows], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
+    ref = ray.put((qids, Q, probe, C))
+
+    # ONE partitioned write (at 100 TB this is the index-build job,
+    # amortized over every later query)
+    root = os.path.join(EXCHANGE_ROOT, "ivf-" + uuid.uuid4().hex)
+
+    class AssignCells:
+        def __init__(self):
+            _, _, _, self.C = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            E = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+            nn = np.linalg.norm(E, axis=1, keepdims=True)
+            np.divide(E, nn, out=E, where=nn > 0)
+            cell = np.argmax(E @ self.C.T, axis=1).astype(np.int64)
+            # "cell" drives the hive partitioning (stripped from data
+            # files); "cellv" keeps the value readable per row
+            b = b.append_column("cell", pa.array(cell, type=pa.int64()))
+            return b.append_column("cellv", pa.array(cell, type=pa.int64()))
+
+    ds.map_batches(AssignCells, batch_format="pyarrow", concurrency=(1, 4)) \
+      .write_parquet(root, partition_cols=["cell"])
+
+    # read ONLY the probed partitions
+    import glob
+
+    probed = sorted({int(c) for row in probe for c in row})
+    files = [f for c in probed
+             for f in glob.glob(os.path.join(root, f"cell={c}", "*.parquet"))]
+    pruned = rd.read_parquet(files)
+
+    class Search:
+        def __init__(self):
+            self.qids, self.Q, self.probe, _ = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            vids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            E = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+            nn = np.linalg.norm(E, axis=1, keepdims=True)
+            np.divide(E, nn, out=E, where=nn > 0)
+            cell = b["cellv"].to_numpy(zero_copy_only=False)
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(self.qids):
+                m = np.isin(cell, self.probe[j]) & (vids != qid)
+                if not m.any():
+                    continue
+                cos = E[m] @ self.Q[j]
+                sel = vids[m]
+                order = np.lexsort((sel, -cos))[:5]
+                out_q.append(np.full(len(order), qid, dtype=np.int64))
+                out_n.append(sel[order])
+                out_c.append(cos[order])
+            if not out_q:
+                return pa.table({"query_id": pa.array([], type=pa.int64()),
+                                 "neighbor_id": pa.array([], type=pa.int64()),
+                                 "cos": pa.array([], type=pa.float64())})
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
+                "cos": pa.array(np.concatenate(out_c), type=pa.float64()),
+            })
+
+    partial = pruned.map_batches(Search, batch_format="pyarrow", concurrency=(1, 4))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "query_id": g["query_id"].to_numpy(),
+            "neighbor_id": g["neighbor_id"].to_numpy(),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    out = partial.groupby("query_id").map_groups(
+        final_topk, batch_format="pandas").materialize()
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 EXT_QUERIES["ann_ivf"] = q_ann_ivf  # defined below the dict
+EXT_QUERIES["ann_ivf_partitioned"] = q_ann_ivf_partitioned
 
 # complete the catalog registration for the queries_ext-first import
 # order (queries.py skips its own update when this module is mid-import)

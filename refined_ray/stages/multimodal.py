@@ -83,3 +83,60 @@ def media_feature_stage(ds, id_col: str = "doc_id", media_col: str = "media",
         fn_constructor_kwargs={"id_col": id_col, "media_col": media_col},
         concurrency=concurrency, batch_size=batch_size,
     )
+
+
+class FrameSampler:
+    """Actor-pool stage: video-shaped binary blob → sampled frame rows.
+
+    A "video" is an opaque byte stream of fixed-size frame records
+    (``frame_bytes`` each; a real container parser replaces the slicing
+    exactly like ``_decode_stub`` replaces a real image decoder).  Every
+    ``stride``-th frame is sampled and emitted as its OWN row — the
+    fan-out (flat_map) shape every video pipeline needs, with the blob
+    sliced zero-copy per frame.  Output:
+      (id:int64, frame_idx:int64, n_frames:int64, frame_mean:float64,
+       frame:binary[frame_bytes])
+    """
+
+    def __init__(self, id_col: str = "doc_id", media_col: str = "media",
+                 frame_bytes: int = 256, stride: int = 4):
+        self.id_col = id_col
+        self.media_col = media_col
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        blobs = batch[self.media_col].to_pylist()
+        out = {"id": [], "frame_idx": [], "n_frames": [], "frame_mean": [],
+               "frame": []}
+        for vid, blob in zip(ids, blobs):
+            view = np.frombuffer(blob, dtype=np.uint8)
+            n_frames = len(view) // self.frame_bytes
+            for fi in range(0, n_frames, self.stride):
+                frame = view[fi * self.frame_bytes:(fi + 1) * self.frame_bytes]
+                out["id"].append(vid)
+                out["frame_idx"].append(fi)
+                out["n_frames"].append(n_frames)
+                out["frame_mean"].append(float(frame.mean()))
+                out["frame"].append(frame.tobytes())
+        return pa.table({
+            self.id_col: pa.array(out["id"], type=pa.int64()),
+            "frame_idx": pa.array(out["frame_idx"], type=pa.int64()),
+            "n_frames": pa.array(out["n_frames"], type=pa.int64()),
+            "frame_mean": pa.array(out["frame_mean"], type=pa.float64()),
+            "frame": pa.array(out["frame"], type=pa.binary()),
+        })
+
+
+def frame_sample_stage(ds, id_col: str = "doc_id", media_col: str = "media",
+                       frame_bytes: int = 256, stride: int = 4,
+                       concurrency=(1, 4), batch_size: int = 64):
+    """Frame sampling with SMALL batches: the fan-out multiplies rows
+    by n_frames/stride, so batch × expansion must fit worker heap."""
+    return ds.map_batches(
+        FrameSampler, batch_format="pyarrow",
+        fn_constructor_kwargs={"id_col": id_col, "media_col": media_col,
+                               "frame_bytes": frame_bytes, "stride": stride},
+        concurrency=concurrency, batch_size=batch_size,
+    )
