@@ -1177,6 +1177,24 @@ def q_media_frames(sf_dir: str):
     return out.select_columns(["doc_id", "frame_idx", "n_frames", "frame_mean"])
 
 
+def q_media_resize(sf_dir: str):
+    """Decode → bilinear resize to 8×8 → bytes (rows-only: stub
+    decoder; the resize math is pytest-gated)."""
+    from ..stages.multimodal import media_resize_stage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "media": pa.array([t.encode() for t in b["text"].to_pylist()],
+                              type=pa.binary()),
+        })
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    return media_resize_stage(media).select_columns(["doc_id", "height", "width"])
+
+
 def q_media_features(sf_dir: str):
     """Treat each document's utf-8 bytes as an opaque media blob and run
     the actor-pool feature extractor (stages/multimodal.py)."""
@@ -1253,6 +1271,7 @@ EXT_QUERIES = {
     "table_link": q_table_link,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
+    "media_resize": q_media_resize,
     "er_quality": q_er_quality,
     "er_clusters_exact": q_er_clusters_exact,
     "er_clusters_checkpointed": q_er_clusters_checkpointed,

@@ -85,6 +85,63 @@ def media_feature_stage(ds, id_col: str = "doc_id", media_col: str = "media",
     )
 
 
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized bilinear resize of a 2-D uint8 image (align-corners
+    sampling).  Pure numpy — a real deployment swaps in a library
+    resize exactly like ``_decode_stub`` swaps for a real decoder, but
+    unlike the decoder this op needs no external library at all."""
+    h, w = img.shape
+    ys = np.linspace(0, h - 1, out_h)
+    xs = np.linspace(0, w - 1, out_w)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0)[:, None]
+    fx = (xs - x0)[None, :]
+    f = img.astype(np.float64)
+    top = f[y0[:, None], x0[None, :]] * (1 - fx) + f[y0[:, None], x1[None, :]] * fx
+    bot = f[y1[:, None], x0[None, :]] * (1 - fx) + f[y1[:, None], x1[None, :]] * fx
+    return np.clip(top * (1 - fy) + bot * fy, 0, 255).round().astype(np.uint8)
+
+
+class MediaResizer:
+    """Actor-pool stage: decode → resize to a fixed (h, w) → re-emit as
+    bytes (the standard image-normalization step before a model stage).
+    Output: (id:int64, height:int64, width:int64, image:binary[h*w])."""
+
+    def __init__(self, id_col: str = "doc_id", media_col: str = "media",
+                 out_h: int = 8, out_w: int = 8):
+        self.id_col = id_col
+        self.media_col = media_col
+        self.out_h = out_h
+        self.out_w = out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        blobs = batch[self.media_col].to_pylist()
+        imgs = [resize_bilinear(_decode_stub(b), self.out_h, self.out_w).tobytes()
+                for b in blobs]
+        n = len(ids)
+        return pa.table({
+            self.id_col: pa.array(ids, type=pa.int64()),
+            "height": pa.array([self.out_h] * n, type=pa.int64()),
+            "width": pa.array([self.out_w] * n, type=pa.int64()),
+            "image": pa.array(imgs, type=pa.binary()),
+        })
+
+
+def media_resize_stage(ds, id_col: str = "doc_id", media_col: str = "media",
+                       out_h: int = 8, out_w: int = 8,
+                       concurrency=(1, 4), batch_size: int = 256):
+    return ds.map_batches(
+        MediaResizer, batch_format="pyarrow",
+        fn_constructor_kwargs={"id_col": id_col, "media_col": media_col,
+                               "out_h": out_h, "out_w": out_w},
+        concurrency=concurrency, batch_size=batch_size,
+    )
+
+
 class FrameSampler:
     """Actor-pool stage: video-shaped binary blob → sampled frame rows.
 
