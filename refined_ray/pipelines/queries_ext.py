@@ -819,6 +819,52 @@ WHERE len(list_intersect(string_split(p.surface, ' '), t.parts)) > 0
 
 
 # ---------------------------------------------------------------------
+# A6: 2-pass global max + fill (≙ reference
+# generate_qcode_to_type_indices.py:47-77: pass 1 finds the global max
+# classes-per-entity, pass 2 pads every row to that width).  Pass 1 is
+# a scalar aggregate; the scalar broadcasts into the pass-2 map.
+# ---------------------------------------------------------------------
+
+
+def q_global_pad(sf_dir: str):
+    from ray.data.aggregate import Max
+
+    from ..functions.tokenize import tokenize_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_tokens(b: pa.Table) -> pa.Table:
+        _, starts = tokenize_batch(b["text"].to_pylist())
+        return pa.table({"doc_id": b["doc_id"],
+                         "n": pa.array(np.diff(np.asarray(starts)), type=pa.int64())})
+
+    counts = ds.map_batches(count_tokens, batch_format="pyarrow").materialize()
+    width = int(counts.aggregate(Max("n", alias_name="w"))["w"])  # pass 1
+
+    def pad(b: pa.Table) -> pa.Table:  # pass 2: fill to the global max
+        n = b["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": b["n"],
+            "padded_width": pa.array(np.full(len(n), width, dtype=np.int64)),
+            "n_pad": pa.array(width - n, type=pa.int64()),
+        })
+
+    return counts.map_batches(pad, batch_format="pyarrow")
+
+
+SQL_GLOBAL_PAD = f"""
+WITH c AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+), m AS (SELECT max(n_tokens) AS w FROM c)
+SELECT doc_id, n_tokens,
+       CAST((SELECT w FROM m) AS BIGINT) AS padded_width,
+       CAST((SELECT w FROM m) - n_tokens AS BIGINT) AS n_pad
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------
 # M7: sentence splitting (functions/sentences.py ≙ reference Punkt
 # splitter, preprocessor.py:240-247).  The corpus has no sentence
 # punctuation, so each doc's filtered tokens are chunked into 8-token
@@ -1269,6 +1315,7 @@ EXT_QUERIES = {
     "entity_index": q_entity_index,
     "doc_windows": q_doc_windows,
     "table_link": q_table_link,
+    "global_pad": q_global_pad,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
     "media_resize": q_media_resize,
@@ -1295,6 +1342,7 @@ EXT_ORACLES = {
     "entity_index": SQL_ENTITY_INDEX,
     "doc_windows": SQL_DOC_WINDOWS,
     "table_link": SQL_TABLE_LINK,
+    "global_pad": SQL_GLOBAL_PAD,
     # corpus_shuffle: rows-only (engine-internal permutation; pytest
     # gate asserts permutation + fixed-seed determinism)
     # simhash_*, media_features, er_quality: rows-only (engine hashes /
