@@ -848,9 +848,17 @@ def q_embedding_pairs(sf_dir: str, threshold: float = 0.45, n_chunks: int = 8):
         fid = hashlib.blake2b(vids.tobytes(), digest_size=16).hexdigest()
         for c in np.unique(chunk):
             m = chunk == c
+            # fixed-stride rows → one flat buffer + arithmetic offsets
+            # (no per-row python tobytes)
+            sub = np.ascontiguousarray(E[m])
+            width = sub.shape[1] * 8
+            offs = (np.arange(sub.shape[0] + 1, dtype=np.int64) * width).astype(np.int32)
+            emb_arr = pa.Array.from_buffers(
+                pa.binary(), sub.shape[0],
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(sub.tobytes())])
             tbl = pa.table({
                 "vec_id": pa.array(vids[m], type=pa.int64()),
-                "emb": pa.array([row.tobytes() for row in E[m]], type=pa.binary()),
+                "emb": emb_arr,
             })
             final = os.path.join(root, f"chunk={int(c)}", f"{fid}.parquet")
             tmp = final + f".{uuid.uuid4().hex}.tmp"
