@@ -71,6 +71,42 @@ def configure_data_context() -> None:
     ctx.read_op_min_num_blocks = max(2, 2 * n)
 
 
+def scrub_empty_blocks(mds, fallback_schema=None):
+    """Rebuild a MATERIALIZED dataset without its empty blocks.
+
+    Ray 2.49's hash joins/shuffles emit ZERO-COLUMN empty blocks for
+    partitions that received no rows, and ``map_batches`` UDFs are not
+    invoked on empty input blocks — so schema pinning inside a UDF
+    cannot repair them.  Mixed-schema empty blocks then flakily crash
+    downstream join/sort finalization (``ArrowInvalid: No match for
+    FieldRef``, placement-dependent) and log "RefBundle with a
+    different schema" warnings.  This drops them by block METADATA
+    only — no block is fetched or copied; the kept refs are reused in
+    place — so it costs O(num_blocks) driver work regardless of data
+    size.
+
+    Must be called on a materialized dataset (otherwise the bundle
+    iteration would trigger execution here).  When every block is
+    empty, returns an empty dataset with ``fallback_schema`` (or the
+    dataset's own reported schema).
+    """
+    import ray.data as rd
+
+    refs = [block_ref
+            for bundle in mds.iter_internal_ref_bundles()
+            for block_ref, meta in bundle.blocks
+            if meta.num_rows is None or meta.num_rows > 0]
+    if not refs:
+        import pyarrow as pa
+
+        schema = fallback_schema
+        if schema is None:
+            reported = mds.schema(fetch_if_missing=False)
+            schema = getattr(reported, "base_schema", None) or pa.schema([])
+        return rd.from_arrow(schema.empty_table())
+    return rd.from_arrow_refs(refs)
+
+
 def default_num_partitions() -> int:
     """Partition count for explicit keyed shuffles/joins.
 

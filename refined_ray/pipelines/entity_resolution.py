@@ -174,6 +174,17 @@ def er_edges(sf_dir: str, threshold: float = DEFAULT_THRESHOLD,
         edges = _exact_verify_edges(scored, payload, threshold=threshold,
                                     num_partitions=num_partitions)
     edges = edges.materialize()
+    if exact_verify:
+        # the exact tier's hash joins emit zero-column blocks for empty
+        # partitions; drop them (metadata-only) so the clustering
+        # shuffles downstream never see mixed-schema empties
+        import pyarrow as pa
+
+        from .. import scrub_empty_blocks
+
+        edges = scrub_empty_blocks(
+            edges, fallback_schema=pa.schema([("a", pa.int64()),
+                                              ("b", pa.int64())]))
     return payload, scored, edges
 
 
@@ -190,15 +201,46 @@ def _exact_verify_edges(scored, payload, threshold: float, num_partitions: int):
 
     lo = EXACT_JACCARD_THRESHOLD - EXACT_VERIFY_MARGIN
     hi = EXACT_JACCARD_THRESHOLD + EXACT_VERIFY_MARGIN
-    confident = scored.filter(
-        expr=f"est_jaccard >= {hi} or (est_jaccard <= {lo} and score >= {threshold})"
-    ).select_columns(["a", "b"])
-    borderline = scored.filter(
-        expr=f"est_jaccard > {lo} and est_jaccard < {hi}").select_columns(["a", "b"])
+
+    # Filter + project in ONE map with a pinned output schema.  Ray
+    # 2.49's filter(expr) forwards fully-emptied blocks WITHOUT the
+    # downstream select_columns projection (and empty scorer blocks can
+    # be zero-column), so a filter().select_columns() chain feeds
+    # mixed-schema empty blocks into the hash joins below — whose
+    # finalize then crashes (ArrowInvalid) whenever such a block lands
+    # in a non-empty aggregator partition.  A single map_batches that
+    # always emits (a:int64, b:int64) closes that hazard.
+    _AB = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def _band(t: pa.Table, keep_border: bool) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "est_jaccard" not in t.schema.names:
+            return _AB.empty_table()
+        est, score = t["est_jaccard"], t["score"]
+        if keep_border:
+            mask = pc.and_(pc.greater(est, lo), pc.less(est, hi))
+        else:
+            mask = pc.or_(pc.greater_equal(est, hi),
+                          pc.and_(pc.less_equal(est, lo),
+                                  pc.greater_equal(score, threshold)))
+        return t.select(["a", "b"]).filter(mask).cast(_AB)
+
+    confident = scored.map_batches(lambda t: _band(t, False),
+                                   batch_format="pyarrow")
+    borderline = scored.map_batches(lambda t: _band(t, True),
+                                    batch_format="pyarrow")
+
+    from .. import scrub_empty_blocks
 
     borderline = borderline.materialize()
     if borderline.count() == 0:  # empty build side breaks Ray's hash join
         return confident
+    # empty scorer blocks bypass _band (map UDFs never see empty
+    # blocks), so scrub them before the joins: a zero-column empty
+    # block landing in a non-empty join aggregator partition raises
+    # ArrowInvalid (placement-dependent — the round-1 flake)
+    borderline = scrub_empty_blocks(borderline, fallback_schema=_AB)
 
     sets = payload.select_columns(["page_id", "set"])
     a_side = sets.rename_columns({"page_id": "a", "set": "set_a"})
@@ -207,6 +249,11 @@ def _exact_verify_edges(scored, payload, threshold: float, num_partitions: int):
                                num_partitions=num_partitions, on=("a",)) \
                          .join(b_side, join_type="inner",
                                num_partitions=num_partitions, on=("b",))
+    # the joins themselves emit zero-column blocks for empty partitions;
+    # drop them so `decide` and the union below see one schema
+    enriched = scrub_empty_blocks(enriched.materialize())
+    if enriched.count() == 0:
+        return confident
 
     def decide(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
