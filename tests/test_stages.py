@@ -247,3 +247,27 @@ def test_jsonl_roundtrip(ray_session, tmp_path):
     orig = tbl.to_pandas().sort_values("id").reset_index(drop=True)
     assert back[["id", "name"]].equals(orig[["id", "name"]])
     assert (back["score"] - orig["score"]).abs().max() < 1e-12
+
+
+def test_scrub_empty_blocks(ray_session):
+    """Zero-column empty blocks (Ray 2.49 join/shuffle artifacts) are
+    dropped by metadata only; an all-empty dataset keeps the fallback
+    schema instead of going zero-column."""
+    import ray.data as rd
+
+    from refined_ray import scrub_empty_blocks
+
+    ab = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    good = rd.from_arrow(pa.table({"a": [1, 2], "b": [3, 4]}))
+    empty_zero_col = rd.from_arrow(pa.schema([]).empty_table())
+    mixed = good.union(empty_zero_col).materialize()
+
+    scrubbed = scrub_empty_blocks(mixed, fallback_schema=ab)
+    tables = [b for b in scrubbed.iter_batches(batch_format="pyarrow")]
+    assert all(t.num_rows > 0 and t.schema.names == ["a", "b"] for t in tables)
+    assert scrubbed.count() == 2
+
+    all_empty = empty_zero_col.materialize()
+    out = scrub_empty_blocks(all_empty, fallback_schema=ab)
+    assert out.count() == 0
+    assert out.schema().base_schema.equals(ab)
