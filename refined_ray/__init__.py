@@ -23,6 +23,51 @@ the caller (bench.py, tests/conftest.py, or the evaluation driver).
 __version__ = "0.1.0"
 
 
+def _install_ray_log_filters() -> None:
+    """Mute two known-benign Ray 2.49 log warts, and ONLY those.
+
+    - "Operator produced a RefBundle with a different schema ... new
+      schema: ." — hash shuffles/joins/aggregates emit ZERO-COLUMN
+      bundles for partitions that received no rows, so every query
+      with a possibly-empty shuffle partition logs this.  Only the
+      zero-column variant is muted (matched on "new schema: ."); a
+      real typed-vs-typed mismatch still warns.
+    - "Failed to hash the schemas (for deduplication): unhashable
+      type" — Ray's schema-dedup fast path falls back to full
+      unification when a schema is unhashable; the fallback is the
+      correct path, the warning is noise.
+
+    Installed at package import so worker processes that deserialize
+    our UDFs (and hence import this package) filter their forwarded
+    logs too.  Where zero-column empties could affect CORRECTNESS
+    (join inputs, clustering shuffles) they are removed outright by
+    ``scrub_empty_blocks`` / schema-pinning maps — this filter only
+    silences the cases that are cosmetic.
+    """
+    import logging
+
+    class _BenignRayWarts(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            try:
+                msg = record.getMessage()
+            except Exception:
+                return True
+            if "a RefBundle with a different schema" in msg:
+                return "new schema: ." not in msg
+            if "Failed to hash the schemas (for deduplication)" in msg:
+                return "unhashable type" not in msg
+            return True
+
+    for name in (
+        "ray.data._internal.execution.streaming_executor_state",
+        "ray.data._internal.arrow_ops.transform_pyarrow",
+    ):
+        logging.getLogger(name).addFilter(_BenignRayWarts())
+
+
+_install_ray_log_filters()
+
+
 def configure_data_context() -> None:
     """Idempotent per-process Ray Data tuning for this engine.
 
