@@ -1572,6 +1572,13 @@ def q_ann_ivf_partitioned(sf_dir: str, k: int = 5, max_qid: int = 10,
 EXT_QUERIES["ann_ivf"] = q_ann_ivf  # defined below the dict
 EXT_QUERIES["ann_ivf_partitioned"] = q_ann_ivf_partitioned
 
+# benchmark-file readers (S5/S6) + collation (M9) live in their own
+# module; all three are oracle-checked
+from .queries_readers import READER_ORACLES, READER_QUERIES  # noqa: E402
+
+EXT_QUERIES.update(READER_QUERIES)
+EXT_ORACLES.update(READER_ORACLES)
+
 # complete the catalog registration for the queries_ext-first import
 # order (queries.py skips its own update when this module is mid-import)
 from .queries import QUERIES as _QUERIES  # noqa: E402

@@ -1,0 +1,182 @@
+"""Catalog queries for the benchmark-file readers (S5/S6) and the
+collation stage (M9/O4).
+
+Each stages a deterministic fixture derived from the driver's test
+tables (no external data), reads it back through the distributed
+reader under test, and is checked against a DuckDB oracle that
+recomputes the same rows straight from the parquet tables.  Fixture
+staging is driver-side and side-table sized — the precedent set by
+``q_csv_customers`` — because the operator under test IS the file
+reader; corpus-scale ingestion stays on ``read_parquet``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from ..functions.tokenize import TOKEN_RE
+from .queries import _read, _TOKS
+
+_FIXTURE_ROOT = "/tmp/refined_ray_data/bench_fixtures"
+
+
+def _fixture_dir(sf_dir: str) -> str:
+    d = os.path.join(_FIXTURE_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+# ---------------------------------------------------------------------
+# S5: AIDA-means bz2 TSV reader (≙ reference loaders.py:197-205)
+# ---------------------------------------------------------------------
+
+
+def q_aida_means(sf_dir: str):
+    """Stage a bz2 ``"surface"\\twiki_page`` TSV from the part table
+    (every 7th part gets a ``_café`` suffix written as the
+    ``\\xe9`` unicode-escape, exercising the reader's unescape), then
+    read it back distributed.  Oracle recomputes from ``part``."""
+    import bz2
+
+    import pyarrow.parquet as pq
+
+    from ..sources.benchmarks import read_aida_means
+
+    path = os.path.join(_fixture_dir(sf_dir), "aida_means.tsv.bz2")
+    if not os.path.exists(path):
+        t = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                          columns=["p_partkey", "p_name"])
+        keys = t["p_partkey"].to_pylist()
+        names = t["p_name"].to_pylist()
+        tmp = path + ".tmp"
+        with bz2.open(tmp, "wt", encoding="ascii") as f:
+            for k, name in zip(keys, names):
+                wiki = name.replace(" ", "_")
+                if k % 7 == 0:
+                    wiki += "_café"
+                esc = wiki.encode("unicode_escape").decode("ascii")
+                f.write(f'"{name}"\t{esc}\n')
+        os.replace(tmp, path)
+    return read_aida_means(path)
+
+
+SQL_AIDA_MEANS = """
+SELECT p_name AS surface_form,
+       replace(p_name, ' ', '_')
+         || CASE WHEN p_partkey % 7 = 0 THEN '_café' ELSE '' END AS wiki_page
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------
+# S6: standard-format EL benchmark reader (≙ dataset_factory.py:22-185)
+# ---------------------------------------------------------------------
+
+
+def q_el_docs(sf_dir: str):
+    """Stage a standard-format EL JSONL from ``documents`` — one gold
+    span per doc covering its first token, uri =
+    ``http://en.wikipedia.org/wiki/<Title>`` (every 5th doc also gets
+    a non-wiki uri that the reader must skip) — then explode it back
+    through ``read_el_docs`` with a broadcast title→qcode dict.
+    Oracle recomputes the span rows from ``documents`` with the same
+    tokenizer contract."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from ..sources.benchmarks import WIKI_URI_PREFIX, read_el_docs
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    doc_ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+
+    t2q: dict[str, str] = {}
+    path = os.path.join(_fixture_dir(sf_dir), "el_docs.jsonl")
+    write = not os.path.exists(path)
+    lines = [] if write else None
+    for did, text in zip(doc_ids, texts):
+        m = TOKEN_RE.search(text.lower())
+        if m is None:
+            spans = []
+        else:
+            tok = m.group(0)
+            title = tok[:1].upper() + tok[1:]
+            t2q[title] = f"Q{ord(title[0])}"
+            uris = [WIKI_URI_PREFIX + title]
+            if did % 5 == 0:
+                uris.insert(0, "http://dbpedia.org/resource/" + title)
+            spans = [{"start": m.start(), "length": len(tok), "uris": uris}]
+        if write:
+            lines.append(json.dumps(
+                {"doc_id": did, "text": text, "spans": spans}))
+    if write:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, path)
+
+    return read_el_docs(path, title_to_qcode=t2q)
+
+
+SQL_EL_DOCS = f"""
+WITH f AS (
+  SELECT doc_id, text, list_extract({_TOKS}, 1) AS tok
+  FROM documents WHERE len({_TOKS}) > 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(strpos(lower(text), tok) - 1 AS BIGINT) AS span_start,
+       CAST(length(tok) AS BIGINT) AS span_ln,
+       substr(text, strpos(lower(text), tok), length(tok)) AS surface,
+       upper(substr(tok, 1, 1)) || substr(tok, 2) AS gold_title,
+       'Q' || CAST(ascii(upper(substr(tok, 1, 1))) AS VARCHAR) AS gold_qcode
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------
+# M9/O4: window collation (≙ preprocessing_utils.py:182-211,444-464)
+# ---------------------------------------------------------------------
+
+
+def q_collated_windows(sf_dir: str, max_seq: int = 64):
+    """Collate ``documents`` into padded token windows and project the
+    deterministic columns (window identity + token/pad counts).  The
+    padded id rows and micro-batch grouping are batch-local (like the
+    reference's collate) and are asserted by unit tests instead."""
+    from ..stages.collate import collate_windows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cw = collate_windows(ds, max_seq=max_seq)
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(["doc_id", "window_idx", "n_tokens", "n_pad"])
+
+    return cw.map_batches(project, batch_format="pyarrow")
+
+
+SQL_COLLATED_WINDOWS = f"""
+WITH t AS (
+  SELECT doc_id, unnest(range(1, len({_TOKS}) + 1)) AS ord FROM documents
+)
+SELECT doc_id, CAST((ord - 1) // 64 AS BIGINT) AS window_idx,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(64 - count(*) AS BIGINT) AS n_pad
+FROM t GROUP BY doc_id, (ord - 1) // 64
+"""
+
+
+READER_QUERIES = {
+    "aida_means": q_aida_means,
+    "el_docs": q_el_docs,
+    "collated_windows": q_collated_windows,
+}
+
+READER_ORACLES = {
+    "aida_means": SQL_AIDA_MEANS,
+    "el_docs": SQL_EL_DOCS,
+    "collated_windows": SQL_COLLATED_WINDOWS,
+}

@@ -1,0 +1,149 @@
+"""Window collation — the model-feeding tensorization stage (M9/O4).
+
+≙ the reference's ``convert_batch_elements_to_batched_tns`` +
+``collate_batch_elements_tns`` + ``pad``
+(preprocessing_utils.py:182-211, 257-441, 444-464): docs are split
+into ≤``max_seq``-token windows, windows are sorted by token length
+(descending — the reference's O4 "batch similar lengths together"
+padding-efficiency trick, preprocessing_utils.py:196-199), grouped
+into micro-batches of ``max_batch_size``, and each window's token-id
+row is padded with ``pad_value`` so a model actor can stack a
+micro-batch into one dense matrix with zero per-row python work.
+
+Differences from the reference, by design:
+- token ids are the engine's deterministic token hashes
+  (functions/tokenize.tokenize_hash_arrow), not a learned subword
+  vocabulary — the container has no model; the collation CONTRACT
+  (shapes, pad sentinel, mask arithmetic) is the operator under test;
+- output is an Arrow table (one row per window, ``token_ids`` a
+  fixed-size or variable list column), not torch tensors: a scorer
+  actor reshapes a micro-batch zero-copy via numpy.
+
+Everything is segment-vectorized: the scatter that fills the padded
+id matrix is one fancy-indexed numpy assignment per Arrow batch, no
+per-window python loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+PAD_VALUE = 0  # ≙ the reference's all-zeros padding sentinel row
+               # (preprocessor.py:188-200 asserts row 0 of the
+               # description memmap is zeros)
+
+
+def collate_windows_batch(b: pa.Table, *, max_seq: int = 64,
+                          max_batch_size: int = 16,
+                          pad_value: int = PAD_VALUE,
+                          pad_to_longest: bool = False) -> pa.Table:
+    """Collate one Arrow batch of (doc_id, text) into padded windows.
+
+    Output columns (one row per window):
+    - ``doc_id``, ``window_idx``  — window identity (deterministic,
+      batch-boundary independent: a doc's windows depend only on its
+      own text);
+    - ``n_tokens``               — real tokens in the window;
+    - ``n_pad``                  — pad slots appended;
+    - ``microbatch``             — micro-batch ordinal within this
+      Arrow batch after the length sort (batch-LOCAL, like the
+      reference's batching — not globally deterministic);
+    - ``token_ids``              — padded int64 token-hash row;
+      ``fixed_size_list<int64>[max_seq]`` when ``pad_to_longest`` is
+      False (global fixed pad, ≙ ``pad(seq_len=max_seq)``), else a
+      variable list padded to the longest window in the micro-batch
+      (≙ ``pad(seq_len=-1)`` per collate group).
+    """
+    from ..functions.tokenize import tokenize_hash_arrow
+
+    if b.num_rows == 0 or "text" not in b.schema.names:
+        ids_type = (pa.list_(pa.int64(), max_seq) if not pad_to_longest
+                    else pa.large_list(pa.int64()))
+        return pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "window_idx": pa.array([], type=pa.int64()),
+            "n_tokens": pa.array([], type=pa.int64()),
+            "n_pad": pa.array([], type=pa.int64()),
+            "microbatch": pa.array([], type=pa.int64()),
+            "token_ids": pa.array([], type=ids_type),
+        })
+
+    tok_h, starts, _ = tokenize_hash_arrow(b["text"])
+    tok_h = tok_h.view(np.int64)  # reinterpret, no copy
+    doc_ids = np.asarray(b["doc_id"].to_pylist(), dtype=np.int64)
+
+    lens = np.diff(starts)
+    n_win = -(-lens // max_seq)  # ceil; empty docs → 0 windows
+    total = int(n_win.sum())
+    if total == 0:
+        return collate_windows_batch(
+            pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "text": pa.array([], type=pa.string())}),
+            max_seq=max_seq, max_batch_size=max_batch_size,
+            pad_value=pad_value, pad_to_longest=pad_to_longest)
+
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), n_win)
+    widx = (np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(n_win) - n_win, n_win))
+    n_tokens = np.minimum(max_seq, lens[doc_of] - widx * max_seq)
+    src_start = starts[:-1][doc_of] + widx * max_seq
+
+    # O4 length bucketing: stable sort by n_tokens descending, then
+    # chop into micro-batches — windows of similar length share a
+    # micro-batch so fixed-shape stacking wastes minimal pad slots.
+    order = np.argsort(-n_tokens, kind="stable")
+    doc_of, widx = doc_of[order], widx[order]
+    n_tokens, src_start = n_tokens[order], src_start[order]
+    microbatch = np.arange(total, dtype=np.int64) // max_batch_size
+
+    if pad_to_longest:
+        # pad each window to the longest in its micro-batch
+        n_mb = int(microbatch[-1]) + 1
+        mb_longest = np.zeros(n_mb, dtype=np.int64)
+        np.maximum.at(mb_longest, microbatch, n_tokens)
+        pad_len = mb_longest[microbatch]
+    else:
+        pad_len = np.full(total, max_seq, dtype=np.int64)
+
+    out_off = np.concatenate(([0], np.cumsum(pad_len)))
+    flat = np.full(int(out_off[-1]), pad_value, dtype=np.int64)
+    # one vectorized scatter: window w's tokens land at
+    # out_off[w] + [0, n_tokens[w])
+    seg = (np.arange(int(n_tokens.sum()), dtype=np.int64)
+           - np.repeat(np.cumsum(n_tokens) - n_tokens, n_tokens))
+    flat[np.repeat(out_off[:-1], n_tokens) + seg] = \
+        tok_h[np.repeat(src_start, n_tokens) + seg]
+
+    if pad_to_longest:
+        token_ids = pa.LargeListArray.from_arrays(
+            pa.array(out_off, type=pa.int64()),
+            pa.array(flat, type=pa.int64()))
+    else:
+        token_ids = pa.FixedSizeListArray.from_arrays(
+            pa.array(flat, type=pa.int64()), max_seq)
+
+    return pa.table({
+        "doc_id": pa.array(doc_ids[doc_of], type=pa.int64()),
+        "window_idx": pa.array(widx, type=pa.int64()),
+        "n_tokens": pa.array(n_tokens, type=pa.int64()),
+        "n_pad": pa.array(pad_len - n_tokens, type=pa.int64()),
+        "microbatch": pa.array(microbatch, type=pa.int64()),
+        "token_ids": token_ids,
+    })
+
+
+def collate_windows(ds, *, max_seq: int = 64, max_batch_size: int = 16,
+                    pad_value: int = PAD_VALUE,
+                    pad_to_longest: bool = False):
+    """Dataset(doc_id, text) → Dataset of padded, micro-batched windows
+    (see ``collate_windows_batch``).  Stateless ``map_batches`` — the
+    downstream model stage is the stateful actor pool that consumes
+    micro-batches (stages/scoring.py shows that pattern)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        return collate_windows_batch(
+            b, max_seq=max_seq, max_batch_size=max_batch_size,
+            pad_value=pad_value, pad_to_longest=pad_to_longest)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

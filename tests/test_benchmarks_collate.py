@@ -1,0 +1,186 @@
+"""Tests for the benchmark-file readers (S5/S6) and the collation
+stage (M9/O4) — the semantics the SQL oracles can't express."""
+
+from __future__ import annotations
+
+import bz2
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+# ---------------------------------------------------------------------
+# S5: read_aida_means
+# ---------------------------------------------------------------------
+
+
+def test_aida_means_unescape_and_quote_strip(ray_session, tmp_path):
+    from refined_ray.sources.benchmarks import read_aida_means
+
+    path = str(tmp_path / "means.tsv.bz2")
+    lines = [
+        '"Zürich FC"\tZ\\xfcrich_FC',        # \xXX escape
+        '"naive"\tna\\u00efve',              # \uXXXX escape
+        '"plain name"\tPlain_name',          # no escape: identity
+        '"tab less"\tA_B',
+    ]
+    with bz2.open(path, "wt", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+
+    rows = {r["surface_form"]: r["wiki_page"]
+            for r in read_aida_means(path).take_all()}
+    assert rows == {
+        "Zürich FC": "Zürich_FC",
+        "naive": "naïve",
+        "plain name": "Plain_name",
+        "tab less": "A_B",
+    }
+
+
+# ---------------------------------------------------------------------
+# S6: read_el_docs
+# ---------------------------------------------------------------------
+
+
+def _write_jsonl(path, docs):
+    with open(path, "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+
+
+WIKI = "http://en.wikipedia.org/wiki/"
+
+
+def test_el_docs_redirect_disambiguation_and_nil(ray_session, tmp_path):
+    from refined_ray.sources.benchmarks import read_el_docs
+
+    path = str(tmp_path / "docs.jsonl")
+    _write_jsonl(path, [
+        {"doc_id": 1, "text": "Paris is big",
+         "spans": [{"start": 0, "length": 5, "uris": [WIKI + "Paris_(city)"]}]},
+        {"doc_id": 2, "text": "Java rocks",
+         "spans": [{"start": 0, "length": 4, "uris": [WIKI + "Java"]}]},
+        {"doc_id": 3, "text": "Unknown thing",
+         "spans": [{"start": 0, "length": 7, "uris": [WIKI + "Missing"]}]},
+        {"doc_id": 4, "text": "no wiki uri",
+         "spans": [{"start": 0, "length": 2, "uris": ["http://other.org/x"]}]},
+        {"doc_id": 5, "text": "spanless", "spans": []},
+    ])
+    t2q = {"Paris": "Q90", "Java": "Q251", "Java_(disambiguation)": "Q1027"}
+    redirects = {"Paris_(city)": "Paris", "Java": "Java_(disambiguation)"}
+
+    # default: filter_not_in_kb drops unknown + disambiguation targets
+    out = read_el_docs(
+        path, title_to_qcode=t2q, redirects=redirects,
+        disambiguation_qcodes={"Q1027"}).take_all()
+    by_doc = {r["doc_id"]: r for r in out}
+    assert set(by_doc) == {1}  # doc2 → disambiguation, doc3 unknown, doc4 no wiki uri
+    assert by_doc[1]["gold_qcode"] == "Q90"
+    assert by_doc[1]["gold_title"] == "Paris_(city)"  # title pre-redirect, as the reference keeps it
+    assert by_doc[1]["surface"] == "Paris"
+    assert by_doc[1]["span_start"] == 0 and by_doc[1]["span_ln"] == 5
+
+    # filter off: unknown qcode becomes the NIL sentinel Q0
+    out2 = read_el_docs(path, title_to_qcode=t2q, redirects=redirects,
+                        filter_not_in_kb=False).take_all()
+    by_doc2 = {r["doc_id"]: r for r in out2}
+    assert by_doc2[3]["gold_qcode"] == "Q0"
+    assert 4 not in by_doc2  # no wiki uri is dropped in both modes
+
+
+def test_el_docs_surface_is_original_case_slice(ray_session, tmp_path):
+    from refined_ray.sources.benchmarks import read_el_docs
+
+    path = str(tmp_path / "docs2.jsonl")
+    _write_jsonl(path, [
+        {"doc_id": 7, "text": "The EU summit",
+         "spans": [{"start": 4, "length": 2, "uris": [WIKI + "European_Union"]}]},
+    ])
+    (row,) = read_el_docs(path, title_to_qcode={"European_Union": "Q458"}).take_all()
+    assert row["surface"] == "EU"
+
+
+# ---------------------------------------------------------------------
+# M9/O4: collate_windows
+# ---------------------------------------------------------------------
+
+
+def _collate(texts, **kw):
+    from refined_ray.stages.collate import collate_windows_batch
+
+    b = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    return collate_windows_batch(b, **kw)
+
+
+def test_collate_fixed_pad_values_and_mask_arithmetic():
+    from refined_ray.functions.tokenize import tokenize_hash_arrow
+    from refined_ray.stages.collate import PAD_VALUE
+
+    texts = ["alpha beta gamma", "one two three four five six seven", "x"]
+    out = _collate(texts, max_seq=4, max_batch_size=2)
+    assert out.schema.field("token_ids").type == pa.list_(pa.int64(), 4)
+
+    tok_h, starts, _ = tokenize_hash_arrow(pa.array(texts))
+    tok_h = tok_h.view(np.int64)
+    rows = out.to_pylist()
+    # every (doc, window) present, ids match the hash kernel, pads zero
+    for r in rows:
+        d, w, n = r["doc_id"], r["window_idx"], r["n_tokens"]
+        assert r["n_pad"] == 4 - n
+        src = tok_h[starts[d] + w * 4: starts[d] + w * 4 + n]
+        assert r["token_ids"][:n] == list(src)
+        assert all(v == PAD_VALUE for v in r["token_ids"][n:])
+    # doc 1 has 7 tokens → windows of 4 and 3
+    by = {(r["doc_id"], r["window_idx"]): r["n_tokens"] for r in rows}
+    assert by == {(0, 0): 3, (1, 0): 4, (1, 1): 3, (2, 0): 1}
+
+
+def test_collate_length_sort_and_microbatching():
+    texts = ["a b c d e f", "g", "h i j", "k l m n o", "p q"]
+    out = _collate(texts, max_seq=8, max_batch_size=2)
+    rows = out.to_pylist()
+    # stable descending by n_tokens, chopped into micro-batches of 2
+    lens = [r["n_tokens"] for r in sorted(rows, key=lambda r: rows.index(r))]
+    assert lens == sorted(lens, reverse=True)
+    mb = [r["microbatch"] for r in rows]
+    assert mb == [0, 0, 1, 1, 2]
+
+
+def test_collate_pad_to_longest_per_microbatch():
+    texts = ["a b c d e", "f g h", "i j", "k"]
+    out = _collate(texts, max_seq=8, max_batch_size=2, pad_to_longest=True)
+    rows = out.to_pylist()
+    # mb0 = lens (5,3) → pad to 5; mb1 = lens (2,1) → pad to 2
+    for r in rows:
+        pad_len = r["n_tokens"] + r["n_pad"]
+        assert len(r["token_ids"]) == pad_len
+    pads = {(r["microbatch"]): r["n_tokens"] + r["n_pad"] for r in rows}
+    assert pads == {0: 5, 1: 2}
+
+
+def test_collate_empty_and_tokenless_docs():
+    out = _collate([])
+    assert out.num_rows == 0
+    out2 = _collate(["", "???", "word"], max_seq=4)
+    rows = out2.to_pylist()
+    assert [(r["doc_id"], r["n_tokens"]) for r in rows] == [(2, 1)]
+    out3 = _collate(["", "..."])
+    assert out3.num_rows == 0
+
+
+def test_collate_windows_dataset_roundtrip(ray_session):
+    import ray.data as rd
+
+    from refined_ray.stages.collate import collate_windows
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11], type=pa.int64()),
+        "text": pa.array(["one two three four five", "six"], type=pa.string()),
+    }))
+    rows = collate_windows(ds, max_seq=3).take_all()
+    got = {(r["doc_id"], r["window_idx"]): r["n_tokens"] for r in rows}
+    assert got == {(10, 0): 3, (10, 1): 2, (11, 0): 1}
