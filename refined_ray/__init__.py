@@ -116,6 +116,63 @@ def configure_data_context() -> None:
     ctx.read_op_min_num_blocks = max(2, 2 * n)
 
 
+def strip_schema_metadata(ds):
+    """Drop Arrow schema/field metadata from every block (zero-copy).
+
+    Parquet files written by pyarrow/pandas carry a ``b'pandas'``
+    schema-metadata blob, and a ``pa.Schema`` with metadata is
+    UNHASHABLE (``hash(schema)`` raises ``unhashable type: 'dict'``).
+    Ray 2.49's block concat calls ``unify_schemas`` which tries
+    ``set(schemas)`` as a dedup fast path — with metadata present that
+    raises, logs "Failed to hash the schemas" from every shuffle
+    aggregator, and falls back to full schema unification on EVERY
+    concat.  Stripping the metadata at the read kills the warning at
+    its source (driver and worker processes alike) and restores the
+    fast path.  ``replace_schema_metadata(None)`` swaps only the
+    schema object — no column buffers are touched or copied.
+    """
+    import pyarrow as pa
+
+    def _strip(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        if any(f.metadata for f in t.schema):
+            t = t.cast(pa.schema([f.remove_metadata() for f in t.schema]))
+        return t
+
+    return ds.map_batches(_strip, batch_format="pyarrow", batch_size=None)
+
+
+def read_parquet_clean(path, *, columns=None, **kwargs):
+    """``ray.data.read_parquet`` that strips the parquet pandas
+    metadata blob — the engine's standard parquet read.
+
+    The stripped schema is passed as ``schema=`` so even the blocks
+    built INSIDE the read task (SplitBlocks slices) are metadata-free
+    — a downstream strip map can't reach those, and they otherwise
+    warn from within the read workers (see strip_schema_metadata).
+    Costs one footer read per call; no data is cast or copied (the
+    schema is byte-identical minus metadata).
+    """
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    configure_data_context()
+    if "schema" not in kwargs:
+        try:
+            full = pads.dataset(path).schema.remove_metadata()
+            full = pa.schema([f.remove_metadata() for f in full])
+            if columns is not None:
+                full = pa.schema([full.field(c) for c in columns])
+            kwargs["schema"] = full
+        except Exception:
+            # unreadable footer / exotic path spec: fall back to the
+            # post-read strip (covers everything but in-read slices)
+            return strip_schema_metadata(
+                rd.read_parquet(path, columns=columns, **kwargs))
+    return rd.read_parquet(path, columns=columns, **kwargs)
+
+
 def scrub_empty_blocks(mds, fallback_schema=None):
     """Rebuild a MATERIALIZED dataset without its empty blocks.
 

@@ -60,8 +60,10 @@ def build_payload(sf_dir: str, amplify: int = 1, fatten: int = 1,
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     total_rows = pads.dataset(path).count_rows()
     num_blocks = int(min(max(total_rows / 1000, 4 * cpus), 4096))
-    pages = rd.read_parquet(path, columns=["url", "html"],
-                            override_num_blocks=num_blocks)
+    from .. import read_parquet_clean
+
+    pages = read_parquet_clean(path, columns=["url", "html"],
+                               override_num_blocks=num_blocks)
     extracted = extract_pages(pages)
     return sign_pages(extracted, emit_sets=emit_sets)
 

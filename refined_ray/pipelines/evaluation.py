@@ -50,14 +50,13 @@ def pairwise_prf(assignments, pred_col: str, true_col: str) -> dict:
 def er_quality(sf_dir: str, amplify: int = 1, fatten: int = 1):
     """Flagship-pipeline quality vs the synthetic ground truth →
     one-row Table (the driver-visible metrics artifact)."""
-    import ray.data as rd
-
+    from .. import read_parquet_clean
     from ..sources.webpages import ensure_webpages
     from .entity_resolution import er_cluster_pages
 
     out = er_cluster_pages(sf_dir, amplify=amplify, fatten=fatten)
-    gt = rd.read_parquet(ensure_webpages(sf_dir, amplify=amplify, fatten=fatten),
-                         columns=["url", "entity_id"])
+    gt = read_parquet_clean(ensure_webpages(sf_dir, amplify=amplify, fatten=fatten),
+                            columns=["url", "entity_id"])
     joined = out.join(gt, join_type="inner", num_partitions=8, on=("url",))
     m = pairwise_prf(joined, "cluster_id", "entity_id")
     return pa.table({k: pa.array([float(v) if isinstance(v, float) else v])

@@ -40,12 +40,9 @@ def _sql_round(expr: str, digits: int) -> str:
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
+    from .. import read_parquet_clean
 
-    from .. import configure_data_context
-
-    configure_data_context()
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 # =====================================================================

@@ -1520,7 +1520,8 @@ def q_ann_ivf_partitioned(sf_dir: str, k: int = 5, max_qid: int = 10,
     probed = sorted({int(c) for row in probe for c in row})
     files = [f for c in probed
              for f in glob.glob(os.path.join(root, f"cell={c}", "*.parquet"))]
-    pruned = rd.read_parquet(files)
+    from .. import read_parquet_clean
+    pruned = read_parquet_clean(files)
 
     class Search:
         def __init__(self):

@@ -291,6 +291,6 @@ def ensure_webpages(sf_dir: str, shard_rows: int = 5_000, amplify: int = 1,
 
 def read_webpages(sf_dir: str, columns: list[str] | None = None):
     """ray.data.Dataset over the web-page table, columns pruned at read."""
-    import ray.data as rd
+    from .. import read_parquet_clean
 
-    return rd.read_parquet(ensure_webpages(sf_dir), columns=columns)
+    return read_parquet_clean(ensure_webpages(sf_dir), columns=columns)

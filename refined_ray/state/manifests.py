@@ -25,6 +25,12 @@ import time
 import pyarrow.parquet as pq
 
 
+def _read_clean(path):
+    from .. import read_parquet_clean
+
+    return read_parquet_clean(path)
+
+
 class StageCheckpointer:
     def __init__(self, root: str):
         self.root = root
@@ -58,11 +64,9 @@ class StageCheckpointer:
     def run_stage(self, stage: str, fingerprint: str, build_fn, counters: dict | None = None):
         """Run build_fn() → Dataset and checkpoint it, or re-read the
         prior Parquet when the manifest matches.  Returns a Dataset."""
-        import ray.data as rd
-
         out_dir = self._out_dir(stage)
         if self.is_complete(stage, fingerprint):
-            return rd.read_parquet(out_dir)
+            return _read_clean(out_dir)
 
         self.invalidate_from(stage)
         t0 = time.perf_counter()
@@ -93,7 +97,7 @@ class StageCheckpointer:
         with open(tmp, "w") as f:
             json.dump(man, f, indent=1)
         os.rename(tmp, self._manifest_path(stage))
-        return rd.read_parquet(out_dir)
+        return _read_clean(out_dir)
 
     def update_counters(self, stage: str, counters: dict) -> None:
         """Merge computed counters into an existing manifest (atomic)."""
