@@ -1570,8 +1570,150 @@ def q_ann_ivf_partitioned(sf_dir: str, k: int = 5, max_qid: int = 10,
     return out
 
 
+# ---------------------------------------------------------------------
+# Embedding near-dup, sub-quadratic path: random-hyperplane LSH banding
+# ---------------------------------------------------------------------
+
+
+def q_embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45,
+                            n_bands: int = 32, band_bits: int = 2,
+                            seed: int = 7):
+    """Embedding near-dup via random-hyperplane LSH banding + EXACT
+    cosine verification — the sub-quadratic scale path beside the exact
+    all-pairs block-matmul plan (queries.py q_embedding_pairs).
+
+    Scale shape: each vector is signed against H = n_bands*band_bits
+    fixed hyperplanes (one vectorized matmul per batch; hyperplanes are
+    derived from the seed inside every task, never shipped), emits
+    ``n_bands`` narrow (block_key:int64, page_id:int64) rows, pairs are
+    enumerated by the SAME keyed-repartition machinery as the MinHash /
+    SimHash blockers (stages/pairs.py), and the final cosine is decided
+    by joining the normalized vectors back onto surviving pairs — so
+    precision is exact; recall is the banded LSH bound 1-(1-p^b)^r with
+    p = 1 - theta/pi.  No vector ever touches the driver.
+
+    Geometry: the catalog default (32 bands x 2 bits) is deliberately
+    recall-exhaustive for the catalog threshold 0.45 (per-pair miss
+    probability < 3e-8), making the output deterministically equal to
+    the all-pairs DuckDB oracle on the test tables.  At a true
+    near-dup threshold (cos >= 0.85) callers use wide bands (e.g.
+    n_bands=16, band_bits=8) where a bucket holds ~N/2^b vectors and
+    candidate volume is genuinely sub-quadratic — that regime is
+    covered by the fixed-seed recall test (tests/test_embedding_lsh.py).
+    """
+    import ray.data as rd
+
+    from .. import default_num_partitions
+    from ..stages.pairs import make_pairs_partition
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    H = n_bands * band_bits
+
+    def normalize_serialize(b: pa.Table) -> pa.Table:
+        vids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(vids) == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "emb": pa.array([], type=pa.binary())})
+        E = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(E, axis=1, keepdims=True)
+        np.divide(E, norms, out=E, where=norms > 0)
+        sub = np.ascontiguousarray(E)
+        width = sub.shape[1] * 8
+        offs = (np.arange(sub.shape[0] + 1, dtype=np.int64) * width).astype(np.int32)
+        emb_arr = pa.Array.from_buffers(
+            pa.binary(), sub.shape[0],
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(sub.tobytes())])
+        return pa.table({"vec_id": pa.array(vids, type=pa.int64()),
+                         "emb": emb_arr})
+
+    # normalized vectors computed ONCE, consumed by both the band
+    # emitter and the verify joins (simhash_candidates pattern)
+    vecs = ds.map_batches(normalize_serialize, batch_format="pyarrow").materialize()
+
+    def _deser(col: pa.ChunkedArray) -> np.ndarray:
+        raw = b"".join(col.to_pylist())
+        flat = np.frombuffer(raw, dtype=np.float64)
+        n = len(col)
+        return flat.reshape(n, -1) if n else np.zeros((0, 1))
+
+    def emit_bands(b: pa.Table) -> pa.Table:
+        empty = pa.table({"block_key": pa.array([], type=pa.int64()),
+                          "page_id": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        E = _deser(b["emb"])
+        rng = np.random.default_rng(seed)
+        P = rng.standard_normal((E.shape[1], H))
+        bits = (E @ P) > 0                                   # (n, H)
+        weights = (np.int64(1) << np.arange(band_bits, dtype=np.int64))
+        vals = bits.reshape(len(E), n_bands, band_bits) @ weights   # (n, r)
+        keys = (np.arange(n_bands, dtype=np.int64) << np.int64(band_bits)) + vals
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "block_key": pa.array(keys.ravel(), type=pa.int64()),
+            "page_id": pa.array(np.repeat(ids, n_bands), type=pa.int64()),
+        })
+
+    nparts = default_num_partitions()
+    blocks = vecs.map_batches(emit_bands, batch_format="pyarrow") \
+                 .repartition(num_blocks=nparts, keys=["block_key"], sort=False)
+    pairs = blocks.map_batches(
+        lambda t: make_pairs_partition(t, max_block_size=1 << 20),
+        batch_format="pyarrow", batch_size=None,
+    ).select_columns(["a", "b"]) \
+     .repartition(num_blocks=nparts, keys=["a", "b"], sort=False)
+
+    def dedup(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        if len(a) == 0:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        order = np.lexsort((bb, a))
+        a, bb = a[order], bb[order]
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])
+        return pa.table({"a": pa.array(a[keep], type=pa.int64()),
+                         "b": pa.array(bb[keep], type=pa.int64())})
+
+    pairs = pairs.map_batches(dedup, batch_format="pyarrow", batch_size=None).materialize()
+    empty_out = pa.table({"vec_a": pa.array([], type=pa.int64()),
+                          "vec_b": pa.array([], type=pa.int64()),
+                          "cos": pa.array([], type=pa.float64())})
+    if pairs.count() == 0:  # empty build side breaks Ray's hash join
+        return rd.from_arrow(empty_out)
+
+    va = vecs.rename_columns({"vec_id": "a", "emb": "emb_a"})
+    vb = vecs.rename_columns({"vec_id": "b", "emb": "emb_b"})
+    enriched = pairs.join(va, join_type="inner", num_partitions=nparts, on=("a",)) \
+                    .join(vb, join_type="inner", num_partitions=nparts, on=("b",))
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty_out
+        A = _deser(b["emb_a"])
+        B = _deser(b["emb_b"])
+        cos = np.einsum("ij,ij->i", A, B)
+        m = cos >= threshold
+        a = b["a"].to_numpy(zero_copy_only=False)[m]
+        bb = b["b"].to_numpy(zero_copy_only=False)[m]
+        return pa.table({
+            "vec_a": pa.array(np.minimum(a, bb), type=pa.int64()),
+            "vec_b": pa.array(np.maximum(a, bb), type=pa.int64()),
+            "cos": _canon_round(list(cos[m]), 6),
+        })
+
+    return enriched.map_batches(verify, batch_format="pyarrow")
+
+
 EXT_QUERIES["ann_ivf"] = q_ann_ivf  # defined below the dict
 EXT_QUERIES["ann_ivf_partitioned"] = q_ann_ivf_partitioned
+EXT_QUERIES["embedding_neardup_lsh"] = q_embedding_neardup_lsh
+
+# identical contract to the exact path -> same all-pairs oracle
+from .queries import SQL_EMBEDDING_PAIRS as _SQL_EMB_PAIRS  # noqa: E402
+
+EXT_ORACLES["embedding_neardup_lsh"] = _SQL_EMB_PAIRS
 
 # benchmark-file readers (S5/S6) + collation (M9) live in their own
 # module; all three are oracle-checked
