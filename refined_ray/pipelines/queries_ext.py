@@ -14,7 +14,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.normalize import NORMALIZE_SQL, normalize_surface_array, remove_wiki_brackets
-from .queries import _canon_round, _read, _sql_round, _TOKS
+from .queries import _canon_round, _read, _sql_round, _STOP_SQL, _TOKS
 
 
 # ---------------------------------------------------------------------
@@ -1706,9 +1706,85 @@ def q_embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45,
     return enriched.map_batches(verify, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------
+# M10: BIO tag decode → token spans (full reference semantics)
+# ---------------------------------------------------------------------
+
+
+def q_bio_spans(sf_dir: str):
+    """BIO decode ≙ bio_to_offset_pairs (reference
+    md_dataset_utils.py:136-190) over a deterministic tagger: a token
+    starting with a digit tags ``B``, a stopword tags ``O``, anything
+    else tags ``I`` — exercising every decode branch (B-B split,
+    B→I continuation, malformed I-start after O / at doc start,
+    close-at-end).  Vectorized: one flat numpy decode per batch, no
+    per-token Python loop (functions/bio.py)."""
+    from ..functions.bio import TAG_B, TAG_I, TAG_O, bio_decode_flat
+    from ..functions.tokenize import STOPWORD_SET, tokenize_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def decode(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "start_tok": pa.array([], type=pa.int64()),
+                          "end_tok": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        flat, starts = tokenize_batch(b["text"].to_pylist())
+        toks = pa.array(flat, type=pa.string())
+        is_b = pc.match_substring_regex(toks, "^[0-9]").to_numpy(
+            zero_copy_only=False)
+        is_o = pc.is_in(toks, value_set=pa.array(sorted(STOPWORD_SET))
+                        ).to_numpy(zero_copy_only=False)
+        tags = np.full(len(flat), TAG_I, dtype=np.int8)
+        tags[is_o] = TAG_O
+        tags[is_b] = TAG_B  # digit wins over stopword (none overlap)
+        di, s, e = bio_decode_flat(tags, starts)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids[di], type=pa.int64()),
+                         "start_tok": pa.array(s, type=pa.int64()),
+                         "end_tok": pa.array(e, type=pa.int64())})
+
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
+SQL_BIO_SPANS = f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest({_TOKS}) AS tok,
+         generate_subscripts({_TOKS}, 1) AS pos
+  FROM documents
+), tagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN regexp_matches(tok, '^[0-9]') THEN 'B'
+              WHEN tok IN {_STOP_SQL} THEN 'O'
+              ELSE 'I' END AS tag
+  FROM t
+), marked AS (
+  SELECT doc_id, pos, tag,
+         CASE WHEN tag = 'B' OR (tag = 'I' AND coalesce(
+                  lag(tag) OVER (PARTITION BY doc_id ORDER BY pos),
+                  'O') = 'O')
+              THEN 1 ELSE 0 END AS is_start
+  FROM tagged
+), grp AS (
+  SELECT doc_id, pos, tag,
+         SUM(is_start) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+  FROM marked
+)
+SELECT doc_id,
+       CAST(MIN(pos) - 1 AS BIGINT) AS start_tok,
+       CAST(MAX(pos) AS BIGINT) AS end_tok
+FROM grp WHERE tag <> 'O'
+GROUP BY doc_id, gid
+"""
+
+
 EXT_QUERIES["ann_ivf"] = q_ann_ivf  # defined below the dict
 EXT_QUERIES["ann_ivf_partitioned"] = q_ann_ivf_partitioned
 EXT_QUERIES["embedding_neardup_lsh"] = q_embedding_neardup_lsh
+EXT_QUERIES["bio_spans"] = q_bio_spans
+EXT_ORACLES["bio_spans"] = SQL_BIO_SPANS
 
 # identical contract to the exact path -> same all-pairs oracle
 from .queries import SQL_EMBEDDING_PAIRS as _SQL_EMB_PAIRS  # noqa: E402
