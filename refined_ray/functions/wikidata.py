@@ -59,3 +59,32 @@ def project_entities_batch(rows: list[dict]) -> list[dict]:
         if p is not None:
             out.append(p)
     return out
+
+
+def entity_schema():
+    """Pinned Arrow schema for projected entities — stable even for
+    empty batches (Ray 2.49 warns on schema drift across blocks)."""
+    import pyarrow as pa
+
+    fields = [
+        ("qcode", pa.string()),
+        ("label", pa.string()),
+        ("description", pa.string()),
+        ("aliases", pa.list_(pa.string())),
+        ("sitelinks_count", pa.int64()),
+        ("enwiki_title", pa.string()),
+        ("statements_count", pa.int64()),
+    ] + [(pid, pa.list_(pa.string())) for pid in RELATIONS]
+    return pa.schema(fields)
+
+
+def entities_to_table(rows: list[dict]):
+    """Projected entity dicts → Arrow table with the pinned schema."""
+    import pyarrow as pa
+
+    schema = entity_schema()
+    if not rows:
+        return schema.empty_table()
+    cols = {f.name: [r[f.name] for r in rows] for f in schema}
+    return pa.table({n: pa.array(v, type=schema.field(n).type)
+                     for n, v in cols.items()})

@@ -70,3 +70,42 @@ def jsonl_to_parquet(jsonl_path: str, parquet_dir: str):
     ds = read_jsonl(jsonl_path)
     ds.write_parquet(parquet_dir)
     return parquet_dir
+
+
+def read_wikidata_dump(path: str, **kwargs):
+    """Stream a Wikidata ``latest-all.json[.bz2]`` dump ARRAY into
+    projected entity rows (S1+M5).
+
+    ≙ the reference's parse loop (process_wikidata_dump.py:132-141):
+    skip the ``[`` / ``]`` wrapper lines (len < 3), strip each line's
+    trailing comma, JSON-parse, project with
+    ``functions/wikidata.project_entity`` (non-Q items dropped, as the
+    reference does for every lookup except its pcodes sidecar).
+
+    One compressed file is unsplittable → one read task; point ``path``
+    at a directory of pre-split shards (the reference pre-splits with
+    line-range sharding) for parallel reads.  Output schema is pinned
+    (``entity_schema``) so empty/filtered blocks cannot drift.
+    """
+    import ray.data as rd
+
+    from ..functions.wikidata import entities_to_table, project_entity
+
+    comp = _COMPRESSION_BY_EXT.get(os.path.splitext(path)[1])
+    if comp:
+        kwargs.setdefault("arrow_open_stream_args", {"compression": comp})
+        kwargs.setdefault("file_extensions", None)
+    ds = rd.read_text(path, **kwargs)
+
+    def parse(b: pa.Table) -> pa.Table:
+        rows = []
+        for line in b["text"].to_pylist():
+            if len(line) < 3:
+                continue
+            ent = json.loads(line.rstrip().rstrip(","))
+            row = project_entity(ent)
+            if row is not None:
+                rows.append(row)
+        return entities_to_table(rows)
+
+    return ds.map_batches(parse, batch_format="pyarrow")

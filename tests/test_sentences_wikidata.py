@@ -86,3 +86,34 @@ def test_project_entity_skips_properties_and_malformed():
     # claim without a datavalue (deleted/novalue snak) is skipped
     row = project_entity({"id": "Q1", "claims": {"P31": [{"mainsnak": {}}]}})
     assert row["P31"] == []
+
+
+# ------------------------ S1 dump-array reader ------------------------
+
+
+def test_read_wikidata_dump_bz2(ray_session, tmp_path):
+    import bz2
+    import json
+
+    from refined_ray.functions.wikidata import entity_schema
+    from refined_ray.sources.jsonl import read_wikidata_dump
+
+    q1 = {"id": "Q1", "labels": {"en": {"value": "universe"}},
+          "sitelinks": {"enwiki": {"title": "Universe"}},
+          "claims": {"P31": [{"mainsnak": {"datavalue": {"value": {"id": "Q36906466"}}}}]}}
+    prop = {"id": "P31", "labels": {"en": {"value": "instance of"}}}
+    dump = tmp_path / "latest-all.json.bz2"
+    # faithful dump-array shape: [ wrapper, entity lines with trailing
+    # commas, last entity bare, ] wrapper
+    body = "[\n" + json.dumps(ENTITY) + ",\n" + json.dumps(prop) + ",\n" \
+        + json.dumps(q1) + "\n]\n"
+    dump.write_bytes(bz2.compress(body.encode()))
+
+    ds = read_wikidata_dump(str(dump))
+    rows = sorted(ds.take_all(), key=lambda r: r["qcode"])
+    assert [r["qcode"] for r in rows] == ["Q1", "Q42"]  # P31 dropped
+    assert rows[1]["label"] == "Douglas Adams"
+    assert rows[1]["P106"] == ["Q36180", "Q214917"]
+    assert rows[0]["enwiki_title"] == "Universe"
+    assert rows[0]["P31"] == ["Q36906466"]
+    assert ds.schema().base_schema.equals(entity_schema())
