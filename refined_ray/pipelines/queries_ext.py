@@ -257,6 +257,11 @@ def q_simhash_fingerprints(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
+# simhash fingerprints are 16 B/doc; under this budget they attach to
+# pairs via one ray.put broadcast, above it via two hash joins
+SIMHASH_BROADCAST_MAX_BYTES = 256_000_000
+
+
 def q_simhash_candidates(sf_dir: str, max_hamming: int = 12):
     """SimHash near-dup candidates: 4×16-bit band blocking + exact
     Hamming verification (pigeonhole-exact for distance ≤ 3; banded
@@ -264,9 +269,12 @@ def q_simhash_candidates(sf_dir: str, max_hamming: int = 12):
 
     Scale shape: fingerprints are computed ONCE into a materialized
     Dataset; band keys derive from it; verification attaches the two
-    fingerprints to each pair with distributed hash joins.  No doc's
-    fingerprint ever touches the driver (round 1 collected the whole
-    corpus into a Python dict — unbounded at 100 TB)."""
+    fingerprints to each pair either by a COUNTED-budget broadcast
+    (16 B/doc; one ray.put, zero joins — the flagship's payload-guard
+    pattern) or, beyond SIMHASH_BROADCAST_MAX_BYTES, by two
+    distributed hash joins.  Round 1 collected the whole corpus into
+    an unconditional driver dict — unbounded at 100 TB; both paths
+    here are bounded and the join fallback is path-parity tested."""
     from .. import default_num_partitions
     from ..functions.simhash import SIMHASH_BANDS, hamming_distance, simhash_band_values
     from ..stages.pairs import make_pairs_partition
@@ -314,6 +322,44 @@ def q_simhash_candidates(sf_dir: str, max_hamming: int = 12):
                                        "doc_b": pa.array([], type=pa.int64()),
                                        "hamming": pa.array([], type=pa.int64())}))
 
+    def _verify_arrays(a, bb, f_a, f_b) -> pa.Table:
+        d = hamming_distance(f_a, f_b).astype(np.int64)
+        m = d <= max_hamming
+        return pa.table({"doc_a": pa.array(a[m], type=pa.int64()),
+                         "doc_b": pa.array(bb[m], type=pa.int64()),
+                         "hamming": pa.array(d[m], type=pa.int64())})
+
+    # Fingerprint attachment: counted-budget broadcast (16 B/doc; one
+    # ray.put, zero joins) exactly like the flagship's payload guard —
+    # fall back to two hash joins beyond the budget (the 100-TB path).
+    FP_ROW_BYTES = 16
+    if fps.count() * FP_ROW_BYTES <= SIMHASH_BROADCAST_MAX_BYTES:
+        import ray
+
+        ids_parts, fp_parts = [], []
+        for blk in ray.get(fps.to_arrow_refs()):  # zero-copy plasma derefs
+            ids_parts.append(blk["doc_id"].to_numpy(zero_copy_only=False))
+            fp_parts.append(blk["simhash"].to_numpy(zero_copy_only=False))
+        ids = np.concatenate(ids_parts) if ids_parts else np.array([], dtype=np.int64)
+        fp = (np.concatenate(fp_parts) if fp_parts
+              else np.array([], dtype=np.int64)).view(np.uint64)
+        order = np.argsort(ids)
+        ref = ray.put((ids[order], fp[order]))
+
+        def verify_bcast(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                                 "doc_b": pa.array([], type=pa.int64()),
+                                 "hamming": pa.array([], type=pa.int64())})
+            sids, sfp = ray.get(ref)
+            a = b["a"].to_numpy(zero_copy_only=False)
+            bb = b["b"].to_numpy(zero_copy_only=False)
+            f_a = sfp[np.searchsorted(sids, a)]
+            f_b = sfp[np.searchsorted(sids, bb)]
+            return _verify_arrays(a, bb, f_a, f_b)
+
+        return pairs.map_batches(verify_bcast, batch_format="pyarrow")
+
     fa = fps.rename_columns({"doc_id": "a", "simhash": "fp_a"})
     fb = fps.rename_columns({"doc_id": "b", "simhash": "fp_b"})
     enriched = pairs.join(fa, join_type="inner", num_partitions=nparts, on=("a",)) \
@@ -328,11 +374,7 @@ def q_simhash_candidates(sf_dir: str, max_hamming: int = 12):
         bb = b["b"].to_numpy(zero_copy_only=False)
         f_a = b["fp_a"].to_numpy(zero_copy_only=False).view(np.uint64)
         f_b = b["fp_b"].to_numpy(zero_copy_only=False).view(np.uint64)
-        d = hamming_distance(f_a, f_b).astype(np.int64)
-        m = d <= max_hamming
-        return pa.table({"doc_a": pa.array(a[m], type=pa.int64()),
-                         "doc_b": pa.array(bb[m], type=pa.int64()),
-                         "hamming": pa.array(d[m], type=pa.int64())})
+        return _verify_arrays(a, bb, f_a, f_b)
 
     return enriched.map_batches(verify, batch_format="pyarrow")
 

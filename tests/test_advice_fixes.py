@@ -125,3 +125,17 @@ def test_scorer_head_truncation_broadcast_equals_join_path():
     s64 = np.array([h[:16].encode("utf-8") for h in heads], dtype="S64")
     decoded = [s.decode("utf-8", "ignore") for s in s64]
     assert decoded == [h[:16] for h in heads]
+
+
+def test_simhash_candidates_broadcast_join_parity(ray_session, monkeypatch):
+    """Both fingerprint-attachment paths (counted-budget broadcast vs
+    two hash joins) must produce identical candidate sets."""
+    import refined_ray.pipelines.queries_ext as qx
+
+    sf = "/root/testdata/sf0.001"
+    bcast = {(r["doc_a"], r["doc_b"], r["hamming"])
+             for r in qx.q_simhash_candidates(sf).take_all()}
+    monkeypatch.setattr(qx, "SIMHASH_BROADCAST_MAX_BYTES", 0)
+    joined = {(r["doc_a"], r["doc_b"], r["hamming"])
+              for r in qx.q_simhash_candidates(sf).take_all()}
+    assert bcast == joined and len(bcast) > 0
