@@ -64,6 +64,11 @@ def build_payload(sf_dir: str, amplify: int = 1, fatten: int = 1,
 
     pages = read_parquet_clean(path, columns=["url", "html"],
                                override_num_blocks=num_blocks)
+    return payload_from_pages(pages, emit_sets=emit_sets)
+
+
+def payload_from_pages(pages, emit_sets: bool = False):
+    """(url, html) pages Dataset → payload Dataset (extract + sign)."""
     extracted = extract_pages(pages)
     return sign_pages(extracted, emit_sets=emit_sets)
 
@@ -114,7 +119,7 @@ EXACT_JACCARD_THRESHOLD = 0.5
 def er_edges(sf_dir: str, threshold: float = DEFAULT_THRESHOLD,
              max_block_size: int = DEFAULT_MAX_BLOCK_SIZE, num_partitions: int | None = None,
              amplify: int = 1, fatten: int = 1, exchange_root: str | None = None,
-             exact_verify: bool = False):
+             exact_verify: bool = False, payload=None):
     """Payload + scored pairs + accepted edges (shared pipeline head).
 
     ``exchange_root``: directory for the disk exchange's partitioned
@@ -131,8 +136,9 @@ def er_edges(sf_dir: str, threshold: float = DEFAULT_THRESHOLD,
     from .. import default_num_partitions
 
     num_partitions = num_partitions or default_num_partitions()
-    payload = build_payload(sf_dir, amplify=amplify, fatten=fatten,
-                            emit_sets=exact_verify).materialize()  # reused by 3 consumers
+    if payload is None:
+        payload = build_payload(sf_dir, amplify=amplify, fatten=fatten,
+                                emit_sets=exact_verify).materialize()  # reused by 3 consumers
 
     # Payload attachment: broadcast when the payload fits in worker
     # memory (one ray.put, zero joins — the join path's enriched pair
@@ -340,3 +346,142 @@ def er_cluster_pages_checkpointed(
             {"component": "cluster_id"})
 
     return cp.run_stage("labels", fp_labels, build_labels)
+
+
+# ---------------------------------------------------------------------
+# Incremental ingest: fold a page DELTA into a standing clustering
+# ---------------------------------------------------------------------
+
+
+def _pages_split(sf_dir: str, holdout_mod: int):
+    """Deterministic (base, delta) split of the corpus by page-id hash:
+    pages whose stable page_id % holdout_mod == 0 form the delta."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .. import read_parquet_clean
+    from ..stages.signing import page_id_array
+
+    path = ensure_webpages(sf_dir)
+    pages = read_parquet_clean(path, columns=["url", "html"])
+
+    def part(keep_delta: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = page_id_array(b["url"].to_pylist())
+            m = (ids % np.int64(holdout_mod) == 0) == keep_delta
+            return b.filter(pa.array(m))
+
+        return pages.map_batches(f, batch_format="pyarrow")
+
+    return part(False), part(True)
+
+
+def er_cluster_incremental(
+    sf_dir: str,
+    checkpoint_root: str,
+    holdout_mod: int = 5,
+    threshold: float = DEFAULT_THRESHOLD,
+    max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
+    num_partitions: int | None = None,
+):
+    """Incremental ER: cluster a standing BASE corpus once (into
+    per-stage checkpoints), then fold the page DELTA in WITHOUT
+    re-scoring base×base pairs — the daily-crawl-ingest shape at
+    100 TB, where the delta is orders of magnitude smaller than the
+    corpus.
+
+    Mechanics:
+    - base payload + base labels come from ``StageCheckpointer`` stages
+      (chained fingerprints: a repeated call with unchanged inputs
+      re-reads Parquet and recomputes nothing);
+    - the delta is signed fresh; blocking runs over base ∪ delta (LSH
+      band keys are per-page, so base pages keep their keys), but only
+      pairs TOUCHING a delta page are scored (membership test against
+      a broadcast sorted array of delta ids — 8 B/delta page, bounded
+      by the delta size);
+    - connectivity is re-solved over (base page → base cluster-id
+      edges) ∪ (accepted delta edges), so a delta page that bridges
+      two base clusters correctly merges them.
+
+    The demo/test split is deterministic (page_id % holdout_mod == 0
+    is the delta); a production caller would pass its own delta pages
+    through the same machinery (`payload_from_pages`).
+
+    Returns Dataset(url, cluster_id) over base ∪ delta — identical to
+    the full-corpus run whenever no pair cap binds (test-gated at
+    sf0.001).
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from .. import default_num_partitions
+    from ..state.manifests import StageCheckpointer
+
+    num_partitions = num_partitions or default_num_partitions()
+    cp = StageCheckpointer(checkpoint_root)
+
+    def fp(*parts) -> str:
+        return hashlib.blake2b("|".join(str(p) for p in parts).encode(),
+                               digest_size=16).hexdigest()
+
+    base_pages, delta_pages = _pages_split(sf_dir, holdout_mod)
+
+    fp_pb = fp("payload_base", sf_dir, holdout_mod)
+    payload_base = cp.run_stage(
+        "payload_base", fp_pb, lambda: payload_from_pages(base_pages)).materialize()
+
+    fp_lb = fp("labels_base", fp_pb, threshold, max_block_size, num_partitions)
+
+    def build_base_labels():
+        _, _scored, edges = er_edges(
+            sf_dir, threshold=threshold, max_block_size=max_block_size,
+            num_partitions=num_partitions, payload=payload_base)
+        labeled = connected_components(
+            payload_base.select_columns(["page_id", "url"]),
+            edges.select_columns(["a", "b"]), num_partitions=num_partitions)
+        return labeled.select_columns(["page_id", "component"])
+
+    labels_base = cp.run_stage("labels_base", fp_lb, build_base_labels)
+
+    # ---- incremental part: sign the delta, score only touching pairs
+    payload_delta = payload_from_pages(delta_pages).materialize()
+    payload_all = payload_base.union(payload_delta).materialize()
+
+    id_chunks = [b["page_id"].to_numpy(zero_copy_only=False)
+                 for b in ray.get(payload_delta.to_arrow_refs())
+                 if b.num_rows]
+    delta_ids = np.sort(np.concatenate(id_chunks)) if id_chunks \
+        else np.array([], dtype=np.int64)
+    ref_delta = ray.put(delta_ids)
+
+    pairs = enumerate_pairs(emit_block_keys(payload_all),
+                            max_block_size=max_block_size,
+                            num_partitions=num_partitions)
+
+    def touching_delta(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        ids = ray.get(ref_delta)
+        if len(ids) == 0:
+            return b.slice(0, 0)
+
+        def member(col):
+            v = col.to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.clip(np.searchsorted(ids, v), 0, len(ids) - 1)
+            return ids[pos] == v
+
+        return b.filter(pa.array(member(b["a"]) | member(b["b"])))
+
+    pairs_delta = pairs.map_batches(touching_delta, batch_format="pyarrow")
+    _scored, edges_delta = score_pairs_broadcast(pairs_delta, payload_all,
+                                                 threshold=threshold)
+
+    base_edges = labels_base.rename_columns({"page_id": "a", "component": "b"})
+    all_edges = edges_delta.select_columns(["a", "b"]).union(base_edges)
+    labeled = connected_components(payload_all.select_columns(["page_id", "url"]),
+                                   all_edges, num_partitions=num_partitions)
+    return labeled.select_columns(["url", "component"]).rename_columns(
+        {"component": "cluster_id"})

@@ -1322,6 +1322,21 @@ def q_er_clusters_exact(sf_dir: str):
     return er_cluster_pages(sf_dir, exact_verify=True)
 
 
+def q_er_clusters_incremental(sf_dir: str):
+    """Incremental ingest demo: a standing base (4/5 of pages, per-stage
+    checkpointed) plus a delta (1/5, page_id % 5 == 0) folded in without
+    re-scoring base×base pairs.  Rows-only (synthetic pages are outside
+    the oracle views); the pytest gate asserts the result is IDENTICAL
+    to the full-corpus run and F1 1.0 vs ground truth."""
+    import os
+
+    from .entity_resolution import er_cluster_incremental
+
+    root = os.path.join("/tmp/refined_ray_checkpoints",
+                        os.path.basename(os.path.normpath(sf_dir)) + "-incr")
+    return er_cluster_incremental(sf_dir, root)
+
+
 def q_er_clusters_checkpointed(sf_dir: str):
     """Flagship ER through the per-stage checkpoint/lineage layer; a
     repeated call with unchanged inputs resumes from the manifests."""
@@ -1364,6 +1379,7 @@ EXT_QUERIES = {
     "er_quality": q_er_quality,
     "er_clusters_exact": q_er_clusters_exact,
     "er_clusters_checkpointed": q_er_clusters_checkpointed,
+    "er_clusters_incremental": q_er_clusters_incremental,
 }
 
 EXT_ORACLES = {
