@@ -1,0 +1,54 @@
+"""Gates for the distributed clustering metrics (pairwise + B-cubed).
+
+Hand-computed oracle: clusters {1:[a,b,c], 2:[d,e]} vs truth
+{x:[a,b], y:[c,d,e]} gives B3 P = R = 11/15 (per-item averages) and
+pairwise tp=2 (ab, de), pred=4, true=4 -> P = R = 0.5.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def _assignments():
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "item": ["a", "b", "c", "d", "e"],
+        "pred": [1, 1, 1, 2, 2],
+        "true": ["x", "x", "y", "y", "y"],
+    }))
+
+
+def test_pairwise_prf_hand_example(ray_session):
+    from refined_ray.pipelines.evaluation import pairwise_prf
+
+    m = pairwise_prf(_assignments(), "pred", "true")
+    assert (m["tp"], m["fp"], m["fn"]) == (2, 2, 2)
+    assert m["precision"] == 0.5 and m["recall"] == 0.5 and m["f1"] == 0.5
+
+
+def test_bcubed_hand_example(ray_session):
+    from refined_ray.pipelines.evaluation import bcubed_prf
+
+    m = bcubed_prf(_assignments(), "pred", "true")
+    assert abs(m["b3_precision"] - 11 / 15) < 1e-12
+    assert abs(m["b3_recall"] - 11 / 15) < 1e-12
+    assert abs(m["b3_f1"] - 11 / 15) < 1e-12
+
+
+def test_bcubed_perfect_clustering_is_one(ray_session):
+    import ray.data as rd
+
+    from refined_ray.pipelines.evaluation import bcubed_prf
+
+    ds = rd.from_arrow(pa.table({"pred": [1, 1, 2], "true": ["x", "x", "y"]}))
+    m = bcubed_prf(ds, "pred", "true")
+    assert m["b3_f1"] == 1.0
+
+
+def test_er_quality_reports_both_metric_families(ray_session):
+    from refined_ray.pipelines.evaluation import er_quality
+
+    t = er_quality("/root/testdata/sf0.001").to_pylist()[0]
+    assert t["f1"] == 1.0 and t["b3_f1"] == 1.0  # flagship is exact at sf0.001
