@@ -19,26 +19,94 @@ import numpy as np
 import pyarrow as pa
 
 
-def _sum_pairs(ds, keys) -> int:
-    """Σ C(group_size, 2) via grouped count + map_batches fold."""
-    from ray.data.aggregate import Count, Sum
+def _cells(assignments, pred_col: str, true_col: str):
+    """The (pred, true, n_ce) CELL table — the ONE items-wide shuffle
+    both metric families reduce through.  Materialized + scrubbed
+    (Ray 2.49 grouped counts can emit zero-column empty blocks that
+    crash downstream join/groupby finalize)."""
+    from ray.data.aggregate import Count
 
-    counts = ds.groupby(keys).aggregate(Count(alias_name="n"))
+    from .. import scrub_empty_blocks
+
+    return scrub_empty_blocks(
+        assignments.groupby([pred_col, true_col])
+        .aggregate(Count(alias_name="n_ce")).materialize())
+
+
+def _sum_pairs_from_sizes(sizes, col: str) -> int:
+    """Σ C(size, 2) over a (…, col) size table."""
+    from ray.data.aggregate import Sum
 
     def pairs(b: pa.Table) -> pa.Table:
-        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({"p": pa.array(n * (n - 1) // 2, type=pa.int64())})
 
-    folded = counts.map_batches(pairs, batch_format="pyarrow").aggregate(Sum("p", alias_name="p"))
+    folded = sizes.map_batches(pairs, batch_format="pyarrow") \
+                  .aggregate(Sum("p", alias_name="p"))
     return int(folded["p"] or 0)
 
 
-def pairwise_prf(assignments, pred_col: str, true_col: str) -> dict:
+# under this many cells the metric folds run as driver numpy over the
+# already-aggregated cell table (ONE dataset execution total); above it
+# every fold stays a distributed groupby/join chain
+CELLS_DRIVER_MAX_ROWS = 5_000_000
+
+
+def _cells_to_numpy(cells, pred_col: str, true_col: str):
+    """Counted-budget driver pull of the cell table (24 B+/cell).
+    Returns (pred, true, n_ce) arrays or None when over budget."""
+    if cells.count() > CELLS_DRIVER_MAX_ROWS:
+        return None
+    p_parts, t_parts, n_parts = [], [], []
+    for b in cells.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        p_parts.append(np.asarray(b[pred_col].to_pylist(), dtype=object))
+        t_parts.append(np.asarray(b[true_col].to_pylist(), dtype=object))
+        n_parts.append(b["n_ce"].to_numpy(zero_copy_only=False).astype(np.int64))
+    if not n_parts:
+        return (np.empty(0, object), np.empty(0, object),
+                np.empty(0, np.int64))
+    return (np.concatenate(p_parts), np.concatenate(t_parts),
+            np.concatenate(n_parts))
+
+
+def pairwise_prf(assignments, pred_col: str, true_col: str,
+                 cells=None) -> dict:
     """assignments: Dataset with one row per item, columns pred_col and
-    true_col.  Returns tp/fp/fn + precision/recall/f1."""
-    tp = _sum_pairs(assignments, [pred_col, true_col])
-    pred = _sum_pairs(assignments, [pred_col])
-    true = _sum_pairs(assignments, [true_col])
+    true_col.  Returns tp/fp/fn + precision/recall/f1.
+
+    Scale shape: ONE items-wide grouped count (the cell table, pass a
+    precomputed one via ``cells`` to share it with ``bcubed_prf``);
+    cluster/entity sizes are Σ n_ce over the (small) cell table, never
+    a second pass over items.  Under CELLS_DRIVER_MAX_ROWS the folds
+    are driver numpy (counted budget, the flagship's guard pattern);
+    beyond it they stay distributed groupby chains."""
+    from ray.data.aggregate import Sum
+
+    if cells is None:
+        cells = _cells(assignments, pred_col, true_col)
+    pulled = _cells_to_numpy(cells, pred_col, true_col)
+    if pulled is not None:
+        p, t, n = pulled
+
+        def sum_pairs(sizes: np.ndarray) -> int:
+            return int(np.sum(sizes * (sizes - 1) // 2))
+
+        def group_sizes(keys: np.ndarray) -> np.ndarray:
+            order = np.argsort(keys, kind="stable")
+            k = keys[order]
+            seg = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+            return np.add.reduceat(n[order], seg) if len(k) else \
+                np.empty(0, np.int64)
+
+        tp = sum_pairs(n)
+        pred = sum_pairs(group_sizes(p))
+        true = sum_pairs(group_sizes(t))
+    else:
+        tp = _sum_pairs_from_sizes(cells, "n_ce")
+        pred = _sum_pairs_from_sizes(
+            cells.groupby(pred_col).aggregate(Sum("n_ce", alias_name="n")), "n")
+        true = _sum_pairs_from_sizes(
+            cells.groupby(true_col).aggregate(Sum("n_ce", alias_name="n")), "n")
     fp, fn = pred - tp, true - tp
     precision = tp / pred if pred else 1.0
     recall = tp / true if true else 1.0
@@ -48,7 +116,7 @@ def pairwise_prf(assignments, pred_col: str, true_col: str) -> dict:
 
 
 def bcubed_prf(assignments, pred_col: str, true_col: str,
-               num_partitions: int = 8) -> dict:
+               num_partitions: int = 8, cells=None) -> dict:
     """B-cubed precision/recall/F1 — the per-item complement to
     ``pairwise_prf`` (pairwise over-weights large clusters; B³ weighs
     every item equally; Bagga & Baldwin 1998 / Amigó et al. 2009).
@@ -60,18 +128,44 @@ def bcubed_prf(assignments, pred_col: str, true_col: str,
 
       P_b3 = Σ_cells n_ce²/n_c / N      R_b3 = Σ_cells n_ce²/n_e / N
     """
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from .. import scrub_empty_blocks
 
-    # grouped counts can emit zero-column empty blocks (Ray 2.49);
-    # scrub before the hash joins or their finalize raises ArrowInvalid
-    cells = scrub_empty_blocks(assignments.groupby([pred_col, true_col])
-                               .aggregate(Count(alias_name="n_ce")).materialize())
-    csize = scrub_empty_blocks(assignments.groupby(pred_col)
-                               .aggregate(Count(alias_name="n_c")).materialize())
-    esize = scrub_empty_blocks(assignments.groupby(true_col)
-                               .aggregate(Count(alias_name="n_e")).materialize())
+    if cells is None:
+        cells = _cells(assignments, pred_col, true_col)
+    pulled = _cells_to_numpy(cells, pred_col, true_col)
+    if pulled is not None:  # driver fast path (counted budget)
+        p, t, n = pulled
+        n_items = float(n.sum())
+        if n_items == 0:
+            return {"b3_precision": 1.0, "b3_recall": 1.0, "b3_f1": 0.0}
+
+        def size_of(keys: np.ndarray) -> np.ndarray:
+            order = np.argsort(keys, kind="stable")
+            k, nn = keys[order], n[order].astype(np.float64)
+            seg = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+            sizes = np.add.reduceat(nn, seg)
+            gid = np.cumsum(np.r_[True, k[1:] != k[:-1]]) - 1
+            out = np.empty(len(k))
+            out[order] = sizes[gid]
+            return out
+
+        nf = n.astype(np.float64)
+        precision = float(np.sum(nf * nf / size_of(p)) / n_items)
+        recall = float(np.sum(nf * nf / size_of(t)) / n_items)
+        f1 = 2 * precision * recall / (precision + recall) \
+            if precision + recall else 0.0
+        return {"b3_precision": precision, "b3_recall": recall, "b3_f1": f1}
+
+    # distributed path: cluster/entity sizes are Σ n_ce over the CELL
+    # table — items are shuffled exactly once, downstream is cells-sized
+    csize = scrub_empty_blocks(
+        cells.groupby(pred_col).aggregate(Sum("n_ce", alias_name="n_c"))
+        .materialize())
+    esize = scrub_empty_blocks(
+        cells.groupby(true_col).aggregate(Sum("n_ce", alias_name="n_e"))
+        .materialize())
     joined = cells.join(csize, join_type="inner",
                         num_partitions=num_partitions, on=(pred_col,)) \
                   .join(esize, join_type="inner",
@@ -108,9 +202,9 @@ def er_quality(sf_dir: str, amplify: int = 1, fatten: int = 1):
     out = er_cluster_pages(sf_dir, amplify=amplify, fatten=fatten)
     gt = read_parquet_clean(ensure_webpages(sf_dir, amplify=amplify, fatten=fatten),
                             columns=["url", "entity_id"])
-    joined = out.join(gt, join_type="inner", num_partitions=8,
-                      on=("url",)).materialize()  # consumed by 6 grouped counts
-    m = pairwise_prf(joined, "cluster_id", "entity_id")
-    m.update(bcubed_prf(joined, "cluster_id", "entity_id"))
+    joined = out.join(gt, join_type="inner", num_partitions=8, on=("url",))
+    cells = _cells(joined, "cluster_id", "entity_id")  # the one items shuffle
+    m = pairwise_prf(joined, "cluster_id", "entity_id", cells=cells)
+    m.update(bcubed_prf(joined, "cluster_id", "entity_id", cells=cells))
     return pa.table({k: pa.array([float(v) if isinstance(v, float) else v])
                      for k, v in m.items()})

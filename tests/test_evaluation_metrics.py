@@ -52,3 +52,18 @@ def test_er_quality_reports_both_metric_families(ray_session):
 
     t = er_quality("/root/testdata/sf0.001").to_pylist()[0]
     assert t["f1"] == 1.0 and t["b3_f1"] == 1.0  # flagship is exact at sf0.001
+
+
+def test_driver_and_distributed_paths_agree(ray_session, monkeypatch):
+    import refined_ray.pipelines.evaluation as ev
+
+    fast_p = ev.pairwise_prf(_assignments(), "pred", "true")
+    fast_b = ev.bcubed_prf(_assignments(), "pred", "true")
+    monkeypatch.setattr(ev, "CELLS_DRIVER_MAX_ROWS", -1)  # force distributed
+    slow_p = ev.pairwise_prf(_assignments(), "pred", "true")
+    slow_b = ev.bcubed_prf(_assignments(), "pred", "true")
+    assert fast_p == slow_p
+    # float folds differ in summation order → compare to 1e-12
+    assert fast_b.keys() == slow_b.keys()
+    for k in fast_b:
+        assert abs(fast_b[k] - slow_b[k]) < 1e-12, k
