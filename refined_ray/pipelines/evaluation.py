@@ -59,8 +59,10 @@ def _cells_to_numpy(cells, pred_col: str, true_col: str):
         return None
     p_parts, t_parts, n_parts = [], [], []
     for b in cells.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        p_parts.append(np.asarray(b[pred_col].to_pylist(), dtype=object))
-        t_parts.append(np.asarray(b[true_col].to_pylist(), dtype=object))
+        # native dtypes where possible (int keys sort ~20× faster than
+        # object arrays); strings come back as object arrays anyway
+        p_parts.append(b[pred_col].to_numpy(zero_copy_only=False))
+        t_parts.append(b[true_col].to_numpy(zero_copy_only=False))
         n_parts.append(b["n_ce"].to_numpy(zero_copy_only=False).astype(np.int64))
     if not n_parts:
         return (np.empty(0, object), np.empty(0, object),
@@ -138,8 +140,8 @@ def bcubed_prf(assignments, pred_col: str, true_col: str,
     if pulled is not None:  # driver fast path (counted budget)
         p, t, n = pulled
         n_items = float(n.sum())
-        if n_items == 0:
-            return {"b3_precision": 1.0, "b3_recall": 1.0, "b3_f1": 0.0}
+        if n_items == 0:  # vacuous clustering: perfect by convention
+            return {"b3_precision": 1.0, "b3_recall": 1.0, "b3_f1": 1.0}
 
         def size_of(keys: np.ndarray) -> np.ndarray:
             order = np.argsort(keys, kind="stable")
