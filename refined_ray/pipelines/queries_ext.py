@@ -1765,6 +1765,53 @@ def q_embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45,
 
 
 # ---------------------------------------------------------------------
+# O5-family: deterministic stratified corpus sampling
+# ---------------------------------------------------------------------
+
+# per-language keep rates in % — the training-data rebalancing shape
+# (downsample the dominant language, keep low-resource ones)
+SAMPLE_RATES = {"en": 50, "de": 80, "fr": 80, "es": 80, "zh": 100}
+SAMPLE_RATE_DEFAULT = 30
+
+
+def q_corpus_sample(sf_dir: str):
+    """Stratified corpus sampling with per-language keep rates applied
+    as SYSTEMATIC thresholds (keep doc iff doc_id % 100 < rate[lang]).
+
+    Deterministic and join-free by construction — unlike RNG sampling
+    it is reproducible across runs/partitionings, trivially resumable,
+    and exactly SQL-expressible (the oracle below); at 100 TB this is
+    a pure streaming filter, no shuffle.  ≙ the reference's seeded
+    candidate sampling role (candidate_generator.py:96-119) lifted to
+    corpus scale."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    keys = pa.array(list(SAMPLE_RATES), type=pa.string())
+    rates_lut = np.array(list(SAMPLE_RATES.values()) + [SAMPLE_RATE_DEFAULT],
+                         dtype=np.int64)
+
+    def sample(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "lang": pa.array([], type=pa.string())})
+        idx = pc.fill_null(pc.index_in(b["lang"], value_set=keys),
+                           len(SAMPLE_RATES))
+        rates = rates_lut[idx.to_numpy(zero_copy_only=False)]
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(ids % 100 < rates))
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+_SAMPLE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES.items()
+) + f" ELSE {SAMPLE_RATE_DEFAULT} END"
+SQL_CORPUS_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE doc_id % 100 < {_SAMPLE_CASE}
+"""
+
+
+# ---------------------------------------------------------------------
 # M10: BIO tag decode → token spans (full reference semantics)
 # ---------------------------------------------------------------------
 
@@ -1843,6 +1890,8 @@ EXT_QUERIES["ann_ivf_partitioned"] = q_ann_ivf_partitioned
 EXT_QUERIES["embedding_neardup_lsh"] = q_embedding_neardup_lsh
 EXT_QUERIES["bio_spans"] = q_bio_spans
 EXT_ORACLES["bio_spans"] = SQL_BIO_SPANS
+EXT_QUERIES["corpus_sample"] = q_corpus_sample
+EXT_ORACLES["corpus_sample"] = SQL_CORPUS_SAMPLE
 
 # identical contract to the exact path -> same all-pairs oracle
 from .queries import SQL_EMBEDDING_PAIRS as _SQL_EMB_PAIRS  # noqa: E402
