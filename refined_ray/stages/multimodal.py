@@ -78,11 +78,14 @@ class MediaFeatureExtractor:
 def media_feature_stage(ds, id_col: str = "doc_id", media_col: str = "media",
                         concurrency=(1, 4), batch_size: int = 256):
     """Run the extractor actor pool with media-sized batches."""
-    return ds.map_batches(
-        MediaFeatureExtractor, batch_format="pyarrow",
-        fn_constructor_kwargs={"id_col": id_col, "media_col": media_col},
-        concurrency=concurrency, batch_size=batch_size,
-    )
+    from .protocol import Stage
+
+    return Stage(
+        name="media_features", fn=MediaFeatureExtractor,
+        provides=(id_col, "feat_mean", "feat_std", "feat_hash"),
+        options={"fn_constructor_kwargs": {"id_col": id_col, "media_col": media_col},
+                 "concurrency": concurrency, "batch_size": batch_size},
+    ).apply(ds)
 
 
 def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -134,12 +137,14 @@ class MediaResizer:
 def media_resize_stage(ds, id_col: str = "doc_id", media_col: str = "media",
                        out_h: int = 8, out_w: int = 8,
                        concurrency=(1, 4), batch_size: int = 256):
-    return ds.map_batches(
-        MediaResizer, batch_format="pyarrow",
-        fn_constructor_kwargs={"id_col": id_col, "media_col": media_col,
-                               "out_h": out_h, "out_w": out_w},
-        concurrency=concurrency, batch_size=batch_size,
-    )
+    from .protocol import Stage
+
+    return Stage(
+        name="media_resize", fn=MediaResizer,
+        options={"fn_constructor_kwargs": {"id_col": id_col, "media_col": media_col,
+                                           "out_h": out_h, "out_w": out_w},
+                 "concurrency": concurrency, "batch_size": batch_size},
+    ).apply(ds)
 
 
 class FrameSampler:
@@ -191,9 +196,11 @@ def frame_sample_stage(ds, id_col: str = "doc_id", media_col: str = "media",
                        concurrency=(1, 4), batch_size: int = 64):
     """Frame sampling with SMALL batches: the fan-out multiplies rows
     by n_frames/stride, so batch × expansion must fit worker heap."""
-    return ds.map_batches(
-        FrameSampler, batch_format="pyarrow",
-        fn_constructor_kwargs={"id_col": id_col, "media_col": media_col,
-                               "frame_bytes": frame_bytes, "stride": stride},
-        concurrency=concurrency, batch_size=batch_size,
-    )
+    from .protocol import Stage
+
+    return Stage(
+        name="frame_sample", fn=FrameSampler,
+        options={"fn_constructor_kwargs": {"id_col": id_col, "media_col": media_col,
+                                           "frame_bytes": frame_bytes, "stride": stride},
+                 "concurrency": concurrency, "batch_size": batch_size},
+    ).apply(ds)
