@@ -210,3 +210,82 @@ def er_quality(sf_dir: str, amplify: int = 1, fatten: int = 1):
     m.update(bcubed_prf(joined, "cluster_id", "entity_id", cells=cells))
     return pa.table({k: pa.array([float(v) if isinstance(v, float) else v])
                      for k, v in m.items()})
+
+
+def error_pairs(assignments, pred_col: str, true_col: str, id_col: str,
+                per_group_cap: int = 100, num_partitions: int = 8):
+    """Qualitative FP/FN PAIR dump (≙ the reference's error analysis,
+    evaluation.py:107-124 / my_tests/error_analysis.py).
+
+    FP = same predicted cluster, different truth; FN = same truth,
+    different predicted cluster.  Pairs are enumerated ONLY within one
+    group at a time after a keyed repartition (groups co-located), with
+    a per-group cap so one giant broken cluster cannot explode the dump
+    — capped groups are flagged in the ``capped`` column, never silent.
+    Returns (id_a, id_b, kind, capped).
+    """
+    import pyarrow as pa
+
+    def _emit(kind: str, key_col: str, other_col: str):
+        def em(b: pa.Table) -> pa.Table:
+            empty = pa.table({"id_a": pa.array([], type=pa.string()),
+                              "id_b": pa.array([], type=pa.string()),
+                              "kind": pa.array([], type=pa.string()),
+                              "capped": pa.array([], type=pa.bool_())})
+            if b.num_rows == 0:
+                return empty
+            import numpy as np
+
+            keys = np.asarray(b[key_col].to_pylist(), dtype=object)
+            other = np.asarray(b[other_col].to_pylist(), dtype=object)
+            ids = np.asarray(b[id_col].to_pylist(), dtype=object)
+            order = np.argsort(keys, kind="stable")
+            keys, other, ids = keys[order], other[order], ids[order]
+            seg = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+            sizes = np.diff(np.r_[seg, len(keys)])
+            out_a, out_b, out_cap = [], [], []
+            for s, n in zip(seg, sizes):
+                if n < 2:
+                    continue
+                i, j = np.triu_indices(n, 1)
+                bad = other[s + i] != other[s + j]
+                i, j = i[bad], j[bad]
+                capped = len(i) > per_group_cap
+                if capped:
+                    i, j = i[:per_group_cap], j[:per_group_cap]
+                a, c = ids[s + i], ids[s + j]
+                lo, hi = np.minimum(a, c), np.maximum(a, c)
+                out_a.append(lo)
+                out_b.append(hi)
+                out_cap.append(np.full(len(lo), capped))
+            if not out_a:
+                return empty
+            a = np.concatenate(out_a)
+            return pa.table({
+                "id_a": pa.array(a, type=pa.string()),
+                "id_b": pa.array(np.concatenate(out_b), type=pa.string()),
+                "kind": pa.array([kind] * len(a), type=pa.string()),
+                "capped": pa.array(np.concatenate(out_cap), type=pa.bool_()),
+            })
+
+        part = assignments.repartition(num_blocks=num_partitions,
+                                       keys=[key_col], sort=False)
+        return part.map_batches(em, batch_format="pyarrow", batch_size=None)
+
+    fp = _emit("fp", pred_col, true_col)
+    fn = _emit("fn", true_col, pred_col)
+    return fp.union(fn)
+
+
+def er_errors(sf_dir: str, max_rows: int = 1000):
+    """FP/FN url pairs of the flagship run vs ground truth (bounded
+    qualitative dump; empty when F1 is 1.0)."""
+    from .. import read_parquet_clean
+    from ..sources.webpages import ensure_webpages
+    from .entity_resolution import er_cluster_pages
+
+    out = er_cluster_pages(sf_dir)
+    gt = read_parquet_clean(ensure_webpages(sf_dir),
+                            columns=["url", "entity_id"])
+    joined = out.join(gt, join_type="inner", num_partitions=8, on=("url",))
+    return error_pairs(joined, "cluster_id", "entity_id", "url").limit(max_rows)

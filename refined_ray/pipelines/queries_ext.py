@@ -1322,6 +1322,17 @@ def q_er_clusters_exact(sf_dir: str):
     return er_cluster_pages(sf_dir, exact_verify=True)
 
 
+def q_er_errors(sf_dir: str):
+    """FP/FN url-pair dump of the flagship run vs ground truth (≙ the
+    reference's qualitative error analysis, evaluation.py:107-124 /
+    my_tests/error_analysis.py).  Rows-only; empty when F1 is 1.0 —
+    the pytest gate plants a broken clustering and checks the exact
+    FP/FN pair sets."""
+    from .evaluation import er_errors
+
+    return er_errors(sf_dir)
+
+
 def q_er_clusters_incremental(sf_dir: str):
     """Incremental ingest demo: a standing base (4/5 of pages, per-stage
     checkpointed) plus a delta (1/5, page_id % 5 == 0) folded in without
@@ -1380,6 +1391,7 @@ EXT_QUERIES = {
     "er_clusters_exact": q_er_clusters_exact,
     "er_clusters_checkpointed": q_er_clusters_checkpointed,
     "er_clusters_incremental": q_er_clusters_incremental,
+    "er_errors": q_er_errors,
 }
 
 EXT_ORACLES = {

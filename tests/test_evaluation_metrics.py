@@ -67,3 +67,44 @@ def test_driver_and_distributed_paths_agree(ray_session, monkeypatch):
     assert fast_b.keys() == slow_b.keys()
     for k in fast_b:
         assert abs(fast_b[k] - slow_b[k]) < 1e-12, k
+
+
+def test_error_pairs_planted_mistakes(ray_session):
+    import ray.data as rd
+
+    from refined_ray.pipelines.evaluation import error_pairs
+
+    # cluster 1 wrongly merges truth-x and truth-y items (FP pairs);
+    # truth-y is split across clusters 1 and 2 (FN pairs)
+    ds = rd.from_arrow(pa.table({
+        "url": ["a", "b", "c", "d"],
+        "pred": [1, 1, 1, 2],
+        "true": ["x", "x", "y", "y"],
+    }))
+    rows = error_pairs(ds, "pred", "true", "url").take_all()
+    got = {(r["id_a"], r["id_b"], r["kind"]) for r in rows}
+    assert got == {("a", "c", "fp"), ("b", "c", "fp"), ("c", "d", "fn")}
+    assert not any(r["capped"] for r in rows)
+
+
+def test_error_pairs_per_group_cap_is_flagged(ray_session):
+    import ray.data as rd
+
+    from refined_ray.pipelines.evaluation import error_pairs
+
+    n = 30  # one broken cluster with 15x15 cross-truth pairs = 225 > cap
+    ds = rd.from_arrow(pa.table({
+        "url": [f"u{i:02d}" for i in range(n)],
+        "pred": [1] * n,
+        "true": ["x" if i % 2 == 0 else "y" for i in range(n)],
+    }))
+    rows = [r for r in error_pairs(ds, "pred", "true", "url",
+                                   per_group_cap=50).take_all()
+            if r["kind"] == "fp"]
+    assert len(rows) == 50 and all(r["capped"] for r in rows)
+
+
+def test_er_errors_empty_at_perfect_f1(ray_session):
+    from refined_ray.pipelines.queries_ext import q_er_errors
+
+    assert q_er_errors("/root/testdata/sf0.001").count() == 0
