@@ -395,10 +395,11 @@ def q_pem_table(sf_dir: str):
     version hash-partitions the exploded (surface, entity) rows once,
     then counts + normalizes in a single lexsort/reduceat pass per
     partition (the pattern measured 17× faster in stages/pairs.py).
-    Sort keys are hash-primary so string comparisons only break ties."""
-    from .. import default_num_partitions
-    from ..functions.hashing import hash_str_array
+    Sort keys are hash-primary so string comparisons only break ties.
+    The exchange + segment pass live in stages/pem.py (shared with the
+    offline corpus-build DAG)."""
     from ..functions.tokenize import tokenize_batch
+    from ..stages.pem import pem_from_pairs
 
     ds = _read(sf_dir, "documents", ["source", "text"])
 
@@ -414,41 +415,7 @@ def q_pem_table(sf_dir: str):
         return pa.table({"surface": pa.array(surf, type=pa.string()),
                          "entity": pa.array(ent, type=pa.string())})
 
-    nparts = default_num_partitions()
-    parted = ds.map_batches(explode, batch_format="pyarrow") \
-               .repartition(num_blocks=nparts, keys=["surface"], sort=False)
-
-    def pem_partition(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        if n == 0:
-            return pa.table({"surface": pa.array([], type=pa.string()),
-                             "entity": pa.array([], type=pa.string()),
-                             "cnt": pa.array([], type=pa.int64()),
-                             "prob": pa.array([], type=pa.float64())})
-        s = b["surface"].to_numpy(zero_copy_only=False)
-        e = b["entity"].to_numpy(zero_copy_only=False)
-        hs = hash_str_array(s).view(np.int64)
-        he = hash_str_array(e).view(np.int64)
-        # order by (hash(s), s, hash(e), e): integer-primary, object
-        # string compares only among hash ties — exact contiguity
-        order = np.lexsort((e, he, s, hs))
-        s, e = s[order], e[order]
-        pair_new = np.r_[True, (s[1:] != s[:-1]) | (e[1:] != e[:-1])]
-        pair_starts = np.flatnonzero(pair_new)
-        cnt = np.diff(np.r_[pair_starts, n])
-        ps, pe = s[pair_starts], e[pair_starts]
-        surf_new = np.r_[True, ps[1:] != ps[:-1]]
-        surf_starts = np.flatnonzero(surf_new)
-        totals = np.add.reduceat(cnt, surf_starts)
-        per_pair_tot = np.repeat(totals, np.diff(np.r_[surf_starts, len(ps)]))
-        return pa.table({
-            "surface": pa.array(ps, type=pa.string()),
-            "entity": pa.array(pe, type=pa.string()),
-            "cnt": pa.array(cnt, type=pa.int64()),
-            "prob": pa.array(cnt / per_pair_tot.astype(np.float64), type=pa.float64()),
-        })
-
-    return parted.map_batches(pem_partition, batch_format="pyarrow", batch_size=None)
+    return pem_from_pairs(ds.map_batches(explode, batch_format="pyarrow"))
 
 
 SQL_PEM_TABLE = f"""

@@ -1910,6 +1910,13 @@ from .queries import SQL_EMBEDDING_PAIRS as _SQL_EMB_PAIRS  # noqa: E402
 
 EXT_ORACLES["embedding_neardup_lsh"] = _SQL_EMB_PAIRS
 
+# offline corpus-build DAG (≙ preprocess_all.py entry point): the end
+# artifact (PEM over synthesized anchor pages) is oracle-checked
+from .offline_build import SQL_OFFLINE_PEM, q_offline_pem  # noqa: E402
+
+EXT_QUERIES["offline_pem"] = q_offline_pem
+EXT_ORACLES["offline_pem"] = SQL_OFFLINE_PEM
+
 # benchmark-file readers (S5/S6) + collation (M9) live in their own
 # module; all three are oracle-checked
 from .queries_readers import READER_ORACLES, READER_QUERIES  # noqa: E402

@@ -28,7 +28,9 @@ import pyarrow.parquet as pq
 def _read_clean(path):
     from .. import read_parquet_clean
 
-    return read_parquet_clean(path)
+    # partitioning=None: the checkpoint dir itself is named
+    # ``stage=<name>`` — hive inference would resurrect it as a column
+    return read_parquet_clean(path, partitioning=None)
 
 
 class StageCheckpointer:
