@@ -47,12 +47,20 @@ import time
 
 
 def _ensure_ray() -> bool:
-    """Init Ray iff not already up; return True when this call owned it."""
+    """Init Ray iff not already up; return True when this call owned it.
+
+    With ``RAY_ADDRESS`` set (a ``ray job submit`` entrypoint, or the
+    sandbox's preset ``local``), plain ``ray.init()`` honors it and
+    attaches to the cluster; only with no address do we force a fresh
+    local instance."""
     import ray
 
     if ray.is_initialized():
         return False
-    ray.init(address="local", include_dashboard=False)
+    if os.environ.get("RAY_ADDRESS"):
+        ray.init()
+    else:
+        ray.init(address="local", include_dashboard=False)
     return True
 
 
@@ -130,6 +138,10 @@ def cmd_flagship(args) -> int:
     t0 = time.time()
     kw = dict(threshold=args.threshold, amplify=args.amplify, fatten=args.fatten)
     if args.checkpoint_root:
+        if args.exact_verify:
+            print("--exact-verify is not supported with --checkpoint-root "
+                  "(the checkpointed pipeline has no exact tier)", file=sys.stderr)
+            return 2
         ds = er_cluster_pages_checkpointed(args.sf_dir, args.checkpoint_root, **kw)
     else:
         ds = er_cluster_pages(args.sf_dir, exact_verify=args.exact_verify, **kw)
@@ -160,11 +172,11 @@ def cmd_ingest_add_part(args) -> int:
     import pyarrow.csv as pacsv
     import pyarrow.parquet as pq
 
-    tdir = os.path.join(args.staging, args.table)
-    os.makedirs(tdir, exist_ok=True)
     if os.path.exists(os.path.join(args.staging, "_MANIFEST.json")):
         print("staging dir already finalized", file=sys.stderr)
         return 2
+    tdir = os.path.join(args.staging, args.table)
+    os.makedirs(tdir, exist_ok=True)
     dest = os.path.join(tdir, _part_name(args.file))
     if os.path.exists(dest):  # idempotent re-add (retry-safe)
         print(json.dumps({"table": args.table, "part": os.path.basename(dest),
@@ -184,6 +196,9 @@ def cmd_ingest_add_part(args) -> int:
 def cmd_ingest_finalize(args) -> int:
     import pyarrow.dataset as pads
 
+    if os.path.exists(os.path.join(args.staging, "_MANIFEST.json")):
+        print("staging dir already finalized", file=sys.stderr)
+        return 2
     tables = sorted(d for d in os.listdir(args.staging)
                     if os.path.isdir(os.path.join(args.staging, d)))
     if not tables:
@@ -193,22 +208,34 @@ def cmd_ingest_finalize(args) -> int:
     manifest = {}
     for t in tables:
         src = os.path.join(args.staging, t)
-        dsrc = pads.dataset(src)  # raises on inconsistent part schemas
-        schemas = {str(pads.dataset(os.path.join(src, p)).schema)
-                   for p in os.listdir(src)}
+        # only committed fragments count: a killed add-part leaves a
+        # ``*.parquet.part`` temp that must be neither checked nor
+        # promoted
+        parts = sorted(p for p in os.listdir(src) if p.endswith(".parquet"))
+        if not parts:
+            print(f"table {t!r}: no committed parts", file=sys.stderr)
+            return 3
+        try:
+            schemas = {str(pads.dataset(os.path.join(src, p)).schema)
+                       for p in parts}
+        except Exception as e:
+            print(f"table {t!r}: unreadable part ({e})", file=sys.stderr)
+            return 3
         if len(schemas) > 1:
             print(f"table {t!r}: inconsistent part schemas", file=sys.stderr)
             return 3
+        rows = pads.dataset([os.path.join(src, p) for p in parts]).count_rows()
         out = os.path.join(args.dest, f"{t}.parquet")
         tmp = out + ".part"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
-        shutil.copytree(src, tmp)
+        os.makedirs(tmp)
+        for p in parts:
+            shutil.copyfile(os.path.join(src, p), os.path.join(tmp, p))
         if os.path.exists(out):
             shutil.rmtree(out) if os.path.isdir(out) else os.remove(out)
         os.replace(tmp, out)
-        manifest[t] = {"rows": dsrc.count_rows(),
-                       "parts": sorted(os.listdir(src))}
+        manifest[t] = {"rows": rows, "parts": parts}
     mpath = os.path.join(args.staging, "_MANIFEST.json")
     with open(mpath + ".part", "w") as f:
         json.dump(manifest, f, indent=1)

@@ -88,40 +88,12 @@ def _pem(links, num_partitions=None):
 
 def _entity_index(pem):
     """Distinct entities → contiguous int64 index (≙ A2,
-    preprocess_all.py:112-122).  Distributed zip-with-index: sorted
-    distinct, then per-block offsets from one row of metadata per
-    block — the driver never sees the data (same pattern as the
-    ``entity_index`` catalog query, queries_ext.py)."""
-    import ray
+    preprocess_all.py:112-122), via the shared distributed
+    zip-with-index (stages/index.py)."""
+    from ..stages.index import zip_with_index
 
-    distinct = pem.select_columns(["entity"]).groupby("entity").count() \
-                  .select_columns(["entity"]).sort("entity").materialize()
-
-    def block_meta(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"first": pa.array([], type=pa.string()),
-                             "n": pa.array([], type=pa.int64())})
-        return pa.table({"first": pa.array([b["entity"][0].as_py()], type=pa.string()),
-                         "n": pa.array([b.num_rows], type=pa.int64())})
-
-    meta = sorted((r["first"], r["n"]) for r in
-                  distinct.map_batches(block_meta, batch_format="pyarrow",
-                                       batch_size=None).take_all())
-    offsets, acc = {}, 0
-    for first, n in meta:
-        offsets[first] = acc
-        acc += n
-    ref = ray.put(offsets)
-
-    def assign(b: pa.Table, _ref=ref) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"entity": pa.array([], type=pa.string()),
-                             "entity_idx": pa.array([], type=pa.int64())})
-        off = ray.get(_ref)[b["entity"][0].as_py()]
-        return b.append_column(
-            "entity_idx", pa.array(np.arange(off, off + b.num_rows), type=pa.int64()))
-
-    return distinct.map_batches(assign, batch_format="pyarrow", batch_size=None)
+    return zip_with_index(pem.select_columns(["entity"]), "entity",
+                          out_col="entity_idx")
 
 
 def _descriptions(index):

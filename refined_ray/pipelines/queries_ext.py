@@ -1095,44 +1095,12 @@ def q_person_coref(sf_dir: str, max_candidates: int = 3):
 
 
 def q_entity_index(sf_dir: str):
-    import ray
+    """A2 distinct→contiguous index; the distributed zip-with-index
+    lives in stages/index.py (shared with the offline-build DAG)."""
+    from ..stages.index import zip_with_index
 
     ds = _read(sf_dir, "documents", ["source"])
-    distinct = ds.groupby("source").count().select_columns(["source"]) \
-                 .sort("source").materialize()
-
-    # per-block (first_key, n_rows) → cumulative start offsets.  The
-    # driver sees ONE ROW PER BLOCK, never the data; blocks are sorted
-    # and keys globally distinct, so a block's first key identifies it.
-    def block_meta(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"first": pa.array([], type=pa.string()),
-                             "n": pa.array([], type=pa.int64())})
-        return pa.table({"first": pa.array([b["source"][0].as_py()], type=pa.string()),
-                         "n": pa.array([b.num_rows], type=pa.int64())})
-
-    meta = sorted((r["first"], r["n"]) for r in
-                  distinct.map_batches(block_meta, batch_format="pyarrow",
-                                       batch_size=None).take_all())
-    offsets, acc = {}, 0
-    for first, n in meta:
-        offsets[first] = acc
-        acc += n
-    ref = ray.put(offsets)
-
-    def assign(b: pa.Table, _ref=ref) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"entity": pa.array([], type=pa.string()),
-                             "idx": pa.array([], type=pa.int64())})
-        offs = ray.get(_ref)
-        base = offs[b["source"][0].as_py()]
-        return pa.table({
-            "entity": b["source"],
-            "idx": pa.array(base + np.arange(b.num_rows, dtype=np.int64),
-                            type=pa.int64()),
-        })
-
-    return distinct.map_batches(assign, batch_format="pyarrow", batch_size=None)
+    return zip_with_index(ds, "source", out_key="entity", out_col="idx")
 
 
 SQL_ENTITY_INDEX = """

@@ -82,6 +82,29 @@ def test_cli_ingest_add_finalize_roundtrip(staged_parts, tmp_path, capsys):
     assert main(["ingest", "add-part", p1, "--staging", staging, "--table", "pages"]) == 2
 
 
+def test_cli_ingest_ignores_uncommitted_part_temp(staged_parts, tmp_path, capsys):
+    """A killed add-part leaves a *.parquet.part temp: finalize must
+    neither schema-check nor promote nor count it."""
+    p1, p2 = staged_parts
+    staging, dest = str(tmp_path / "stage"), str(tmp_path / "dest")
+    assert main(["ingest", "add-part", p1, "--staging", staging, "--table", "pages"]) == 0
+    import shutil
+
+    shutil.copyfile(p2, os.path.join(staging, "pages", "part-dead.parquet.part"))
+    assert main(["ingest", "finalize", "--staging", staging, "--dest", dest]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["tables"] == {"pages": 2}  # only p1's rows
+    assert not os.path.exists(
+        os.path.join(dest, "pages.parquet", "part-dead.parquet.part"))
+    # double-finalize refused
+    assert main(["ingest", "finalize", "--staging", staging, "--dest", dest]) == 2
+
+
+def test_cli_flagship_rejects_exact_verify_with_checkpoint(ray_session, tmp_path):
+    assert main(["flagship", "--sf-dir", SF_SMALL, "--checkpoint-root",
+                 str(tmp_path / "cp"), "--exact-verify"]) == 2
+
+
 def test_cli_ingest_csv_part_and_schema_guard(tmp_path, capsys):
     staging, dest = str(tmp_path / "stage"), str(tmp_path / "dest")
     csvf = str(tmp_path / "rows.csv")
