@@ -1878,6 +1878,148 @@ from .queries import SQL_EMBEDDING_PAIRS as _SQL_EMB_PAIRS  # noqa: E402
 
 EXT_ORACLES["embedding_neardup_lsh"] = _SQL_EMB_PAIRS
 
+VOCAB_BROADCAST_MAX_BYTES = 256 << 20  # 16 B/token-type → 16M vocab
+
+
+def q_doc_lm_score(sf_dir: str):
+    """Unigram-LM quality score per document (engine addition — the
+    CCNet-style LM filter of large-scale training-data pipelines):
+    score(doc) = mean over token INSTANCES of -ln(cnt(tok)/N), where
+    cnt is the corpus-wide instance count and N the corpus token
+    total.  Low score = stereotyped boilerplate, high = rare-token
+    soup; both tails get filtered in practice.
+
+    Scale shape: ONE tokenize pass materializes narrow (doc_id,
+    hkey:int64) instance rows reused by both the vocabulary count and
+    the attach; the vocabulary attaches via counted-budget broadcast
+    (sorted int64 arrays + searchsorted) with a hash-join fallback
+    beyond the budget (the 100-TB path, same guard as the flagship
+    payload); per-doc means reduce as partial (s, n) sums inside
+    map_batches before the one doc_id shuffle.  Token identity is the
+    64-bit stable hash — collision odds ~V²/2⁻⁶⁴, the same accepted
+    false-match budget as the MinHash buckets."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash_str_array
+    from ..functions.tokenize import tokenize_batch
+    from .. import default_num_partitions
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        flat, starts = tokenize_batch(texts)
+        h = hash_str_array(np.asarray(flat, dtype=object)).view(np.int64) \
+            if flat else np.array([], dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, np.diff(starts)), type=pa.int64()),
+            "hkey": pa.array(h, type=pa.int64()),
+        })
+
+    inst = docs.map_batches(explode, batch_format="pyarrow").materialize()
+    n_total = inst.count()
+    from ray.data.aggregate import Count
+
+    from .. import scrub_empty_blocks
+
+    # hash-agg partitions with no rows emit zero-COLUMN blocks (Ray
+    # 2.49) — scrub before block iteration / join
+    counts = scrub_empty_blocks(
+        inst.groupby("hkey").aggregate(Count(alias_name="cnt")).materialize(),
+        fallback_schema=pa.schema([("hkey", pa.int64()), ("cnt", pa.int64())]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        """(doc_id, neglogp) rows → per-doc partial (s, n) sums."""
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.float64()),
+                             "n": pa.array([], type=pa.int64())})
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        v = b["neglogp"].to_numpy(zero_copy_only=False)
+        order = np.argsort(d, kind="stable")
+        d, v = d[order], v[order]
+        new = np.r_[True, d[1:] != d[:-1]]
+        st = np.flatnonzero(new)
+        return pa.table({
+            "doc_id": pa.array(d[st], type=pa.int64()),
+            "s": pa.array(np.add.reduceat(v, st), type=pa.float64()),
+            "n": pa.array(np.diff(np.r_[st, len(d)]), type=pa.int64()),
+        })
+
+    if counts.count() * 16 <= VOCAB_BROADCAST_MAX_BYTES:
+        keys_p, cnt_p = [], []
+        for blk in ray.get(counts.to_arrow_refs()):
+            keys_p.append(blk["hkey"].to_numpy(zero_copy_only=False))
+            cnt_p.append(blk["cnt"].to_numpy(zero_copy_only=False))
+        keys = np.concatenate(keys_p) if keys_p else np.array([], dtype=np.int64)
+        cnt = np.concatenate(cnt_p) if cnt_p else np.array([], dtype=np.int64)
+        order = np.argsort(keys)
+        ref = ray.put((keys[order], cnt[order]))
+
+        def attach_bcast(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                                 "neglogp": pa.array([], type=pa.float64())})
+            sk, sc = ray.get(ref)
+            k = b["hkey"].to_numpy(zero_copy_only=False)
+            c = sc[np.searchsorted(sk, k)]
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "neglogp": pa.array(-np.log(c / float(n_total)), type=pa.float64()),
+            })
+
+        scored = inst.map_batches(attach_bcast, batch_format="pyarrow")
+    else:
+        joined = inst.join(counts, join_type="inner",
+                           num_partitions=default_num_partitions(), on=("hkey",))
+
+        def attach_join(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                                 "neglogp": pa.array([], type=pa.float64())})
+            c = b["cnt"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "neglogp": pa.array(-np.log(c / float(n_total)), type=pa.float64()),
+            })
+
+        scored = joined.map_batches(attach_join, batch_format="pyarrow")
+
+    folded = scored.map_batches(partial, batch_format="pyarrow") \
+                   .groupby("doc_id").aggregate(Sum("s", alias_name="s"),
+                                                Sum("n", alias_name="n"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "lm_score": _canon_round(list(s / n), 6),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DOC_LM_SCORE = f"""
+WITH inst AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), cnts AS (
+  SELECT tok, count(*) AS cnt FROM inst GROUP BY tok
+), tot AS (
+  SELECT sum(cnt) AS n FROM cnts
+)
+SELECT i.doc_id,
+       {_sql_round("avg(-ln(c.cnt / (SELECT CAST(n AS DOUBLE) FROM tot)))", 6)} AS lm_score
+FROM inst i JOIN cnts c ON i.tok = c.tok
+GROUP BY i.doc_id
+"""
+
+EXT_QUERIES["doc_lm_score"] = q_doc_lm_score
+EXT_ORACLES["doc_lm_score"] = SQL_DOC_LM_SCORE
+
+
 # offline corpus-build DAG (≙ preprocess_all.py entry point): the end
 # artifact (PEM over synthesized anchor pages) is oracle-checked
 from .offline_build import SQL_OFFLINE_PEM, q_offline_pem  # noqa: E402
