@@ -2020,6 +2020,153 @@ EXT_QUERIES["doc_lm_score"] = q_doc_lm_score
 EXT_ORACLES["doc_lm_score"] = SQL_DOC_LM_SCORE
 
 
+def q_doc_tfidf_topk(sf_dir: str, k: int = 5):
+    """Top-k TF-IDF terms per document (engine addition — keyword
+    extraction for training-data curation; pairs with doc_lm_score).
+
+    Scale shape: per-doc tf needs NO shuffle (a document's tokens
+    arrive in one row, so tf folds inside the explode batch); df is
+    one term-keyed count; df attaches back via counted-budget
+    broadcast (hash-keyed searchsorted) with a term-hash join fallback;
+    the final per-doc top-k is a doc_id-keyed repartition + one
+    lexsort/segment pass per partition — no per-group pandas.
+    Determinism: score ties break on term ASC, mirroring the oracle's
+    ``row_number() OVER (ORDER BY score DESC, term ASC)``."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from .. import default_num_partitions, scrub_empty_blocks
+    from ..functions.hashing import hash_str_array
+    from ..functions.tokenize import tokenize_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode_tf(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        ids = b["doc_id"].to_pylist()
+        flat, starts = tokenize_batch(texts)
+        did, term, tf = [], [], []
+        for i, d in enumerate(ids):
+            toks = flat[starts[i]:starts[i + 1]]
+            if not toks:
+                continue
+            u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            did.extend([d] * len(u))
+            term.extend(u)
+            tf.extend(c)
+        return pa.table({"doc_id": pa.array(did, type=pa.int64()),
+                         "term": pa.array(term, type=pa.string()),
+                         "tf": pa.array(np.asarray(tf, dtype=np.int64), type=pa.int64())})
+
+    tf_ds = docs.map_batches(explode_tf, batch_format="pyarrow").materialize()
+    n_docs = tf_ds.groupby("doc_id").count().count()
+
+    def add_hkey(b: pa.Table) -> pa.Table:
+        h = hash_str_array(b["term"].to_numpy(zero_copy_only=False)).view(np.int64) \
+            if b.num_rows else np.array([], dtype=np.int64)
+        return b.append_column("hkey", pa.array(h, type=pa.int64()))
+
+    keyed = tf_ds.map_batches(add_hkey, batch_format="pyarrow")
+    df_ds = scrub_empty_blocks(
+        keyed.select_columns(["hkey"]).groupby("hkey")
+             .aggregate(Count(alias_name="df")).materialize(),
+        fallback_schema=pa.schema([("hkey", pa.int64()), ("df", pa.int64())]))
+
+    out_empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "term": pa.array([], type=pa.string()),
+                          "tf": pa.array([], type=pa.int64()),
+                          "score": pa.array([], type=pa.float64())})
+
+    def _score(b: pa.Table, df: np.ndarray) -> pa.Table:
+        tf = b["tf"].to_numpy(zero_copy_only=False)
+        score = tf * np.log(float(n_docs) / df)
+        return pa.table({"doc_id": b["doc_id"], "term": b["term"], "tf": b["tf"],
+                         "score": pa.array(score, type=pa.float64())})
+
+    if df_ds.count() * 16 <= VOCAB_BROADCAST_MAX_BYTES:
+        hk_p, df_p = [], []
+        for blk in ray.get(df_ds.to_arrow_refs()):
+            hk_p.append(blk["hkey"].to_numpy(zero_copy_only=False))
+            df_p.append(blk["df"].to_numpy(zero_copy_only=False))
+        hk = np.concatenate(hk_p) if hk_p else np.array([], dtype=np.int64)
+        dfv = np.concatenate(df_p) if df_p else np.array([], dtype=np.int64)
+        order = np.argsort(hk)
+        ref = ray.put((hk[order], dfv[order]))
+
+        def score_bcast(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return out_empty
+            shk, sdf = ray.get(ref)
+            return _score(b, sdf[np.searchsorted(
+                shk, b["hkey"].to_numpy(zero_copy_only=False))])
+
+        scored = keyed.map_batches(score_bcast, batch_format="pyarrow")
+    else:
+        joined = keyed.join(df_ds, join_type="inner",
+                            num_partitions=default_num_partitions(), on=("hkey",))
+
+        def score_join(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return out_empty
+            return _score(b, b["df"].to_numpy(zero_copy_only=False))
+
+        scored = joined.map_batches(score_join, batch_format="pyarrow")
+
+    parted = scored.repartition(num_blocks=default_num_partitions(),
+                                keys=["doc_id"], sort=False)
+
+    def topk_partition(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "term": pa.array([], type=pa.string()),
+                             "rank": pa.array([], type=pa.int64()),
+                             "tfidf": pa.array([], type=pa.float64())})
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = b["term"].to_numpy(zero_copy_only=False)
+        s = b["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, -s, d))
+        d, t, s = d[order], t[order], s[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        rank = np.arange(len(d)) - np.repeat(starts, np.diff(np.r_[starts, len(d)])) + 1
+        keep = rank <= k
+        return pa.table({
+            "doc_id": pa.array(d[keep], type=pa.int64()),
+            "term": pa.array(t[keep], type=pa.string()),
+            "rank": pa.array(rank[keep], type=pa.int64()),
+            "tfidf": _canon_round(list(s[keep]), 6),
+        })
+
+    return parted.map_batches(topk_partition, batch_format="pyarrow",
+                              batch_size=None)
+
+
+SQL_DOC_TFIDF_TOPK = f"""
+WITH tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n FROM tf
+), ranked AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((SELECT CAST(n AS DOUBLE) FROM nd) / df.df) AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ln((SELECT CAST(n AS DOUBLE) FROM nd) / df.df) DESC,
+                    tf.term ASC) AS rank
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, CAST(rank AS BIGINT) AS rank,
+       {_sql_round("score", 6)} AS tfidf
+FROM ranked WHERE rank <= 5
+"""
+
+EXT_QUERIES["doc_tfidf_topk"] = q_doc_tfidf_topk
+EXT_ORACLES["doc_tfidf_topk"] = SQL_DOC_TFIDF_TOPK
+
+
 # offline corpus-build DAG (≙ preprocess_all.py entry point): the end
 # artifact (PEM over synthesized anchor pages) is oracle-checked
 from .offline_build import SQL_OFFLINE_PEM, q_offline_pem  # noqa: E402
