@@ -2167,6 +2167,44 @@ EXT_QUERIES["doc_tfidf_topk"] = q_doc_tfidf_topk
 EXT_ORACLES["doc_tfidf_topk"] = SQL_DOC_TFIDF_TOPK
 
 
+def q_events_asof_order(sf_dir: str):
+    """As-of join (engine addition — see stages/asof.py): each event
+    enriched with the user's most recent order at event time.  The
+    oracle is DuckDB's native ASOF JOIN."""
+    from ..stages.asof import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]) \
+        .rename_columns({"o_custkey": "user_id"})
+    return asof_join(
+        ev, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
+        right_tiebreak="o_orderkey")
+
+
+SQL_EVENTS_ASOF_ORDER = """
+WITH o AS (
+  SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                             ORDER BY o_orderkey) = 1
+), e AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
+)
+SELECT e.event_id, e.user_id, e.ts,
+       o.o_orderkey, o.o_orderdate, o.o_totalprice
+FROM e ASOF JOIN o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+"""
+
+EXT_QUERIES["events_asof_order"] = q_events_asof_order
+EXT_ORACLES["events_asof_order"] = SQL_EVENTS_ASOF_ORDER
+
+
 # offline corpus-build DAG (≙ preprocess_all.py entry point): the end
 # artifact (PEM over synthesized anchor pages) is oracle-checked
 from .offline_build import SQL_OFFLINE_PEM, q_offline_pem  # noqa: E402
