@@ -2205,6 +2205,74 @@ EXT_QUERIES["events_asof_order"] = q_events_asof_order
 EXT_ORACLES["events_asof_order"] = SQL_EVENTS_ASOF_ORDER
 
 
+def q_events_range_join(sf_dir: str):
+    """Range join (engine addition — see stages/rangejoin.py): each
+    event matched to every OTHER event-type's activity window
+    [min ts, max ts] of the same user that contains it.  The
+    inequality join runs as a banded (key, bucket) equi-join; the
+    oracle is the plain DuckDB inequality join."""
+    from ray.data.aggregate import Max, Min
+
+    from .. import default_num_partitions, scrub_empty_blocks
+    from ..stages.rangejoin import interval_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def to_int_ts(b: pa.Table) -> pa.Table:
+        b = b.drop_null()
+        return b.set_column(b.schema.get_field_index("ts"), "tsi",
+                            b["ts"].cast(pa.int64()))
+
+    evi = ev.map_batches(to_int_ts, batch_format="pyarrow").materialize()
+    windows = scrub_empty_blocks(
+        evi.groupby(["user_id", "event_type"])
+           .aggregate(Min("tsi", alias_name="w_start"),
+                      Max("tsi", alias_name="w_end")).materialize(),
+        fallback_schema=pa.schema([("user_id", pa.int64()),
+                                   ("event_type", pa.string()),
+                                   ("w_start", pa.int64()),
+                                   ("w_end", pa.int64())]))
+    windows = windows.rename_columns({"event_type": "other_type"})
+
+    DAY_US = 86_400_000_000  # windows span days-to-weeks; ~1-31 replicas
+    joined = interval_join(evi, windows, key="user_id", left_ts="tsi",
+                           r_start="w_start", r_end="w_end", bucket_us=DAY_US,
+                           num_partitions=default_num_partitions())
+
+    def finish(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b["event_type"], b["other_type"])
+        b = b.filter(keep)
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "ts": b["tsi"].cast(pa.timestamp("us")),
+            "event_type": b["event_type"],
+            "other_type": b["other_type"],
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_RANGE_JOIN = """
+WITH e AS (
+  SELECT event_id, user_id, ts, event_type FROM events
+  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+    AND ts IS NOT NULL AND event_type IS NOT NULL
+), w AS (
+  SELECT user_id, event_type AS other_type,
+         min(ts) AS w_start, max(ts) AS w_end
+  FROM e GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts, e.event_type, w.other_type
+FROM e JOIN w ON e.user_id = w.user_id
+             AND e.ts >= w.w_start AND e.ts <= w.w_end
+             AND e.event_type <> w.other_type
+"""
+
+EXT_QUERIES["events_range_join"] = q_events_range_join
+EXT_ORACLES["events_range_join"] = SQL_EVENTS_RANGE_JOIN
+
+
 # offline corpus-build DAG (≙ preprocess_all.py entry point): the end
 # artifact (PEM over synthesized anchor pages) is oracle-checked
 from .offline_build import SQL_OFFLINE_PEM, q_offline_pem  # noqa: E402
