@@ -2273,6 +2273,71 @@ EXT_QUERIES["events_range_join"] = q_events_range_join
 EXT_ORACLES["events_range_join"] = SQL_EVENTS_RANGE_JOIN
 
 
+def q_corpus_cardinality(sf_dir: str):
+    """HyperLogLog distinct-count estimates (engine addition — the
+    reference has no approximate aggregates; a 100-TB corpus needs
+    vocabulary / distinct-entity cardinalities without a full distinct
+    shuffle).  Two sketches in one pass over documents: distinct
+    tokens and distinct sources.
+
+    Scale shape: each batch emits at most 2·4096 (metric, register,
+    rank) rows — the shuffle moves sketch state, never keys; the
+    register reduction is a tiny groupby-max and the driver folds
+    ≤8192 rows into the two estimates.  Deterministic (register maxima
+    are order-independent), so the rows-only gate is stable; accuracy
+    (~1.6% typical at p=12) is pytest-gated against the exact counts.
+    No SQL oracle by nature — DuckDB cannot reproduce the sketch."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from .. import scrub_empty_blocks
+    from ..functions.hashing import hash_str_array
+    from ..functions.hll import M, hll_estimate, hll_partial
+    from ..functions.tokenize import tokenize_batch
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        flat, _starts = tokenize_batch(texts)
+        tok_reg = hll_partial(hash_str_array(np.asarray(flat, dtype=object))
+                              if flat else np.array([], dtype=np.uint64))
+        src = b["source"].to_numpy(zero_copy_only=False)
+        src_reg = hll_partial(hash_str_array(src))
+        metric, reg, rank = [], [], []
+        for name, r in (("distinct_tokens", tok_reg), ("distinct_sources", src_reg)):
+            nz = np.flatnonzero(r)
+            metric.extend([name] * len(nz))
+            reg.extend(nz)
+            rank.extend(r[nz])
+        return pa.table({"metric": pa.array(metric, type=pa.string()),
+                         "reg": pa.array(np.asarray(reg, dtype=np.int64), type=pa.int64()),
+                         "rank": pa.array(np.asarray(rank, dtype=np.int64), type=pa.int64())})
+
+    merged = scrub_empty_blocks(
+        docs.map_batches(partials, batch_format="pyarrow")
+            .groupby(["metric", "reg"]).aggregate(Max("rank", alias_name="rank"))
+            .materialize(),
+        fallback_schema=pa.schema([("metric", pa.string()), ("reg", pa.int64()),
+                                   ("rank", pa.int64())]))
+
+    regs = {"distinct_tokens": np.zeros(M, dtype=np.uint8),
+            "distinct_sources": np.zeros(M, dtype=np.uint8)}
+    for r in merged.take_all():          # bounded: <= 2*M rows
+        regs[r["metric"]][r["reg"]] = r["rank"]
+    out = pa.table({
+        "metric": pa.array(sorted(regs), type=pa.string()),
+        "estimate": pa.array([round(hll_estimate(regs[m]), 1) for m in sorted(regs)],
+                             type=pa.float64()),
+    })
+    return rd.from_arrow(out)
+
+
+EXT_QUERIES["corpus_cardinality"] = q_corpus_cardinality
+# rows-only: an HLL estimate is not SQL-reproducible; accuracy is
+# pytest-gated against exact distinct counts instead
+
+
 # offline corpus-build DAG (≙ preprocess_all.py entry point): the end
 # artifact (PEM over synthesized anchor pages) is oracle-checked
 from .offline_build import SQL_OFFLINE_PEM, q_offline_pem  # noqa: E402
