@@ -2338,6 +2338,91 @@ EXT_QUERIES["corpus_cardinality"] = q_corpus_cardinality
 # pytest-gated against exact distinct counts instead
 
 
+def q_token_quantiles(sf_dir: str):
+    """EXACT distributed quantiles of per-doc token counts (engine
+    addition — global order statistics with no driver materialization
+    and no approximation): distributed sort on (n_tokens, doc_id),
+    ONE metadata row per block gives each block its global offset
+    (doc_id makes the first-row key unique, the same block-identity
+    trick as stages/index.py), and each block emits only the rows
+    whose global rank hits a quantile target — the driver never sees
+    more than one meta row per block plus the five result rows."""
+    QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+    from .. import scrub_empty_blocks
+    from ..functions.tokenize import tokenize_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        _flat, starts = tokenize_batch(b["text"].to_pylist())
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_tokens": pa.array(np.diff(starts), type=pa.int64())})
+
+    snt = scrub_empty_blocks(
+        docs.map_batches(counts, batch_format="pyarrow")
+            .sort(["n_tokens", "doc_id"]).materialize())
+    n = snt.count()
+
+    def block_meta(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"fn": pa.array([], type=pa.int64()),
+                             "fd": pa.array([], type=pa.int64()),
+                             "rows": pa.array([], type=pa.int64())})
+        return pa.table({"fn": pa.array([b["n_tokens"][0].as_py()], type=pa.int64()),
+                         "fd": pa.array([b["doc_id"][0].as_py()], type=pa.int64()),
+                         "rows": pa.array([b.num_rows], type=pa.int64())})
+
+    meta = sorted((r["fn"], r["fd"], r["rows"]) for r in
+                  snt.map_batches(block_meta, batch_format="pyarrow",
+                                  batch_size=None).take_all())
+    offsets, acc = {}, 0
+    for fn, fd, rows in meta:
+        offsets[(fn, fd)] = acc
+        acc += rows
+    rank_to_qs: dict[int, list[float]] = {}
+    for q in QS:
+        rank_to_qs.setdefault(int(np.floor(q * (n - 1))), []).append(q)
+
+    def pick(b: pa.Table) -> pa.Table:
+        empty = pa.table({"q": pa.array([], type=pa.float64()),
+                          "n_tokens": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        base = offsets[(b["n_tokens"][0].as_py(), b["doc_id"][0].as_py())]
+        qs, vals = [], []
+        for rank, qlist in rank_to_qs.items():
+            local = rank - base
+            if 0 <= local < b.num_rows:
+                v = b["n_tokens"][local].as_py()
+                for q in qlist:
+                    qs.append(q)
+                    vals.append(v)
+        if not qs:
+            return empty
+        return pa.table({"q": pa.array(qs, type=pa.float64()),
+                         "n_tokens": pa.array(vals, type=pa.int64())})
+
+    return snt.map_batches(pick, batch_format="pyarrow", batch_size=None)
+
+
+SQL_TOKEN_QUANTILES = f"""
+WITH t AS (
+  SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
+), s AS (
+  SELECT n_tokens, row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS r,
+         count(*) OVER () AS n
+  FROM t
+)
+SELECT v.q, s.n_tokens
+FROM s JOIN (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) v(q)
+  ON s.r = CAST(floor(v.q * (s.n - 1)) AS BIGINT)
+"""
+
+EXT_QUERIES["token_quantiles"] = q_token_quantiles
+EXT_ORACLES["token_quantiles"] = SQL_TOKEN_QUANTILES
+
+
 # offline corpus-build DAG (≙ preprocess_all.py entry point): the end
 # artifact (PEM over synthesized anchor pages) is oracle-checked
 from .offline_build import SQL_OFFLINE_PEM, q_offline_pem  # noqa: E402
