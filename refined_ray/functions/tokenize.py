@@ -33,7 +33,7 @@ def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
     return [(m.group(0), m.start(), m.end()) for m in TOKEN_RE.finditer(text.lower())]
 
 
-def tokenize_hash_arrow(arr) -> tuple[np.ndarray, np.ndarray, "object"]:
+def tokenize_hash_arrow(arr, hasher=None) -> tuple[np.ndarray, np.ndarray, "object"]:
     """Arrow-native tokenize + hash for the signing hot path.
 
     Input: pyarrow string array (or chunked).  Returns
@@ -83,12 +83,28 @@ def tokenize_hash_arrow(arr) -> tuple[np.ndarray, np.ndarray, "object"]:
     # cost and the main single-node scaling limiter).
     enc = pc.dictionary_encode(flat)
     dic = enc.dictionary
-    vocab_h = _fnv_hash_strview(dic)
+    vocab_h = _fnv_hash_strview(dic) if hasher is None else hasher(dic)
     idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     tok_h = vocab_h[idx[keep]]
 
     kept_tokens = flat.filter(pa.array(keep)) if (~keep).any() else flat
     return tok_h, starts, kept_tokens
+
+
+def tokenize_hash_full(arr) -> tuple[np.ndarray, np.ndarray, "object"]:
+    """``tokenize_hash_arrow`` with the FULL-string stable hash
+    (``hash_str_array`` over the vocabulary) instead of the 24-byte
+    FNV prefix hash.  Use when token grouping must equal string
+    equality up to ~2⁻⁶⁴ random collisions (LM scoring, HLL
+    cardinality) — the prefix hash collides DETERMINISTICALLY for
+    same-length tokens sharing their first 24 bytes, which is fine
+    for MinHash sketches but not for exact-count aggregation.  Same
+    vocabulary-first layout: the expensive hash runs |vocab| times,
+    instances gather."""
+    from .hashing import hash_str_array
+
+    return tokenize_hash_arrow(
+        arr, hasher=lambda dic: hash_str_array(dic.to_numpy(zero_copy_only=False)))
 
 
 def _fnv_hash_strview(arr) -> np.ndarray:

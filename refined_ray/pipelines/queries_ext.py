@@ -1881,6 +1881,52 @@ EXT_ORACLES["embedding_neardup_lsh"] = _SQL_EMB_PAIRS
 VOCAB_BROADCAST_MAX_BYTES = 256 << 20  # 16 B/token-type → 16M vocab
 
 
+def _attach_count_column(keyed, counts, key_col: str, val_col: str, make_rows):
+    """Attach ``counts`` (Dataset(key_col:int64, val_col:int64)) onto
+    ``keyed`` rows: counted-budget broadcast (sorted int64 arrays +
+    searchsorted — one ray.put, zero joins) under
+    VOCAB_BROADCAST_MAX_BYTES, else a hash join on key_col (the
+    100-TB path; same guard shape as the flagship payload and the
+    simhash fingerprint attach).  ``make_rows(batch, vals)`` builds
+    the output table from each keyed batch plus its per-row int64
+    values; it must return a fixed schema and handle len(vals)==0.
+    """
+    import ray
+
+    from .. import default_num_partitions
+
+    if counts.count() * 16 <= VOCAB_BROADCAST_MAX_BYTES:
+        k_parts, v_parts = [], []
+        for blk in ray.get(counts.to_arrow_refs()):
+            if blk.num_rows == 0 or key_col not in blk.schema.names:
+                continue
+            k_parts.append(blk[key_col].to_numpy(zero_copy_only=False))
+            v_parts.append(blk[val_col].to_numpy(zero_copy_only=False))
+        ks = np.concatenate(k_parts) if k_parts else np.array([], dtype=np.int64)
+        vs = np.concatenate(v_parts) if v_parts else np.array([], dtype=np.int64)
+        order = np.argsort(ks)
+        ref = ray.put((ks[order], vs[order]))
+
+        def bcast(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return make_rows(b, np.array([], dtype=np.int64))
+            sk, sv = ray.get(ref)
+            return make_rows(b, sv[np.searchsorted(
+                sk, b[key_col].to_numpy(zero_copy_only=False))])
+
+        return keyed.map_batches(bcast, batch_format="pyarrow")
+
+    joined = keyed.join(counts, join_type="inner",
+                        num_partitions=default_num_partitions(), on=(key_col,))
+
+    def from_join(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return make_rows(b, np.array([], dtype=np.int64))
+        return make_rows(b, b[val_col].to_numpy(zero_copy_only=False))
+
+    return joined.map_batches(from_join, batch_format="pyarrow")
+
+
 def q_doc_lm_score(sf_dir: str):
     """Unigram-LM quality score per document (engine addition — the
     CCNet-style LM filter of large-scale training-data pipelines):
@@ -1898,24 +1944,18 @@ def q_doc_lm_score(sf_dir: str):
     map_batches before the one doc_id shuffle.  Token identity is the
     64-bit stable hash — collision odds ~V²/2⁻⁶⁴, the same accepted
     false-match budget as the MinHash buckets."""
-    import ray
     from ray.data.aggregate import Sum
 
-    from ..functions.hashing import hash_str_array
-    from ..functions.tokenize import tokenize_batch
-    from .. import default_num_partitions
+    from ..functions.tokenize import tokenize_hash_full
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def explode(b: pa.Table) -> pa.Table:
-        texts = b["text"].to_pylist()
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        flat, starts = tokenize_batch(texts)
-        h = hash_str_array(np.asarray(flat, dtype=object)).view(np.int64) \
-            if flat else np.array([], dtype=np.int64)
+        tok_h, starts, _toks = tokenize_hash_full(b["text"])
         return pa.table({
             "doc_id": pa.array(np.repeat(ids, np.diff(starts)), type=pa.int64()),
-            "hkey": pa.array(h, type=pa.int64()),
+            "hkey": pa.array(tok_h.view(np.int64), type=pa.int64()),
         })
 
     inst = docs.map_batches(explode, batch_format="pyarrow").materialize()
@@ -1948,44 +1988,16 @@ def q_doc_lm_score(sf_dir: str):
             "n": pa.array(np.diff(np.r_[st, len(d)]), type=pa.int64()),
         })
 
-    if counts.count() * 16 <= VOCAB_BROADCAST_MAX_BYTES:
-        keys_p, cnt_p = [], []
-        for blk in ray.get(counts.to_arrow_refs()):
-            keys_p.append(blk["hkey"].to_numpy(zero_copy_only=False))
-            cnt_p.append(blk["cnt"].to_numpy(zero_copy_only=False))
-        keys = np.concatenate(keys_p) if keys_p else np.array([], dtype=np.int64)
-        cnt = np.concatenate(cnt_p) if cnt_p else np.array([], dtype=np.int64)
-        order = np.argsort(keys)
-        ref = ray.put((keys[order], cnt[order]))
+    def neglogp_rows(b: pa.Table, c: np.ndarray) -> pa.Table:
+        if len(c) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "neglogp": pa.array([], type=pa.float64())})
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "neglogp": pa.array(-np.log(c / float(n_total)), type=pa.float64()),
+        })
 
-        def attach_bcast(b: pa.Table) -> pa.Table:
-            if b.num_rows == 0:
-                return pa.table({"doc_id": pa.array([], type=pa.int64()),
-                                 "neglogp": pa.array([], type=pa.float64())})
-            sk, sc = ray.get(ref)
-            k = b["hkey"].to_numpy(zero_copy_only=False)
-            c = sc[np.searchsorted(sk, k)]
-            return pa.table({
-                "doc_id": b["doc_id"],
-                "neglogp": pa.array(-np.log(c / float(n_total)), type=pa.float64()),
-            })
-
-        scored = inst.map_batches(attach_bcast, batch_format="pyarrow")
-    else:
-        joined = inst.join(counts, join_type="inner",
-                           num_partitions=default_num_partitions(), on=("hkey",))
-
-        def attach_join(b: pa.Table) -> pa.Table:
-            if b.num_rows == 0:
-                return pa.table({"doc_id": pa.array([], type=pa.int64()),
-                                 "neglogp": pa.array([], type=pa.float64())})
-            c = b["cnt"].to_numpy(zero_copy_only=False)
-            return pa.table({
-                "doc_id": b["doc_id"],
-                "neglogp": pa.array(-np.log(c / float(n_total)), type=pa.float64()),
-            })
-
-        scored = joined.map_batches(attach_join, batch_format="pyarrow")
+    scored = _attach_count_column(inst, counts, "hkey", "cnt", neglogp_rows)
 
     folded = scored.map_batches(partial, batch_format="pyarrow") \
                    .groupby("doc_id").aggregate(Sum("s", alias_name="s"),
@@ -2020,97 +2032,72 @@ EXT_QUERIES["doc_lm_score"] = q_doc_lm_score
 EXT_ORACLES["doc_lm_score"] = SQL_DOC_LM_SCORE
 
 
-def q_doc_tfidf_topk(sf_dir: str, k: int = 5):
-    """Top-k TF-IDF terms per document (engine addition — keyword
-    extraction for training-data curation; pairs with doc_lm_score).
+TFIDF_K = 5  # frozen into SQL_DOC_TFIDF_TOPK — change both together
 
-    Scale shape: per-doc tf needs NO shuffle (a document's tokens
-    arrive in one row, so tf folds inside the explode batch); df is
-    one term-keyed count; df attaches back via counted-budget
-    broadcast (hash-keyed searchsorted) with a term-hash join fallback;
+
+def q_doc_tfidf_topk(sf_dir: str):
+    """Top-TFIDF_K TF-IDF terms per document (engine addition —
+    keyword extraction for training-data curation; pairs with
+    doc_lm_score).
+
+    Scale shape: per-doc tf needs NO shuffle — a document's tokens
+    arrive in one row, so tf folds as ONE vectorized lexsort/reduceat
+    segment pass per explode batch (tokens via the Arrow-native
+    vocabulary-first hasher, no per-doc Python); the doc count rides
+    out as a per-doc first-row flag summed map-only (no extra keyed
+    shuffle); df is one hkey-keyed count attached back via
+    _attach_count_column (counted-budget broadcast, join fallback);
     the final per-doc top-k is a doc_id-keyed repartition + one
     lexsort/segment pass per partition — no per-group pandas.
     Determinism: score ties break on term ASC, mirroring the oracle's
     ``row_number() OVER (ORDER BY score DESC, term ASC)``."""
-    import ray
     from ray.data.aggregate import Count
 
     from .. import default_num_partitions, scrub_empty_blocks
-    from ..functions.hashing import hash_str_array
-    from ..functions.tokenize import tokenize_batch
+    from ..functions.tokenize import tokenize_hash_full
 
+    k = TFIDF_K
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def explode_tf(b: pa.Table) -> pa.Table:
-        texts = b["text"].to_pylist()
-        ids = b["doc_id"].to_pylist()
-        flat, starts = tokenize_batch(texts)
-        did, term, tf = [], [], []
-        for i, d in enumerate(ids):
-            toks = flat[starts[i]:starts[i + 1]]
-            if not toks:
-                continue
-            u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-            did.extend([d] * len(u))
-            term.extend(u)
-            tf.extend(c)
-        return pa.table({"doc_id": pa.array(did, type=pa.int64()),
-                         "term": pa.array(term, type=pa.string()),
-                         "tf": pa.array(np.asarray(tf, dtype=np.int64), type=pa.int64())})
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        tok_h, starts, toks = tokenize_hash_full(b["text"])
+        h = tok_h.view(np.int64)
+        didx = np.repeat(np.arange(len(ids)), np.diff(starts))
+        t = toks.to_numpy(zero_copy_only=False)
+        # one segment pass for ALL docs in the batch: group on
+        # (doc, hash) — full-string hash, so hash ties ARE term ties
+        order = np.lexsort((h, didx))
+        didx, h, t = didx[order], h[order], t[order]
+        new = np.r_[True, (didx[1:] != didx[:-1]) | (h[1:] != h[:-1])]
+        st = np.flatnonzero(new)
+        tf = np.diff(np.r_[st, len(h)])
+        gd = didx[st]
+        first = np.r_[True, gd[1:] != gd[:-1]] if len(gd) else np.array([], dtype=bool)
+        return pa.table({"doc_id": pa.array(ids[gd], type=pa.int64()),
+                         "term": pa.array(t[st], type=pa.string()),
+                         "tf": pa.array(tf, type=pa.int64()),
+                         "hkey": pa.array(h[st], type=pa.int64()),
+                         "first": pa.array(first.astype(np.int64), type=pa.int64())})
 
-    tf_ds = docs.map_batches(explode_tf, batch_format="pyarrow").materialize()
-    n_docs = tf_ds.groupby("doc_id").count().count()
-
-    def add_hkey(b: pa.Table) -> pa.Table:
-        h = hash_str_array(b["term"].to_numpy(zero_copy_only=False)).view(np.int64) \
-            if b.num_rows else np.array([], dtype=np.int64)
-        return b.append_column("hkey", pa.array(h, type=pa.int64()))
-
-    keyed = tf_ds.map_batches(add_hkey, batch_format="pyarrow")
+    keyed = docs.map_batches(explode_tf, batch_format="pyarrow").materialize()
+    n_docs = keyed.sum("first")  # docs with >=1 token, no keyed shuffle
     df_ds = scrub_empty_blocks(
         keyed.select_columns(["hkey"]).groupby("hkey")
              .aggregate(Count(alias_name="df")).materialize(),
         fallback_schema=pa.schema([("hkey", pa.int64()), ("df", pa.int64())]))
 
-    out_empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
-                          "term": pa.array([], type=pa.string()),
-                          "tf": pa.array([], type=pa.int64()),
-                          "score": pa.array([], type=pa.float64())})
-
-    def _score(b: pa.Table, df: np.ndarray) -> pa.Table:
+    def score_rows(b: pa.Table, df: np.ndarray) -> pa.Table:
+        if len(df) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "term": pa.array([], type=pa.string()),
+                             "score": pa.array([], type=pa.float64())})
         tf = b["tf"].to_numpy(zero_copy_only=False)
         score = tf * np.log(float(n_docs) / df)
-        return pa.table({"doc_id": b["doc_id"], "term": b["term"], "tf": b["tf"],
+        return pa.table({"doc_id": b["doc_id"], "term": b["term"],
                          "score": pa.array(score, type=pa.float64())})
 
-    if df_ds.count() * 16 <= VOCAB_BROADCAST_MAX_BYTES:
-        hk_p, df_p = [], []
-        for blk in ray.get(df_ds.to_arrow_refs()):
-            hk_p.append(blk["hkey"].to_numpy(zero_copy_only=False))
-            df_p.append(blk["df"].to_numpy(zero_copy_only=False))
-        hk = np.concatenate(hk_p) if hk_p else np.array([], dtype=np.int64)
-        dfv = np.concatenate(df_p) if df_p else np.array([], dtype=np.int64)
-        order = np.argsort(hk)
-        ref = ray.put((hk[order], dfv[order]))
-
-        def score_bcast(b: pa.Table) -> pa.Table:
-            if b.num_rows == 0:
-                return out_empty
-            shk, sdf = ray.get(ref)
-            return _score(b, sdf[np.searchsorted(
-                shk, b["hkey"].to_numpy(zero_copy_only=False))])
-
-        scored = keyed.map_batches(score_bcast, batch_format="pyarrow")
-    else:
-        joined = keyed.join(df_ds, join_type="inner",
-                            num_partitions=default_num_partitions(), on=("hkey",))
-
-        def score_join(b: pa.Table) -> pa.Table:
-            if b.num_rows == 0:
-                return out_empty
-            return _score(b, b["df"].to_numpy(zero_copy_only=False))
-
-        scored = joined.map_batches(score_join, batch_format="pyarrow")
+    scored = _attach_count_column(keyed, df_ds, "hkey", "df", score_rows)
 
     parted = scored.repartition(num_blocks=default_num_partitions(),
                                 keys=["doc_id"], sort=False)
@@ -2160,7 +2147,7 @@ WITH tf AS (
 )
 SELECT doc_id, term, CAST(rank AS BIGINT) AS rank,
        {_sql_round("score", 6)} AS tfidf
-FROM ranked WHERE rank <= 5
+FROM ranked WHERE rank <= {TFIDF_K}
 """
 
 EXT_QUERIES["doc_tfidf_topk"] = q_doc_tfidf_topk
@@ -2293,15 +2280,13 @@ def q_corpus_cardinality(sf_dir: str):
     from .. import scrub_empty_blocks
     from ..functions.hashing import hash_str_array
     from ..functions.hll import M, hll_estimate, hll_partial
-    from ..functions.tokenize import tokenize_batch
+    from ..functions.tokenize import tokenize_hash_full
 
     docs = _read(sf_dir, "documents", ["source", "text"])
 
     def partials(b: pa.Table) -> pa.Table:
-        texts = b["text"].to_pylist()
-        flat, _starts = tokenize_batch(texts)
-        tok_reg = hll_partial(hash_str_array(np.asarray(flat, dtype=object))
-                              if flat else np.array([], dtype=np.uint64))
+        tok_h, _starts, _toks = tokenize_hash_full(b["text"])
+        tok_reg = hll_partial(tok_h)
         src = b["source"].to_numpy(zero_copy_only=False)
         src_reg = hll_partial(hash_str_array(src))
         metric, reg, rank = [], [], []

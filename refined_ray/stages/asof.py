@@ -38,7 +38,9 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
     nparts = num_partitions or default_num_partitions()
 
     l_payload = [c for c in left_cols if c != key]
-    r_payload = list(right_cols)
+    # the key always rides as the join column and is emitted from the
+    # left side — never null-fill or duplicate it from right_cols
+    r_payload = [c for c in right_cols if c != key]
     l_schema = dict(zip(left.schema().names, left.schema().types))
     r_schema = dict(zip(right.schema().names, right.schema().types))
 
