@@ -29,6 +29,47 @@ def test_events_asof_order_matches_duckdb_asof(ray_session):
         assert (mine[c].astype(str).values == theirs[c].astype(str).values).all(), c
 
 
+def test_asof_join_randomized_vs_duckdb(ray_session):
+    """Seeded random instance with few keys, many ties and duplicate
+    timestamps — the adversarial shapes for the forward-fill."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    nl, nr = 400, 200
+    lts = np.sort(rng.integers(0, 50, nl)).astype("datetime64[us]")
+    left = pa.table({
+        "eid": pa.array(np.arange(nl), type=pa.int64()),
+        "k": pa.array(rng.integers(0, 6, nl), type=pa.int64()),
+        "lts": pa.array(lts),
+    })
+    right = pa.table({
+        "k": pa.array(rng.integers(0, 8, nr), type=pa.int64()),
+        "rts": pa.array(rng.integers(0, 50, nr).astype("datetime64[us]")),
+        "tb": pa.array(rng.permutation(nr), type=pa.int64()),
+        "pay": pa.array(rng.integers(0, 1000, nr), type=pa.int64()),
+    })
+    out = asof_join(rd.from_arrow(left), rd.from_arrow(right), key="k",
+                    left_ts="lts", right_ts="rts",
+                    left_cols=["eid", "k", "lts"],
+                    right_cols=["rts", "tb", "pay"],
+                    right_tiebreak="tb", num_partitions=3).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left.to_pandas())
+    con.register("r", right.to_pandas())
+    oracle = con.execute("""
+        WITH rr AS (
+          SELECT * FROM r
+          QUALIFY row_number() OVER (PARTITION BY k, rts ORDER BY tb) = 1
+        )
+        SELECT l.eid, l.k, l.lts, rr.rts, rr.tb, rr.pay
+        FROM l ASOF JOIN rr ON l.k = rr.k AND l.lts >= rr.rts
+    """).fetchdf()
+    a, b = _canon(out), _canon(oracle)
+    assert len(a) == len(b) > 0
+    for c in a.columns:
+        assert (a[c].astype(str).values == b[c].astype(str).values).all(), c
+
+
 def test_asof_join_edge_semantics(ray_session):
     import numpy as np
 
