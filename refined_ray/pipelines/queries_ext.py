@@ -2207,8 +2207,9 @@ def q_events_range_join(sf_dir: str):
 
     def to_int_ts(b: pa.Table) -> pa.Table:
         b = b.drop_null()
-        return b.set_column(b.schema.get_field_index("ts"), "tsi",
-                            b["ts"].cast(pa.int64()))
+        # normalize to µs BEFORE the int cast (ns inputs would be 1000×)
+        tsi = b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return b.set_column(b.schema.get_field_index("ts"), "tsi", tsi)
 
     evi = ev.map_batches(to_int_ts, batch_format="pyarrow").materialize()
     windows = scrub_empty_blocks(
@@ -2321,6 +2322,80 @@ def q_corpus_cardinality(sf_dir: str):
 EXT_QUERIES["corpus_cardinality"] = q_corpus_cardinality
 # rows-only: an HLL estimate is not SQL-reproducible; accuracy is
 # pytest-gated against exact distinct counts instead
+
+
+def q_events_sliding_count(sf_dir: str):
+    """Sliding-window aggregate (engine addition — the reference has
+    no window semantics, SURVEY §2.9): for every event, the count of
+    the SAME user's events in the trailing hour, matching SQL's
+    ``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW``.
+
+    Scale shape: ONE user-keyed repartition, then a vectorized
+    per-partition pass — sort by (user, ts) and two searchsorted
+    calls give every row's window count at once (RANGE semantics by
+    construction: counts rows by timestamp value, so ties need no
+    special-casing).  No per-user loop, no per-group pandas."""
+    from .. import default_num_partitions
+
+    WINDOW_US = 3_600_000_000
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def to_int(b: pa.Table) -> pa.Table:
+        b = b.drop_null()
+        # normalize to µs BEFORE the int cast — the int64 view of a
+        # timestamp[ns] column would be off by 1000×
+        tsi = b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return b.set_column(b.schema.get_field_index("ts"), "tsi", tsi)
+
+    parted = ev.map_batches(to_int, batch_format="pyarrow") \
+               .repartition(num_blocks=default_num_partitions(),
+                            keys=["user_id"], sort=False)
+
+    def window_counts(b: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], type=pa.int64()),
+                          "user_id": pa.array([], type=pa.int64()),
+                          "ts": pa.array([], type=pa.timestamp("us")),
+                          "n_window": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        t = b["tsi"].to_numpy(zero_copy_only=False)
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, u))
+        u, t, e = u[order], t[order], e[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        seg = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(u)]))
+        base = starts[seg]
+        # two-pointer via searchsorted on a composite (segment, ts)
+        # key: segment stride folds the per-user slices into one call
+        span = t.max() - t.min() + WINDOW_US + 1
+        comp = seg.astype(np.int64) * span + (t - t.min())
+        hi = np.searchsorted(comp, comp, side="right")
+        lo = np.searchsorted(comp, seg.astype(np.int64) * span
+                             + (t - t.min() - WINDOW_US), side="left")
+        n = hi - np.maximum(lo, base)
+        return pa.table({"event_id": pa.array(e, type=pa.int64()),
+                         "user_id": pa.array(u, type=pa.int64()),
+                         "ts": pa.array(t.astype("datetime64[us]")),
+                         "n_window": pa.array(n, type=pa.int64())})
+
+    return parted.map_batches(window_counts, batch_format="pyarrow",
+                              batch_size=None)
+
+
+SQL_EVENTS_SLIDING_COUNT = """
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_window
+FROM events
+WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
+"""
+
+EXT_QUERIES["events_sliding_count"] = q_events_sliding_count
+EXT_ORACLES["events_sliding_count"] = SQL_EVENTS_SLIDING_COUNT
 
 
 def q_token_quantiles(sf_dir: str):
