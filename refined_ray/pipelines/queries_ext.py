@@ -2483,6 +2483,74 @@ EXT_QUERIES["token_quantiles"] = q_token_quantiles
 EXT_ORACLES["token_quantiles"] = SQL_TOKEN_QUANTILES
 
 
+def q_value_quantiles_by_type(sf_dir: str):
+    """Per-group EXACT quantiles (engine addition — completes the
+    order-statistics family: `token_quantiles` is global, this is
+    grouped): p25/50/75/90/99 of event value per event_type.
+
+    Scale shape: ONE group-keyed repartition, then a single
+    lexsort/segment pass per partition picks each group's rank-hit
+    rows — groups never materialize individually and no per-group
+    pandas runs.  Determinism: ranks select on (value, event_id),
+    mirroring the oracle's row_number ordering; values pass through
+    raw (no arithmetic), so floats compare bit-exact."""
+    QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+    from .. import default_num_partitions
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    parted = ev.map_batches(lambda b: b.drop_null(), batch_format="pyarrow") \
+               .repartition(num_blocks=default_num_partitions(),
+                            keys=["event_type"], sort=False)
+
+    def group_quantiles(b: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                          "q": pa.array([], type=pa.float64()),
+                          "value_q": pa.array([], type=pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        g = b["event_type"].to_numpy(zero_copy_only=False)
+        v = b["value"].to_numpy(zero_copy_only=False)
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, v, g))
+        g, v = g[order], v[order]
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        cnt = np.diff(np.r_[starts, len(g)])
+        gt, qs, vq = [], [], []
+        for q in QS:
+            idx = starts + np.floor(q * (cnt - 1)).astype(np.int64)
+            gt.extend(g[starts])
+            qs.extend([q] * len(starts))
+            vq.extend(v[idx])
+        return pa.table({"event_type": pa.array(gt, type=pa.string()),
+                         "q": pa.array(qs, type=pa.float64()),
+                         "value_q": pa.array(vq, type=pa.float64())})
+
+    return parted.map_batches(group_quantiles, batch_format="pyarrow",
+                              batch_size=None)
+
+
+SQL_VALUE_QUANTILES_BY_TYPE = """
+WITH e AS (
+  SELECT event_type, value, event_id FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND event_id IS NOT NULL
+), s AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) - 1 AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+)
+SELECT s.event_type, v.q, s.value AS value_q
+FROM s JOIN (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) v(q)
+  ON s.r = CAST(floor(v.q * (s.n - 1)) AS BIGINT)
+"""
+
+EXT_QUERIES["value_quantiles_by_type"] = q_value_quantiles_by_type
+EXT_ORACLES["value_quantiles_by_type"] = SQL_VALUE_QUANTILES_BY_TYPE
+
+
 # offline corpus-build DAG (≙ preprocess_all.py entry point): the end
 # artifact (PEM over synthesized anchor pages) is oracle-checked
 from .offline_build import SQL_OFFLINE_PEM, q_offline_pem  # noqa: E402

@@ -8,6 +8,21 @@ from conftest import SF_SMALL
 from refined_ray.pipelines import queries_ext
 
 
+def test_value_quantiles_by_type_matches_oracle(ray_session):
+    mine = queries_ext.q_value_quantiles_by_type(SF_SMALL).to_pandas() \
+        .sort_values(["event_type", "q"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_SMALL}/events.parquet'")
+    theirs = con.execute(queries_ext.SQL_VALUE_QUANTILES_BY_TYPE).fetchdf() \
+        .sort_values(["event_type", "q"]).reset_index(drop=True)
+    assert len(mine) == len(theirs) > 0
+    for c in mine.columns:
+        assert (mine[c].values == theirs[c].values).all(), c
+    # per group, quantile values are non-decreasing in q
+    for _, grp in mine.groupby("event_type"):
+        assert (grp.sort_values("q").value_q.diff().dropna() >= 0).all()
+
+
 def test_token_quantiles_matches_oracle(ray_session):
     mine = queries_ext.q_token_quantiles(SF_SMALL).to_pandas() \
         .sort_values("q").reset_index(drop=True)
