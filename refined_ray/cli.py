@@ -136,15 +136,12 @@ def cmd_flagship(args) -> int:
         er_cluster_pages, er_cluster_pages_checkpointed)
 
     t0 = time.time()
-    kw = dict(threshold=args.threshold, amplify=args.amplify, fatten=args.fatten)
+    kw = dict(threshold=args.threshold, amplify=args.amplify, fatten=args.fatten,
+              exact_verify=args.exact_verify)
     if args.checkpoint_root:
-        if args.exact_verify:
-            print("--exact-verify is not supported with --checkpoint-root "
-                  "(the checkpointed pipeline has no exact tier)", file=sys.stderr)
-            return 2
         ds = er_cluster_pages_checkpointed(args.sf_dir, args.checkpoint_root, **kw)
     else:
-        ds = er_cluster_pages(args.sf_dir, exact_verify=args.exact_verify, **kw)
+        ds = er_cluster_pages(args.sf_dir, **kw)
     if args.out:
         rows = _write_parquet_atomic(ds, args.out)
     else:

@@ -283,6 +283,7 @@ def er_cluster_pages_checkpointed(
     num_partitions: int | None = None,
     amplify: int = 1,
     fatten: int = 1,
+    exact_verify: bool = False,
 ):
     """Flagship pipeline with per-stage Parquet checkpoints + lineage
     manifests (state/manifests.py) — the ``ray job submit`` entry for
@@ -306,9 +307,12 @@ def er_cluster_pages_checkpointed(
         return hashlib.blake2b("|".join(str(p) for p in parts).encode(),
                                digest_size=16).hexdigest()
 
-    fp_payload = fp("payload", sf_dir, amplify, fatten)
+    # exact_verify changes the payload SCHEMA (adds the shingle-set
+    # column), so it is part of the payload fingerprint
+    fp_payload = fp("payload", sf_dir, amplify, fatten, exact_verify)
     payload = cp.run_stage("payload", fp_payload,
-                           lambda: build_payload(sf_dir, amplify=amplify, fatten=fatten))
+                           lambda: build_payload(sf_dir, amplify=amplify, fatten=fatten,
+                                                 emit_sets=exact_verify))
 
     fp_pairs = fp("pairs", fp_payload, max_block_size, num_partitions)
     pairs_fresh = not cp.is_complete("pairs", fp_pairs)
@@ -329,10 +333,20 @@ def er_cluster_pages_checkpointed(
             "pair_cap": max_block_size,
         })
 
-    fp_edges = fp("edges", fp_pairs, threshold)
+    fp_edges = fp("edges", fp_pairs, threshold, exact_verify)
 
     def build_edges():
-        _scored, edges = score_pairs_broadcast(pairs, payload, threshold=threshold)
+        scored, edges = score_pairs_broadcast(pairs, payload, threshold=threshold)
+        if exact_verify:
+            import pyarrow as pa
+
+            from .. import scrub_empty_blocks
+
+            edges = _exact_verify_edges(scored, payload, threshold=threshold,
+                                        num_partitions=num_partitions)
+            edges = scrub_empty_blocks(
+                edges.materialize(),
+                fallback_schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]))
         return edges.select_columns(["a", "b"])
 
     edges = cp.run_stage("edges", fp_edges, build_edges)

@@ -100,9 +100,20 @@ def test_cli_ingest_ignores_uncommitted_part_temp(staged_parts, tmp_path, capsys
     assert main(["ingest", "finalize", "--staging", staging, "--dest", dest]) == 2
 
 
-def test_cli_flagship_rejects_exact_verify_with_checkpoint(ray_session, tmp_path):
+def test_cli_flagship_exact_verify_checkpointed(ray_session, tmp_path, capsys):
+    """--exact-verify with --checkpoint-root runs the exact tier and
+    matches the uncheckpointed exact pipeline."""
+    out = str(tmp_path / "clusters.parquet")
     assert main(["flagship", "--sf-dir", SF_SMALL, "--checkpoint-root",
-                 str(tmp_path / "cp"), "--exact-verify"]) == 2
+                 str(tmp_path / "cp"), "--exact-verify", "--out", out]) == 0
+    capsys.readouterr()
+    from refined_ray.pipelines.entity_resolution import er_cluster_pages
+
+    direct = er_cluster_pages(SF_SMALL, exact_verify=True).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    mine = pads.dataset(out).to_table().to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert mine.equals(direct)
 
 
 def test_cli_ingest_csv_part_and_schema_guard(tmp_path, capsys):
