@@ -2368,13 +2368,24 @@ def q_events_sliding_count(sf_dir: str):
         seg = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(u)]))
         base = starts[seg]
         # two-pointer via searchsorted on a composite (segment, ts)
-        # key: segment stride folds the per-user slices into one call
+        # key: segment stride folds the per-user slices into one call.
+        # Overflow guard: n_segments x time-span must fit int64 — true
+        # for any sane partition (e.g. 1e5 users x a decade of µs
+        # ~ 3e22 would NOT, so fall back to per-segment searchsorted)
         span = t.max() - t.min() + WINDOW_US + 1
-        comp = seg.astype(np.int64) * span + (t - t.min())
-        hi = np.searchsorted(comp, comp, side="right")
-        lo = np.searchsorted(comp, seg.astype(np.int64) * span
-                             + (t - t.min() - WINDOW_US), side="left")
-        n = hi - np.maximum(lo, base)
+        if len(starts) * span < (1 << 62):
+            comp = seg.astype(np.int64) * span + (t - t.min())
+            hi = np.searchsorted(comp, comp, side="right")
+            lo = np.searchsorted(comp, seg.astype(np.int64) * span
+                                 + (t - t.min() - WINDOW_US), side="left")
+            n = hi - np.maximum(lo, base)
+        else:
+            ends = np.r_[starts[1:], len(t)]
+            n = np.empty(len(t), dtype=np.int64)
+            for s0, s1 in zip(starts, ends):
+                seg_t = t[s0:s1]
+                n[s0:s1] = (np.searchsorted(seg_t, seg_t, side="right")
+                            - np.searchsorted(seg_t, seg_t - WINDOW_US, side="left"))
         return pa.table({"event_id": pa.array(e, type=pa.int64()),
                          "user_id": pa.array(u, type=pa.int64()),
                          "ts": pa.array(t.astype("datetime64[us]")),
