@@ -54,6 +54,24 @@ def test_cli_flagship_checkpointed_resume(ray_session, tmp_path, capsys):
     assert a.equals(b)
 
 
+def test_cli_subprocess_owns_ray_session(tmp_path):
+    """`python -m refined_ray run ...` in a FRESH process: _ensure_ray
+    must start (and shut down) its own Ray session — the path the
+    in-process tests never exercise because pytest's session is up."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "q.parquet")
+    r = subprocess.run(
+        [sys.executable, "-m", "refined_ray", "run", "token_quantiles",
+         "--sf-dir", SF_SMALL, "--out", out],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["rows"] == 5
+    assert pads.dataset(out).count_rows() == 5
+
+
 @pytest.fixture()
 def staged_parts(tmp_path):
     t1 = pa.table({"url": ["a", "b"], "n": [1, 2]})
