@@ -179,21 +179,27 @@ def er_edges(sf_dir: str, threshold: float = DEFAULT_THRESHOLD,
         enriched = attach_payloads(pairs, payload, num_partitions=num_partitions)
         scored, edges = score_pairs(enriched, threshold=threshold)
     if exact_verify:
-        edges = _exact_verify_edges(scored, payload, threshold=threshold,
-                                    num_partitions=num_partitions)
-    edges = edges.materialize()
-    if exact_verify:
-        # the exact tier's hash joins emit zero-column blocks for empty
-        # partitions; drop them (metadata-only) so the clustering
-        # shuffles downstream never see mixed-schema empties
-        import pyarrow as pa
-
-        from .. import scrub_empty_blocks
-
-        edges = scrub_empty_blocks(
-            edges, fallback_schema=pa.schema([("a", pa.int64()),
-                                              ("b", pa.int64())]))
+        edges = _exact_edges_scrubbed(scored, payload, threshold, num_partitions)
+    else:
+        edges = edges.materialize()
     return payload, scored, edges
+
+
+def _exact_edges_scrubbed(scored, payload, threshold, num_partitions):
+    """Exact tier + empty-block scrub, shared by er_edges and the
+    checkpointed flagship: re-decide borderline pairs by exact set
+    Jaccard, then drop the hash joins' zero-column empty-partition
+    blocks (metadata-only) so downstream clustering shuffles never see
+    mixed-schema empties."""
+    import pyarrow as pa
+
+    from .. import scrub_empty_blocks
+
+    edges = _exact_verify_edges(scored, payload, threshold=threshold,
+                                num_partitions=num_partitions)
+    return scrub_empty_blocks(
+        edges.materialize(),
+        fallback_schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]))
 
 
 def _exact_verify_edges(scored, payload, threshold: float, num_partitions: int):
@@ -314,7 +320,12 @@ def er_cluster_pages_checkpointed(
                            lambda: build_payload(sf_dir, amplify=amplify, fatten=fatten,
                                                  emit_sets=exact_verify))
 
-    fp_pairs = fp("pairs", fp_payload, max_block_size, num_partitions)
+    # pairs are INVARIANT to the shingle-set column (emit_block_keys /
+    # enumerate_pairs never read it), so their fingerprint chains the
+    # set-independent payload identity — toggling exact_verify keeps
+    # the expensive blocking+pair checkpoint valid
+    fp_pairs = fp("pairs", fp("payload", sf_dir, amplify, fatten),
+                  max_block_size, num_partitions)
     pairs_fresh = not cp.is_complete("pairs", fp_pairs)
     pairs = cp.run_stage(
         "pairs", fp_pairs,
@@ -338,15 +349,8 @@ def er_cluster_pages_checkpointed(
     def build_edges():
         scored, edges = score_pairs_broadcast(pairs, payload, threshold=threshold)
         if exact_verify:
-            import pyarrow as pa
-
-            from .. import scrub_empty_blocks
-
-            edges = _exact_verify_edges(scored, payload, threshold=threshold,
-                                        num_partitions=num_partitions)
-            edges = scrub_empty_blocks(
-                edges.materialize(),
-                fallback_schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]))
+            edges = _exact_edges_scrubbed(scored, payload, threshold,
+                                          num_partitions)
         return edges.select_columns(["a", "b"])
 
     edges = cp.run_stage("edges", fp_edges, build_edges)

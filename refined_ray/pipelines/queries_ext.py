@@ -2205,10 +2205,16 @@ def q_events_range_join(sf_dir: str):
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
+    # work in the column's NATIVE unit (a µs cast would truncate ns
+    # inputs and diverge from the full-precision oracle at window
+    # boundaries); the bucket width scales with the unit
+    _SCALE = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}
+    unit = dict(zip(ev.schema().names, ev.schema().types))["ts"].unit
+    day_native = 86_400 * _SCALE[unit]
+
     def to_int_ts(b: pa.Table) -> pa.Table:
         b = b.drop_null()
-        # normalize to µs BEFORE the int cast (ns inputs would be 1000×)
-        tsi = b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        tsi = b["ts"].cast(pa.int64())
         return b.set_column(b.schema.get_field_index("ts"), "tsi", tsi)
 
     evi = ev.map_batches(to_int_ts, batch_format="pyarrow").materialize()
@@ -2222,9 +2228,10 @@ def q_events_range_join(sf_dir: str):
                                    ("w_end", pa.int64())]))
     windows = windows.rename_columns({"event_type": "other_type"})
 
-    DAY_US = 86_400_000_000  # windows span days-to-weeks; ~1-31 replicas
+    # windows span days-to-weeks; ~1-31 replicas at 1-day buckets
     joined = interval_join(evi, windows, key="user_id", left_ts="tsi",
-                           r_start="w_start", r_end="w_end", bucket_us=DAY_US,
+                           r_start="w_start", r_end="w_end",
+                           bucket_us=day_native,
                            num_partitions=default_num_partitions())
 
     def finish(b: pa.Table) -> pa.Table:
@@ -2233,7 +2240,7 @@ def q_events_range_join(sf_dir: str):
         return pa.table({
             "event_id": b["event_id"],
             "user_id": b["user_id"],
-            "ts": b["tsi"].cast(pa.timestamp("us")),
+            "ts": b["tsi"].cast(pa.timestamp(unit)),
             "event_type": b["event_type"],
             "other_type": b["other_type"],
         })
@@ -2337,16 +2344,21 @@ def q_events_sliding_count(sf_dir: str):
     special-casing).  No per-user loop, no per-group pandas."""
     from .. import default_num_partitions
 
-    WINDOW_US = 3_600_000_000
-
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
+    _SCALE = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}
+
     def to_int(b: pa.Table) -> pa.Table:
+        # work in the column's NATIVE unit (full precision — casting
+        # ns inputs to µs would both mis-scale the int view and
+        # truncate sub-µs boundaries vs the oracle); emit the unit as
+        # a column so the window scales per batch
         b = b.drop_null()
-        # normalize to µs BEFORE the int cast — the int64 view of a
-        # timestamp[ns] column would be off by 1000×
-        tsi = b["ts"].cast(pa.timestamp("us")).cast(pa.int64())
-        return b.set_column(b.schema.get_field_index("ts"), "tsi", tsi)
+        unit = b["ts"].type.unit
+        tsi = b["ts"].cast(pa.int64())
+        b = b.set_column(b.schema.get_field_index("ts"), "tsi", tsi)
+        return b.append_column(
+            "unit_scale", pa.array([_SCALE[unit]] * b.num_rows, type=pa.int64()))
 
     parted = ev.map_batches(to_int, batch_format="pyarrow") \
                .repartition(num_blocks=default_num_partitions(),
@@ -2359,6 +2371,9 @@ def q_events_sliding_count(sf_dir: str):
                           "n_window": pa.array([], type=pa.int64())})
         if b.num_rows == 0:
             return empty
+        scale = b["unit_scale"][0].as_py()
+        WINDOW_US = 3600 * scale
+        unit = {1: "s", 10**3: "ms", 10**6: "us", 10**9: "ns"}[scale]
         u = b["user_id"].to_numpy(zero_copy_only=False)
         t = b["tsi"].to_numpy(zero_copy_only=False)
         e = b["event_id"].to_numpy(zero_copy_only=False)
@@ -2373,7 +2388,8 @@ def q_events_sliding_count(sf_dir: str):
         # for any sane partition (e.g. 1e5 users x a decade of µs
         # ~ 3e22 would NOT, so fall back to per-segment searchsorted)
         span = t.max() - t.min() + WINDOW_US + 1
-        if len(starts) * span < (1 << 62):
+        if len(starts) * int(span) < (1 << 62):  # Python ints: the
+            # guard itself must not wrap in int64
             comp = seg.astype(np.int64) * span + (t - t.min())
             hi = np.searchsorted(comp, comp, side="right")
             lo = np.searchsorted(comp, seg.astype(np.int64) * span
@@ -2388,7 +2404,7 @@ def q_events_sliding_count(sf_dir: str):
                             - np.searchsorted(seg_t, seg_t - WINDOW_US, side="left"))
         return pa.table({"event_id": pa.array(e, type=pa.int64()),
                          "user_id": pa.array(u, type=pa.int64()),
-                         "ts": pa.array(t.astype("datetime64[us]")),
+                         "ts": pa.array(t).cast(pa.timestamp(unit)),
                          "n_window": pa.array(n, type=pa.int64())})
 
     return parted.map_batches(window_counts, batch_format="pyarrow",

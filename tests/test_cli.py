@@ -65,7 +65,8 @@ def test_cli_subprocess_owns_ray_session(tmp_path):
     r = subprocess.run(
         [sys.executable, "-m", "refined_ray", "run", "token_quantiles",
          "--sf-dir", SF_SMALL, "--out", out],
-        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert r.returncode == 0, r.stderr[-2000:]
     summary = json.loads(r.stdout.strip().splitlines()[-1])
     assert summary["rows"] == 5

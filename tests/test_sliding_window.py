@@ -27,7 +27,7 @@ def test_events_sliding_count_matches_oracle(ray_session):
         assert (mine[c].astype(str).values == theirs[c].astype(str).values).all(), c
 
 
-def test_events_sliding_count_with_ties(ray_session, tmp_path, monkeypatch):
+def test_events_sliding_count_with_ties(ray_session, tmp_path):
     rng = np.random.default_rng(5)
     n = 600
     df = pd.DataFrame({
