@@ -2425,6 +2425,66 @@ EXT_QUERIES["events_sliding_count"] = q_events_sliding_count
 EXT_ORACLES["events_sliding_count"] = SQL_EVENTS_SLIDING_COUNT
 
 
+def q_type_user_cardinality(sf_dir: str):
+    """Grouped HyperLogLog: distinct USERS per event_type (the keyed
+    form of corpus_cardinality — sketch aggregation BY group, the
+    shape a fleet actually runs: one row of registers per (group,
+    register) and a groupby-max, never a distinct shuffle of the raw
+    keys).  Rows-only like corpus_cardinality; accuracy pytest-gated
+    vs exact."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from .. import scrub_empty_blocks
+    from ..functions.hll import M, hll_estimate, hll_partial
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        b = b.drop_null()
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        # per-group partial registers within the batch
+        order = np.argsort(et, kind="stable")
+        et, uid = et[order], uid[order]
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+        ends = np.r_[starts[1:], len(et)]
+        gs, regs, ranks = [], [], []
+        from ..functions.hashing import splitmix64
+
+        h = splitmix64(uid.astype(np.uint64))
+        for s0, s1 in zip(starts, ends):
+            r = hll_partial(h[s0:s1])
+            nz = np.flatnonzero(r)
+            gs.extend([et[s0]] * len(nz))
+            regs.extend(nz)
+            ranks.extend(r[nz])
+        return pa.table({"event_type": pa.array(gs, type=pa.string()),
+                         "reg": pa.array(np.asarray(regs, dtype=np.int64), type=pa.int64()),
+                         "rank": pa.array(np.asarray(ranks, dtype=np.int64), type=pa.int64())})
+
+    merged = scrub_empty_blocks(
+        ev.map_batches(partials, batch_format="pyarrow")
+          .groupby(["event_type", "reg"]).aggregate(Max("rank", alias_name="rank"))
+          .materialize(),
+        fallback_schema=pa.schema([("event_type", pa.string()),
+                                   ("reg", pa.int64()), ("rank", pa.int64())]))
+
+    regs: dict[str, np.ndarray] = {}
+    for r in merged.take_all():          # bounded: <= n_groups * M rows
+        regs.setdefault(r["event_type"], np.zeros(M, dtype=np.uint8))[r["reg"]] = r["rank"]
+    out = pa.table({
+        "event_type": pa.array(sorted(regs), type=pa.string()),
+        "estimate": pa.array([round(hll_estimate(regs[g]), 1) for g in sorted(regs)],
+                             type=pa.float64()),
+    })
+    return rd.from_arrow(out)
+
+
+EXT_QUERIES["type_user_cardinality"] = q_type_user_cardinality
+# rows-only (HLL, like corpus_cardinality); pytest gates vs exact
+
+
 def q_token_quantiles(sf_dir: str):
     """EXACT distributed quantiles of per-doc token counts (engine
     addition — global order statistics with no driver materialization

@@ -31,6 +31,21 @@ def test_hll_kernel_accuracy_and_merge():
     del rng
 
 
+def test_type_user_cardinality_within_5pct_of_exact(ray_session):
+    from refined_ray.pipelines.queries_ext import q_type_user_cardinality
+
+    out = q_type_user_cardinality(SF_SMALL).to_pandas().set_index("event_type")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_SMALL}/events.parquet'")
+    exact = con.execute(
+        "SELECT event_type, count(DISTINCT user_id) AS n FROM events "
+        "WHERE event_type IS NOT NULL AND user_id IS NOT NULL GROUP BY 1"
+    ).fetchdf().set_index("event_type")
+    assert sorted(out.index) == sorted(exact.index)
+    for g in exact.index:
+        assert abs(out.loc[g, "estimate"] / exact.loc[g, "n"] - 1) < 0.05, g
+
+
 def test_corpus_cardinality_within_5pct_of_exact(ray_session):
     out = q_corpus_cardinality(SF_SMALL).to_pandas().set_index("metric")
     con = duckdb.connect()
