@@ -2485,6 +2485,49 @@ EXT_QUERIES["type_user_cardinality"] = q_type_user_cardinality
 # rows-only (HLL, like corpus_cardinality); pytest gates vs exact
 
 
+def q_clicks_daily(sf_dir: str):
+    """Prune-at-the-read demo: the click predicate is pushed into the
+    parquet SCAN (``read_parquet(filter=...)`` → fragment/row-group
+    statistics prune before bytes leave storage) and only two columns
+    are projected — at 100 TB this is the difference between reading
+    the corpus and reading the ~4% that matches.  The filter column
+    must be projected for the pinned-schema read; it is dropped in
+    the first map."""
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Count
+
+    from .. import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"],
+                            filter=(_pc.field("event_type") == "click"))
+
+    def add_day(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b["ts"], unit="day").cast(pa.timestamp("us"))
+        return pa.table({"day": day})
+
+    out = ds.map_batches(add_day, batch_format="pyarrow") \
+            .groupby("day").aggregate(Count(alias_name="n_clicks"))
+
+    def pin(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"day": pa.array([], type=pa.timestamp("us")),
+                             "n_clicks": pa.array([], type=pa.int64())})
+        return b.set_column(b.schema.get_field_index("day"), "day",
+                            b["day"].cast(pa.timestamp("us")))
+
+    return out.map_batches(pin, batch_format="pyarrow")
+
+
+SQL_CLICKS_DAILY = """
+SELECT date_trunc('day', ts) AS day, count(*) AS n_clicks
+FROM events WHERE event_type = 'click' GROUP BY 1
+"""
+
+EXT_QUERIES["clicks_daily"] = q_clicks_daily
+EXT_ORACLES["clicks_daily"] = SQL_CLICKS_DAILY
+
+
 def q_token_quantiles(sf_dir: str):
     """EXACT distributed quantiles of per-doc token counts (engine
     addition — global order statistics with no driver materialization
