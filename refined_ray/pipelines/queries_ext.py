@@ -1468,7 +1468,7 @@ def q_ann_ivf(sf_dir: str, k: int = 5, max_qid: int = 10, n_cells: int = 16,
                     continue
                 cos = E[in_probe] @ self.Q[j]
                 sel_ids = vids[in_probe]
-                order = np.lexsort((sel_ids, -cos))[:5]
+                order = np.lexsort((sel_ids, -cos))[:k]
                 out_q.append(np.full(len(order), qid, dtype=np.int64))
                 out_n.append(sel_ids[order])
                 out_c.append(cos[order])
@@ -1578,7 +1578,7 @@ def q_ann_ivf_partitioned(sf_dir: str, k: int = 5, max_qid: int = 10,
                     continue
                 cos = E[m] @ self.Q[j]
                 sel = vids[m]
-                order = np.lexsort((sel, -cos))[:5]
+                order = np.lexsort((sel, -cos))[:k]
                 out_q.append(np.full(len(order), qid, dtype=np.int64))
                 out_n.append(sel[order])
                 out_c.append(cos[order])

@@ -45,7 +45,10 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
     r_schema = dict(zip(right.schema().names, right.schema().types))
 
     def unify_left(b: pa.Table) -> pa.Table:
-        b = b.drop_null()
+        import pyarrow.compute as pc
+        # only null KEYS/TIMESTAMPS never match (docstring contract);
+        # nullable payload columns must survive
+        b = b.filter(pc.and_(pc.is_valid(b[key]), pc.is_valid(b[left_ts])))
         cols = {key: b[key], "_side": pa.array(np.ones(b.num_rows, dtype=np.int8))}
         for c in l_payload:
             cols[c] = b[c]
@@ -54,7 +57,8 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
         return pa.table(cols)
 
     def unify_right(b: pa.Table) -> pa.Table:
-        b = b.drop_null()
+        import pyarrow.compute as pc
+        b = b.filter(pc.and_(pc.is_valid(b[key]), pc.is_valid(b[right_ts])))
         cols = {key: b[key], "_side": pa.array(np.zeros(b.num_rows, dtype=np.int8))}
         for c in l_payload:
             cols[c] = pa.nulls(b.num_rows, type=l_schema[c])

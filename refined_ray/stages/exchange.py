@@ -60,6 +60,25 @@ def _partition_ids(batch: pa.Table, key_cols: list[str], num_partitions: int) ->
     return (acc % np.uint64(num_partitions)).astype(np.int64)
 
 
+def block_file_id(sorted_tbl: pa.Table, tid: str, call_i: int) -> str:
+    """Deterministic exchange-file name: blake2b over (task id, per-task
+    call index, block content).  Same task id + same block replay order
+    (a Ray task retry) → same name, so retries REPLACE their files;
+    byte-identical blocks in different tasks/calls → distinct names, so
+    no block's rows can ever be silently dropped by a name collision."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(tid.encode())
+    h.update(str(call_i).encode())
+    for col in sorted_tbl.itercolumns():
+        for chunk in col.chunks if isinstance(col, pa.ChunkedArray) else [col]:
+            for buf in chunk.buffers():
+                if buf is not None:
+                    h.update(buf)
+    return h.hexdigest()
+
+
 def exchange_map_partitions(ds, key_cols: list[str], partition_fn,
                             num_partitions: int, concurrency: int | None = None,
                             exchange_root: str | None = None):
@@ -72,6 +91,12 @@ def exchange_map_partitions(ds, key_cols: list[str], partition_fn,
     for p in range(num_partitions):
         os.makedirs(os.path.join(root, f"part={p}"), exist_ok=True)
 
+    # Per-task call counter for file naming: reset when the task id
+    # changes (Ray retries reuse the task id and replay the same blocks
+    # in the same order, so retried names stay identical) but distinct
+    # blocks — even byte-identical ones — get distinct names.
+    _wstate = {"tid": None, "i": 0}
+
     def writer(batch: pa.Table) -> pa.Table:
         if batch.num_rows:
             part = _partition_ids(batch, key_cols, num_partitions)
@@ -80,23 +105,18 @@ def exchange_map_partitions(ds, key_cols: list[str], partition_fn,
             part_sorted = part[order]
             bounds = np.flatnonzero(np.r_[True, part_sorted[1:] != part_sorted[:-1]])
             sizes = np.diff(np.r_[bounds, len(part_sorted)])
-            # Commit protocol: file names are a CONTENT hash of the block
-            # (deterministic across task retries), written to a temp name
-            # and atomically renamed — a retried writer task REPLACES its
-            # files instead of duplicating rows alongside a partial first
-            # attempt.  (Two byte-identical input blocks would collide on
-            # one name; upstream blocks carry distinct ids/keys so this
-            # does not occur in practice, and the failure mode — dropping
-            # an exact duplicate block — is flagged by row counters.)
-            import hashlib
+            # Commit protocol: see block_file_id — written to a temp
+            # name and atomically renamed so partial writes never land.
+            import ray as _ray
 
-            h = hashlib.blake2b(digest_size=16)
-            for col in sorted_tbl.itercolumns():
-                for chunk in col.chunks if isinstance(col, pa.ChunkedArray) else [col]:
-                    for buf in chunk.buffers():
-                        if buf is not None:
-                            h.update(buf)
-            fid = h.hexdigest()
+            try:
+                tid = _ray.get_runtime_context().get_task_id() or ""
+            except Exception:
+                tid = ""
+            if tid != _wstate["tid"]:
+                _wstate["tid"], _wstate["i"] = tid, 0
+            call_i, _wstate["i"] = _wstate["i"], _wstate["i"] + 1
+            fid = block_file_id(sorted_tbl, tid, call_i)
             for b0, sz in zip(bounds, sizes):
                 p = int(part_sorted[b0])
                 final = os.path.join(root, f"part={p}", f"{fid}.parquet")

@@ -25,22 +25,26 @@ def zip_with_index(ds, key_col: str, out_key: str | None = None,
     from .. import scrub_empty_blocks
 
     out_key = out_key or key_col
+    # derive the key type from the input schema — the API is generic,
+    # not string-only (ADVICE fix: empty paths pinned pa.string())
+    in_schema = ds.schema()
+    key_type = dict(zip(in_schema.names, in_schema.types)).get(key_col, pa.string())
     distinct = ds.groupby(key_col).count().select_columns([key_col]) \
                  .sort(key_col).materialize()
     # the sort shuffle can emit empty (even zero-column) blocks that
     # map_batches UDFs never see — drop them so every surviving block
     # is identifiable by its first key
     distinct = scrub_empty_blocks(
-        distinct, fallback_schema=pa.schema([(key_col, pa.string())]))
+        distinct, fallback_schema=pa.schema([(key_col, key_type)]))
 
     # per-block (first_key, n_rows) → cumulative start offsets.  The
     # driver sees ONE ROW PER BLOCK, never the data; blocks are sorted
     # and keys globally distinct, so a block's first key identifies it.
     def block_meta(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return pa.table({"first": pa.array([], type=pa.string()),
+            return pa.table({"first": pa.array([], type=key_type),
                              "n": pa.array([], type=pa.int64())})
-        return pa.table({"first": pa.array([b[key_col][0].as_py()], type=pa.string()),
+        return pa.table({"first": pa.array([b[key_col][0].as_py()], type=key_type),
                          "n": pa.array([b.num_rows], type=pa.int64())})
 
     meta = sorted((r["first"], r["n"]) for r in
@@ -54,7 +58,7 @@ def zip_with_index(ds, key_col: str, out_key: str | None = None,
 
     def assign(b: pa.Table, _ref=ref) -> pa.Table:
         if b.num_rows == 0:
-            return pa.table({out_key: pa.array([], type=pa.string()),
+            return pa.table({out_key: pa.array([], type=key_type),
                              out_col: pa.array([], type=pa.int64())})
         base = ray.get(_ref)[b[key_col][0].as_py()]
         return pa.table({

@@ -35,12 +35,17 @@ def interval_join(left, right, key: str, left_ts: str,
     nparts = num_partitions or default_num_partitions()
 
     def bucket_left(b: pa.Table) -> pa.Table:
-        b = b.drop_null()
+        import pyarrow.compute as pc
+        # only null keys/timestamps are dropped — nullable payload
+        # columns must survive (ADVICE fix: drop_null was table-wide)
+        b = b.filter(pc.and_(pc.is_valid(b[key]), pc.is_valid(b[left_ts])))
         t = b[left_ts].to_numpy(zero_copy_only=False)
         return b.append_column("_bkt", pa.array(t // bucket_us, type=pa.int64()))
 
     def explode_right(b: pa.Table) -> pa.Table:
-        b = b.drop_null()
+        import pyarrow.compute as pc
+        b = b.filter(pc.and_(pc.and_(pc.is_valid(b[key]), pc.is_valid(b[r_start])),
+                             pc.is_valid(b[r_end])))
         if b.num_rows == 0:
             return b.append_column("_bkt", pa.array([], type=pa.int64()))
         s = b[r_start].to_numpy(zero_copy_only=False)

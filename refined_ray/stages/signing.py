@@ -94,8 +94,9 @@ def sign_pages_batch(batch: pa.Table, text_col: str = "extracted_text",
         doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(sh_starts))
         order = np.lexsort((sh, doc_idx))
         d_s, v_s = doc_idx[order], sh[order]
-        keep = np.r_[True, (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])]
-        d_s, v_s = d_s[keep], v_s[keep]
+        if len(d_s):  # a whole batch of <3-token docs yields zero shingles
+            keep = np.r_[True, (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])]
+            d_s, v_s = d_s[keep], v_s[keep]
         set_counts = np.bincount(d_s, minlength=n)
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(set_counts * 8, out=offsets[1:])

@@ -36,44 +36,42 @@ def test_simhash_batch_split_invariance():
     assert (whole == parts).all()
 
 
-def test_exchange_writer_filenames_are_content_deterministic(ray_session, tmp_path):
-    """A retried writer task re-writes the SAME file names (content hash),
-    so retries replace rather than duplicate partition files."""
-    import os
+def test_exchange_file_ids_retry_idempotent_and_collision_free():
+    """Round-2 ADVICE: names are deterministic given (task id, call index,
+    content) — a retried task replaces its files — but two byte-identical
+    blocks (different task or call slot) can never collide on one name."""
+    from refined_ray.stages.exchange import block_file_id
 
+    tbl = pa.table({"k": pa.array([1, 2, 3], type=pa.int64())})
+    # retry: same task, same replay order, same content -> same name
+    assert block_file_id(tbl, "task-a", 0) == block_file_id(tbl, "task-a", 0)
+    # byte-identical blocks in different tasks or call slots -> distinct
+    assert block_file_id(tbl, "task-a", 0) != block_file_id(tbl, "task-b", 0)
+    assert block_file_id(tbl, "task-a", 0) != block_file_id(tbl, "task-a", 1)
+    # different content -> distinct
+    tbl2 = pa.table({"k": pa.array([1, 2, 4], type=pa.int64())})
+    assert block_file_id(tbl, "task-a", 0) != block_file_id(tbl2, "task-a", 0)
+
+
+def test_exchange_duplicate_blocks_keep_all_rows(ray_session, tmp_path):
+    """Two byte-identical input blocks must BOTH survive the exchange
+    (round-2 ADVICE: pure content-hash names silently dropped one)."""
     import ray.data as rd
 
     from refined_ray.stages.exchange import exchange_map_partitions
 
-    tbl = pa.table({"k": pa.array(np.arange(100) % 7, type=pa.int64()),
-                    "v": pa.array(np.arange(100), type=pa.int64())})
+    tbl = pa.table({"k": pa.array(np.arange(50) % 7, type=pa.int64()),
+                    "v": pa.array(np.arange(50) % 5, type=pa.int64())})
+    # union of two identical single-block datasets -> 2 identical blocks
+    ds = rd.from_arrow(tbl).union(rd.from_arrow(tbl))
 
     def ident(t: pa.Table) -> pa.Table:
         return t
 
-    names = []
-    for _ in range(2):
-        ds = rd.from_arrow(tbl).repartition(2)
-        out, clean = exchange_map_partitions(
-            ds, ["k"], ident, 4, exchange_root=str(tmp_path))
-        assert out.count() == 100
-        run_dir = [d for d in os.listdir(tmp_path)][0]
-        files = set()
-        for part in os.listdir(tmp_path / run_dir):
-            for f in os.listdir(tmp_path / run_dir / part):
-                files.add((part, f))
-        names.append(files)
-        clean()
-        # cleanup is async (daemon thread) — wait for it so run 2 sees
-        # a fresh exchange root
-        import time
-
-        for _ in range(100):
-            if not os.path.exists(tmp_path / run_dir):
-                break
-            time.sleep(0.05)
-    assert names[0] == names[1]  # same input blocks -> same committed names
-    assert all(f.endswith(".parquet") for _, f in names[0])
+    out, clean = exchange_map_partitions(ds, ["k"], ident, 4,
+                                         exchange_root=str(tmp_path))
+    assert out.count() == 100
+    clean()
 
 
 def test_exchange_all_empty_input_preserves_schema(ray_session):
@@ -139,3 +137,100 @@ def test_simhash_candidates_broadcast_join_parity(ray_session, monkeypatch):
     joined = {(r["doc_a"], r["doc_b"], r["hamming"])
               for r in qx.q_simhash_candidates(sf).take_all()}
     assert bcast == joined and len(bcast) > 0
+
+
+# ---- round-2 ADVICE regressions ----
+
+def test_sign_pages_emit_sets_degenerate_batches():
+    """The set-dedup keep mask raised IndexError when the flat shingle
+    stream was EMPTY (round-2 ADVICE medium): np.r_[True, ...] has
+    length 1 while d_s/v_s are length 0.  That happens on a zero-row
+    batch; tiny docs (<3 tokens) still get one sentinel shingle each."""
+    from refined_ray.stages.signing import sign_pages_batch
+
+    # zero-row batch -> empty shingle stream (the crash case)
+    empty = pa.table({"url": pa.array([], type=pa.string()),
+                      "extracted_text": pa.array([], type=pa.string())})
+    out0 = sign_pages_batch(empty, text_col="extracted_text", emit_sets=True)
+    assert out0.num_rows == 0 and "set" in out0.column_names
+
+    # all-tiny batch: every doc keeps its single sentinel shingle
+    batch = pa.table({"url": pa.array(["u1", "u2"]),
+                      "extracted_text": pa.array(["one two", "x"])})
+    out = sign_pages_batch(batch, text_col="extracted_text", emit_sets=True)
+    assert out.num_rows == 2
+    assert all(len(s) == 8 for s in out["set"].to_pylist())  # 1 shingle = 8 B
+
+
+def test_asof_join_keeps_nullable_payload(ray_session):
+    """drop_null was table-wide: a null in a PAYLOAD column silently
+    dropped the row even though key/ts were valid (round-2 ADVICE)."""
+    import ray.data as rd
+
+    left = pa.table({
+        "k": pa.array([1, 1], type=pa.int64()),
+        "lt": pa.array([np.datetime64("2020-01-01T00:00:10", "us"),
+                        np.datetime64("2020-01-01T00:00:20", "us")]),
+        "lpay": pa.array(["x", None], type=pa.string()),  # null payload
+    })
+    right = pa.table({
+        "k": pa.array([1], type=pa.int64()),
+        "rt": pa.array([np.datetime64("2020-01-01T00:00:00", "us")]),
+        "tb": pa.array([0], type=pa.int64()),
+        "rpay": pa.array([None], type=pa.string()),  # null payload
+    })
+    from refined_ray.stages.asof import asof_join
+
+    out = asof_join(rd.from_arrow(left), rd.from_arrow(right), key="k",
+                    left_ts="lt", right_ts="rt",
+                    left_cols=["k", "lt", "lpay"],
+                    right_cols=["rt", "tb", "rpay"],
+                    right_tiebreak="tb", num_partitions=2)
+    rows = sorted(out.take_all(), key=lambda r: r["lt"])
+    assert len(rows) == 2  # both left rows match despite null payloads
+    assert rows[1]["lpay"] is None and rows[0]["rpay"] is None
+
+
+def test_interval_join_keeps_nullable_payload(ray_session):
+    import ray.data as rd
+
+    from refined_ray.stages.rangejoin import interval_join
+
+    left = pa.table({"k": pa.array([1], type=pa.int64()),
+                     "t": pa.array([500], type=pa.int64()),
+                     "lpay": pa.array([None], type=pa.string())})
+    right = pa.table({"k": pa.array([1], type=pa.int64()),
+                      "s": pa.array([0], type=pa.int64()),
+                      "e": pa.array([1000], type=pa.int64()),
+                      "rpay": pa.array([None], type=pa.string())})
+    out = interval_join(rd.from_arrow(left), rd.from_arrow(right), key="k",
+                        left_ts="t", r_start="s", r_end="e",
+                        bucket_us=1000, num_partitions=2)
+    rows = out.take_all()
+    assert len(rows) == 1 and rows[0]["lpay"] is None
+
+
+def test_zip_with_index_int_key(ray_session):
+    """zip_with_index pinned pa.string() in its empty/meta paths; an
+    int64-keyed dataset must work (round-2 ADVICE)."""
+    import ray.data as rd
+
+    from refined_ray.stages.index import zip_with_index
+
+    tbl = pa.table({"k": pa.array([30, 10, 20, 10, 30], type=pa.int64())})
+    out = zip_with_index(rd.from_arrow(tbl), "k")
+    rows = sorted((r["k"], r["idx"]) for r in out.take_all())
+    assert rows == [(10, 0), (20, 1), (30, 2)]
+
+
+def test_ann_ivf_respects_k(ray_session):
+    """per-batch partial top-k was hardcoded [:5] (round-2 ADVICE):
+    k > 5 must return up to k neighbors per query."""
+    from refined_ray.pipelines.queries_ext import q_ann_ivf
+
+    out = q_ann_ivf("/root/testdata/sf0.001", k=8, max_qid=3,
+                    n_cells=4, n_probe=4)
+    import collections
+
+    per_q = collections.Counter(r["query_id"] for r in out.take_all())
+    assert per_q and max(per_q.values()) == 8
