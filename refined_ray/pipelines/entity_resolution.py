@@ -82,6 +82,8 @@ def er_cluster_pages(
     fatten: int = 1,
     exchange_root: str | None = None,
     exact_verify: bool = False,
+    scorer: str = "auto",
+    scorer_kwargs: dict | None = None,
 ):
     """Full pipeline → Dataset(url, cluster_id).
 
@@ -100,6 +102,7 @@ def er_cluster_pages(
         sf_dir, threshold=threshold, max_block_size=max_block_size,
         num_partitions=num_partitions, amplify=amplify, fatten=fatten,
         exchange_root=exchange_root, exact_verify=exact_verify,
+        scorer=scorer, scorer_kwargs=scorer_kwargs,
     )
 
     vertices = payload.select_columns(["page_id", "url"])
@@ -119,7 +122,8 @@ EXACT_JACCARD_THRESHOLD = 0.5
 def er_edges(sf_dir: str, threshold: float = DEFAULT_THRESHOLD,
              max_block_size: int = DEFAULT_MAX_BLOCK_SIZE, num_partitions: int | None = None,
              amplify: int = 1, fatten: int = 1, exchange_root: str | None = None,
-             exact_verify: bool = False, payload=None):
+             exact_verify: bool = False, payload=None, scorer: str = "auto",
+             scorer_kwargs: dict | None = None):
     """Payload + scored pairs + accepted edges (shared pipeline head).
 
     ``exchange_root``: directory for the disk exchange's partitioned
@@ -132,7 +136,14 @@ def er_edges(sf_dir: str, threshold: float = DEFAULT_THRESHOLD,
     shingle sets joined onto just the borderline pairs).  Estimates
     outside the band keep the cheap composite decision.  Costs one
     extra payload column (~8 B/distinct shingle/page) and two joins
-    over the (small) borderline subset."""
+    over the (small) borderline subset.
+
+    ``scorer``: "auto" (broadcast under the byte budget, hash joins
+    beyond — the default), "actor" (GPU-shaped actor pool,
+    score_pairs_actor: pool state in __init__, num_gpus/concurrency/
+    batch_size knobs via ``scorer_kwargs``), or "join" (force the
+    hash-join attachment).  All three emit identical edges
+    (parity-tested)."""
     from .. import default_num_partitions
 
     num_partitions = num_partitions or default_num_partitions()
@@ -144,8 +155,11 @@ def er_edges(sf_dir: str, threshold: float = DEFAULT_THRESHOLD,
     # memory (one ray.put, zero joins — the join path's enriched pair
     # stream is ~25× corpus size since every pair row carries two 1 KB
     # signatures); fall back to two hash joins beyond the budget.
+    if scorer not in ("auto", "actor", "join"):
+        raise ValueError(f"unknown scorer {scorer!r}")
     n_pages = payload.count()
-    use_broadcast = n_pages * PAYLOAD_ROW_BYTES <= BROADCAST_MAX_BYTES
+    use_broadcast = scorer == "actor" or (
+        scorer == "auto" and n_pages * PAYLOAD_ROW_BYTES <= BROADCAST_MAX_BYTES)
 
     # The broadcast assembly is DRIVER-side memcpy over the materialized
     # payload (zero-copy plasma derefs, no dataset execution) — overlap
@@ -173,8 +187,15 @@ def er_edges(sf_dir: str, threshold: float = DEFAULT_THRESHOLD,
     # per-execution actor spin-up is paid once for the whole chain.
     if use_broadcast:
         builder.join()
-        scored, edges = score_pairs_broadcast(pairs, payload, threshold=threshold,
-                                              payload_ref=ref_box["ref"])
+        if scorer == "actor":
+            from ..stages.scoring import score_pairs_actor
+
+            scored, edges = score_pairs_actor(
+                pairs, payload, threshold=threshold,
+                payload_ref=ref_box["ref"], **(scorer_kwargs or {}))
+        else:
+            scored, edges = score_pairs_broadcast(pairs, payload, threshold=threshold,
+                                                  payload_ref=ref_box["ref"])
     else:
         enriched = attach_payloads(pairs, payload, num_partitions=num_partitions)
         scored, edges = score_pairs(enriched, threshold=threshold)

@@ -51,18 +51,39 @@ FROM part
 
 
 def q_orders_topk_per_customer(sf_dir: str, k: int = 2):
-    """Top-k orders per customer by total price (per-group sort+limit)."""
-    import pandas as pd
+    """Top-k orders per customer by total price (per-group sort+limit).
+
+    Scale shape: ONE keyed repartition co-locates each customer, then a
+    single lexsort/segment-rank pass per partition — no per-group
+    pandas (round-2 verdict: map_groups is one Python call per customer,
+    millions at 100× key cardinality)."""
+    from .. import default_num_partitions
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    parted = ds.repartition(num_blocks=default_num_partitions(),
+                            keys=["o_custkey"], sort=False)
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["o_custkey", "o_orderkey", "o_totalprice", "rank"]]
+    def topk_part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"o_custkey": pa.array([], type=pa.int64()),
+                             "o_orderkey": pa.array([], type=pa.int64()),
+                             "o_totalprice": pa.array([], type=pa.float64()),
+                             "rank": pa.array([], type=pa.int64())})
+        c = b["o_custkey"].to_numpy(zero_copy_only=False)
+        o = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        p = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, -p, c))  # per customer: price desc, orderkey asc
+        c, o, p = c[order], o[order], p[order]
+        seg_start = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        rank = np.arange(len(c), dtype=np.int64) \
+            - np.repeat(seg_start, np.diff(np.r_[seg_start, len(c)])) + 1
+        keep = rank <= k
+        return pa.table({"o_custkey": pa.array(c[keep], type=pa.int64()),
+                         "o_orderkey": pa.array(o[keep], type=pa.int64()),
+                         "o_totalprice": pa.array(p[keep], type=pa.float64()),
+                         "rank": pa.array(rank[keep], type=pa.int64())})
 
-    return ds.groupby("o_custkey").map_groups(topk, batch_format="pandas")
+    return parted.map_batches(topk_part, batch_format="pyarrow", batch_size=None)
 
 
 SQL_ORDERS_TOPK_PER_CUSTOMER = """
@@ -82,21 +103,41 @@ SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
 
 def q_user_running_value(sf_dir: str):
     """Per-user running sum of value ordered by (ts, event_id) — the
-    ordered-state/window operator (SURVEY §2.9 generalization)."""
-    import pandas as pd
+    ordered-state/window operator (SURVEY §2.9 generalization).
+
+    Scale shape: ONE keyed repartition, then a lexsort/segment pass per
+    partition — no per-group pandas.  The cumulative sum runs per
+    SEGMENT SLICE (a cheap C call per user) rather than the global
+    cumsum-minus-offset trick: subtracting a large prefix re-introduces
+    FP error that can flip the %.4f canonical rounding vs the oracle's
+    sequential window sum."""
+    from .. import default_num_partitions
 
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    parted = ds.repartition(num_blocks=default_num_partitions(),
+                            keys=["user_id"], sort=False)
 
-    def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        out = pd.DataFrame({
-            "event_id": g["event_id"].to_numpy(),
-            "user_id": g["user_id"].to_numpy(),
-        })
-        out["running_value"] = [float(f"{v:.4f}") for v in g["value"].cumsum()]
-        return out
+    def running_part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"event_id": pa.array([], type=pa.int64()),
+                             "user_id": pa.array([], type=pa.int64()),
+                             "running_value": pa.array([], type=pa.float64())})
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        t = b["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        v = b["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        u, e, v = u[order], e[order], v[order].copy()
+        bounds = np.r_[np.flatnonzero(np.r_[True, u[1:] != u[:-1]]), len(u)]
+        for s, z in zip(bounds[:-1], bounds[1:]):
+            np.cumsum(v[s:z], out=v[s:z])
+        run = pa.array([float(f"{x:.4f}") for x in v], type=pa.float64())
+        return pa.table({"event_id": pa.array(e, type=pa.int64()),
+                         "user_id": pa.array(u, type=pa.int64()),
+                         "running_value": run})
 
-    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+    return parted.map_batches(running_part, batch_format="pyarrow",
+                              batch_size=None)
 
 
 SQL_USER_RUNNING_VALUE = f"""
@@ -150,7 +191,10 @@ def q_docs_without_neardup(sf_dir: str):
         return ds
     dups = pairs.select_columns(["doc_a"]).rename_columns({"doc_a": "dup_id"}) \
                 .union(pairs.select_columns(["doc_b"]).rename_columns({"doc_b": "dup_id"}))
-    return ds.join(dups, join_type="left_anti", num_partitions=4,
+    from .. import default_num_partitions
+
+    return ds.join(dups, join_type="left_anti",
+                   num_partitions=default_num_partitions(),
                    on=("doc_id",), right_on=("dup_id",))
 
 
@@ -726,6 +770,71 @@ WHERE NOT EXISTS (SELECT 1 FROM implied i
 """
 
 
+def q_class_selection(sf_dir: str, n_classes: int = 10):
+    """A8 class-frequency selection (≙ reference ``select_classes``,
+    offline_data_generation/class_selection.py:67-198: counters over
+    candidate entities' classes → the chosen-class list).  Distilled to
+    its aggregation core: every entity contributes its implied class
+    closure, class frequencies accumulate corpus-wide, and the top-N
+    classes are chosen with a deterministic (count desc, class asc)
+    tie-break.
+
+    Scale shape: the closure stage PRE-AGGREGATES per batch (emits
+    (class, partial count) rows, a combiner), so the groupby shuffle
+    moves one row per distinct class per block — never one row per
+    (entity, class) instance; the final top-N is a bounded driver
+    materialization of ``n_classes`` rows."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.classdag import ClassDAG
+
+    ref = ray.put(_class_dag_edges(sf_dir))
+
+    class ClosureCounts:
+        def __init__(self):
+            self.dag = ClassDAG(ray.get(ref))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            ctr: Counter = Counter()
+            for k in b["c_custkey"].to_pylist():
+                ctr.update(self.dag.implied(frozenset([f"c{k}"]),
+                                            remove_self=False))
+            return pa.table({"class": pa.array(list(ctr.keys()), type=pa.string()),
+                             "cnt": pa.array(list(ctr.values()), type=pa.int64())})
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+    freq = ds.map_batches(ClosureCounts, batch_format="pyarrow",
+                          concurrency=(1, 4)) \
+             .groupby("class").aggregate(Sum("cnt", alias_name="n"))
+    # top-N: bounded (n_classes rows) driver materialization with the
+    # deterministic tie-break
+    top = sorted(((r["class"], r["n"]) for r in freq.take_all()),
+                 key=lambda x: (-x[1], x[0]))[:n_classes]
+    return pa.table({
+        "class": pa.array([c for c, _ in top], type=pa.string()),
+        "n": pa.array([n for _, n in top], type=pa.int64()),
+        "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+    })
+
+
+SQL_CLASS_SELECTION = f"""
+WITH RECURSIVE {_SQL_CLASS_EDGES},
+closure AS (
+  SELECT c_custkey AS entity, 'c' || c_custkey AS class FROM customer
+  UNION ALL
+  SELECT c_custkey, a.anc FROM customer JOIN anc a ON a.node = 'c' || c_custkey
+),
+freq AS (SELECT class, count(*) AS n FROM closure GROUP BY 1)
+SELECT class, n, rank FROM (
+  SELECT class, n, row_number() OVER (ORDER BY n DESC, class) AS rank
+  FROM freq
+) WHERE rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------
 # O6: corpus shuffle (≙ reference shuffle.sh /
 # merge_files_and_extract_links.py:105).  rows-only: the permutation is
@@ -735,22 +844,44 @@ WHERE NOT EXISTS (SELECT 1 FROM implied i
 
 
 def q_corpus_shuffle(sf_dir: str):
+    """Seeded corpus shuffle with DISTRIBUTED position tagging: one
+    metadata row per block (first doc_id + row count, doc_ids are
+    unique) gives the driver per-block start offsets, and every block
+    tags its own positions in parallel — the round-2 serial
+    ``concurrency=1`` counter stage is gone (verdict item #6; same
+    per-block offset trick as stages/index.py zip_with_index)."""
+    import ray
+
     ds = _read(sf_dir, "documents", ["doc_id"])
-    shuffled = ds.random_shuffle(seed=42)
+    shuffled = ds.random_shuffle(seed=42).materialize()
 
-    # tag shuffle positions per block so the output records the new order
-    class Tag:
-        def __init__(self):
-            self.base = 0
+    def block_meta(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"first": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        return pa.table({"first": pa.array([b["doc_id"][0].as_py()], type=pa.int64()),
+                         "n": pa.array([b.num_rows], type=pa.int64())})
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            n = b.num_rows
-            pos = np.arange(self.base, self.base + n, dtype=np.int64)
-            self.base += n
-            return pa.table({"doc_id": b["doc_id"],
-                             "block_pos": pa.array(pos, type=pa.int64())})
+    # take_all preserves dataset (= shuffle) order, so offsets follow
+    # the global shuffled order; the driver sees ONE ROW PER BLOCK
+    offsets, acc = {}, 0
+    for r in shuffled.map_batches(block_meta, batch_format="pyarrow",
+                                  batch_size=None).take_all():
+        offsets[r["first"]] = acc
+        acc += r["n"]
+    ref = ray.put(offsets)
 
-    return shuffled.map_batches(Tag, batch_format="pyarrow", concurrency=1)
+    def assign(b: pa.Table, _ref=ref) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "block_pos": pa.array([], type=pa.int64())})
+        base = ray.get(_ref)[b["doc_id"][0].as_py()]
+        return pa.table({"doc_id": b["doc_id"],
+                         "block_pos": pa.array(
+                             base + np.arange(b.num_rows, dtype=np.int64),
+                             type=pa.int64())})
+
+    return shuffled.map_batches(assign, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------
@@ -789,7 +920,10 @@ def q_csv_customers(sf_dir: str):
                          "n_name": b["n_name"]})
 
     gt = gt.map_batches(widen, batch_format="pyarrow")
-    joined = customers.join(gt, join_type="inner", num_partitions=4,
+    from .. import default_num_partitions
+
+    joined = customers.join(gt, join_type="inner",
+                            num_partitions=default_num_partitions(),
                             on=("c_nationkey",), right_on=("n_nationkey",))
 
     def project(b: pa.Table) -> pa.Table:
@@ -990,6 +1124,119 @@ FROM chunks
 # ---------------------------------------------------------------------
 
 
+# phrase-PEM broadcast budget (rows of (surface, entity) instances);
+# beyond it the candidate attachment switches to the hash-join path —
+# module-level so the path-parity test can force the join path.
+PERSON_COREF_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def _person_coref_join_path(ds, counts, doc_mentions_fn, nparts: int):
+    """Over-budget candidate attachment: the phrase PEM stays a Dataset
+    (one row per surface, candidate list JSON-serialized), mentions
+    LEFT-join to it on the normalized surface, and the person-coref
+    fold runs doc-locally inside a doc-keyed segment pass — no driver
+    dict, no broadcast, identical rows to the broadcast path (parity
+    test forces this path at budget 0)."""
+    import json
+
+    from ..functions.normalize import normalize_surface_form
+    from ..functions.tokenize import tokenize_batch
+    from ..stages.candidates import add_candidates_to_doc
+
+    # per-surface candidate lists: counts is already surface-partitioned,
+    # one lexsort/segment pass aggregates (surface, entity) instance rows
+    # into the same sorted-by-(-prob, entity) lists the broadcast builds
+    def pem_part(b: pa.Table) -> pa.Table:
+        empty = pa.table({"psurf": pa.array([], type=pa.string()),
+                          "cands_ser": pa.array([], type=pa.string())})
+        if b.num_rows == 0:
+            return empty
+        s = np.asarray(b["surface"].to_pylist(), dtype=object)
+        e = np.asarray(b["entity"].to_pylist(), dtype=object)
+        order = np.lexsort((e, s))
+        s, e = s[order], e[order]
+        new_pair = np.r_[True, (s[1:] != s[:-1]) | (e[1:] != e[:-1])]
+        pair_start = np.flatnonzero(new_pair)
+        pair_cnt = np.diff(np.r_[pair_start, len(s)])
+        ps, pe = s[pair_start], e[pair_start]
+        surf_start = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]])
+        surf_tot = np.add.reduceat(pair_cnt, surf_start)
+        prob = pair_cnt / np.repeat(surf_tot, np.diff(np.r_[surf_start, len(ps)]))
+        rows_s, rows_c = [], []
+        bounds = np.r_[surf_start, len(ps)]
+        for a, z in zip(bounds[:-1], bounds[1:]):
+            cand = sorted(((pe[i], float(prob[i])) for i in range(a, z)),
+                          key=lambda x: (-x[1], x[0]))
+            rows_s.append(ps[a])
+            rows_c.append(json.dumps(cand))
+        return pa.table({"psurf": pa.array(rows_s, type=pa.string()),
+                         "cands_ser": pa.array(rows_c, type=pa.string())})
+
+    pem_ds = counts.map_batches(pem_part, batch_format="pyarrow",
+                                batch_size=None)
+    # humans = the distinct entities of the PEM (same set the broadcast
+    # derives); entity cardinality ≪ surface cardinality, so a driver
+    # set is bounded even when the PEM itself is not
+    humans = set(counts.unique("entity"))
+
+    def explode_mentions(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        ids = b["doc_id"].to_pylist()
+        flat, starts = tokenize_batch(texts)
+        out_d, out_o, out_s, out_n = [], [], [], []
+        for i, did in enumerate(ids):
+            for j, m in enumerate(doc_mentions_fn(flat[starts[i]:starts[i + 1]])):
+                out_d.append(did)
+                out_o.append(j)
+                out_s.append(m)
+                out_n.append(normalize_surface_form(m))
+        return pa.table({"doc_id": pa.array(out_d, type=pa.int64()),
+                         "mention_ord": pa.array(out_o, type=pa.int64()),
+                         "surface": pa.array(out_s, type=pa.string()),
+                         "norm": pa.array(out_n, type=pa.string())})
+
+    mentions = ds.map_batches(explode_mentions, batch_format="pyarrow")
+    joined = mentions.join(pem_ds, join_type="left_outer",
+                           num_partitions=nparts,
+                           on=("norm",), right_on=("psurf",))
+    parted = joined.repartition(num_blocks=nparts, keys=["doc_id"], sort=False)
+
+    out_schema = {"doc_id": pa.int64(), "mention_ord": pa.int64(),
+                  "surface": pa.string(), "qcode": pa.string(),
+                  "prob": pa.float64()}
+
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({c: pa.array([], type=t) for c, t in out_schema.items()})
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        o = b["mention_ord"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, d))
+        surf = b["surface"].take(pa.array(order, type=pa.int64())).to_pylist()
+        norm = b["norm"].take(pa.array(order, type=pa.int64())).to_pylist()
+        ser = b["cands_ser"].take(pa.array(order, type=pa.int64())).to_pylist()
+        d, o = d[order], o[order]
+        bounds = np.r_[np.flatnonzero(np.r_[True, d[1:] != d[:-1]]), len(d)]
+        out = {"doc_id": [], "mention_ord": [], "surface": [],
+               "qcode": [], "prob": []}
+        for a, z in zip(bounds[:-1], bounds[1:]):
+            local_pem = {norm[i]: [tuple(c) for c in json.loads(ser[i])]
+                         for i in range(a, z) if ser[i] is not None}
+            ms = surf[a:z]
+            cands = add_candidates_to_doc(ms, local_pem, humans,
+                                          max_candidates=1)
+            for j, (m, cl) in enumerate(zip(ms, cands)):
+                q, p = cl[0]
+                out["doc_id"].append(int(d[a]))
+                out["mention_ord"].append(j)
+                out["surface"].append(m)
+                out["qcode"].append(q)
+                out["prob"].append(p)
+        return pa.table({c: pa.array(out[c], type=t)
+                         for c, t in out_schema.items()})
+
+    return parted.map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+
 def q_person_coref(sf_dir: str, max_candidates: int = 3):
     import ray
 
@@ -1028,23 +1275,23 @@ def q_person_coref(sf_dir: str, max_candidates: int = 3):
     from .. import default_num_partitions
     nparts = default_num_partitions()
     counts = ds.map_batches(explode, batch_format="pyarrow") \
-               .repartition(num_blocks=nparts, keys=["surface"], sort=False)
+               .repartition(num_blocks=nparts, keys=["surface"], sort=False) \
+               .materialize()
 
-    # bounded driver assembly of the PEM side table (counted budget, ≙
-    # the flagship's broadcast guard): at reference scale this side
-    # would stay a Dataset and attach via hash join instead.
-    PEM_BUDGET_ROWS = 2_000_000
+    # Two attachment paths, like the flagship/SimHash/LM-score guards:
+    # under the counted budget the PEM side table broadcasts via
+    # ray.put; beyond it (the reference probe works at 18M surfaces,
+    # candidate_generator.py:62-94) it stays a Dataset and attaches to
+    # mentions via a distributed LEFT hash join, with the coref fold
+    # kept doc-local in a doc-keyed segment pass.
+    if counts.count() > PERSON_COREF_BROADCAST_MAX_ROWS:
+        return _person_coref_join_path(ds, counts, _doc_mentions, nparts)
+
     pem: dict[str, list[tuple[str, float]]] = {}
-    n_rows = 0
     from collections import Counter, defaultdict
 
     per_surface: dict[str, Counter] = defaultdict(Counter)
     for b in counts.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
-        n_rows += b.num_rows
-        if n_rows > PEM_BUDGET_ROWS:
-            raise NotImplementedError(
-                "phrase-PEM exceeds broadcast budget; use the hash-join "
-                "candidate attachment path for corpora this large")
         for s, e in zip(b["surface"].to_pylist(), b["entity"].to_pylist()):
             per_surface[s][e] += 1
     for s, ctr in per_surface.items():
@@ -1343,6 +1590,7 @@ EXT_QUERIES = {
     "span_merge": q_span_merge,
     "class_closure": q_class_closure,
     "class_prune": q_class_prune,
+    "class_selection": q_class_selection,
     "corpus_shuffle": q_corpus_shuffle,
     "csv_customers": q_csv_customers,
     "weak_labels": q_weak_labels,
@@ -1374,6 +1622,7 @@ EXT_ORACLES = {
     "span_merge": _sql_span_merge(),
     "class_closure": SQL_CLASS_CLOSURE,
     "class_prune": SQL_CLASS_PRUNE,
+    "class_selection": SQL_CLASS_SELECTION,
     "csv_customers": SQL_CSV_CUSTOMERS,
     "weak_labels": _sql_weak_labels(),
     "sentence_split": _sql_sentence_split(),

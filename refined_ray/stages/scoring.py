@@ -137,15 +137,31 @@ class PairScorerBroadcast:
     both pair sides up via searchsorted.  This replaces two hash joins
     whose output stream is ~25× the corpus size (each pair row carries
     two 1 KB signatures); use it whenever the payload fits comfortably
-    in worker memory (see BROADCAST_MAX_BYTES in the pipeline)."""
+    in worker memory (see BROADCAST_MAX_BYTES in the pipeline).
+
+    GPU-shaped knobs (≙ reference RefinedModel.forward,
+    refined_model.py:164-343, run via score_pairs_actor):
+
+    - ``length_bucket``: sort each batch by combined head length before
+      scoring and scatter back (≙ sort-batch-elements-by-token-length
+      collation, preprocessing_utils.py:196-199 — keeps padding waste
+      low when a real padded-tensor model sits in the loop).  Output
+      rows are identical either way.
+    - ``burn_ms``: deliberately CPU-burning stand-in for a heavy model
+      forward (per batch) — lets tests/benchmarks exercise pool sizing
+      without transformer weights in the container.
+    """
 
     def __init__(self, payload_ref, weights: dict | None = None,
-                 threshold: float = DEFAULT_THRESHOLD):
+                 threshold: float = DEFAULT_THRESHOLD,
+                 length_bucket: bool = False, burn_ms: float = 0.0):
         import ray
 
         w = weights or WEIGHTS
         self.w = np.array([w["est_jaccard"], w["cos_sim"], w["jw_sim"], w["lev_sim"]])
         self.threshold = threshold
+        self.length_bucket = length_bucket
+        self.burn_ms = burn_ms
         # all four arrays are numpy → zero-copy views into the shared
         # object-store copy (heads are fixed-width S64 bytes — 16 chars
         # × max UTF-8 width — not python strings, exactly so this deref
@@ -155,17 +171,46 @@ class PairScorerBroadcast:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
+        if self.burn_ms:
+            # heavy-model stand-in: busy numpy work, not sleep, so the
+            # pool's CPU slots are genuinely contended like a real model
+            import time
+
+            t_end = time.perf_counter() + self.burn_ms / 1000.0
+            x = np.ones((64, 64))
+            while time.perf_counter() < t_end:
+                x = x @ x % 7.0
+        perm = inv = None
+        if self.length_bucket:
+            ha = batch["a"].to_numpy(zero_copy_only=False)
+            hb = batch["b"].to_numpy(zero_copy_only=False)
+            ia0 = np.searchsorted(self.ids, ha)
+            ib0 = np.searchsorted(self.ids, hb)
+            # bucket by UTF-8 byte length (S64 entries are NUL-padded;
+            # decoding to str would choke on non-ASCII)
+            def _blen(idx):
+                m = self.heads[idx].view(np.uint8).reshape(len(idx), -1)
+                return (m != 0).sum(axis=1)
+
+            lens = _blen(ia0) + _blen(ib0)
+            perm = np.argsort(lens, kind="stable")
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(len(perm))
+            batch = batch.take(pa.array(perm, type=pa.int64()))
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
         ia = np.searchsorted(self.ids, a)
         ib = np.searchsorted(self.ids, b)
-        return _score_features(
+        out = _score_features(
             batch,
             self.sig[ia], self.sig[ib], self.emb[ia], self.emb[ib],
             [s.decode("utf-8", "ignore") for s in self.heads[ia]],
             [s.decode("utf-8", "ignore") for s in self.heads[ib]], self.w,
             threshold=self.threshold,
         )
+        if inv is not None:  # restore the caller's row order
+            out = out.take(pa.array(inv, type=pa.int64()))
+        return out
 
 
 def broadcast_payload_ref(payload):
@@ -266,6 +311,43 @@ def score_pairs(enriched, threshold: float = DEFAULT_THRESHOLD, concurrency=None
         PairScorer, batch_format="pyarrow", concurrency=concurrency,
         fn_constructor_kwargs={"threshold": threshold}, **map_kwargs
     )
+    edges = scored.filter(expr=f"score >= {threshold}")
+    return scored, edges
+
+
+def score_pairs_actor(pairs, payload, threshold: float = DEFAULT_THRESHOLD,
+                      concurrency=None, num_gpus: float | None = None,
+                      batch_size: int = 16384, payload_ref=None,
+                      length_bucket: bool = True, burn_ms: float = 0.0,
+                      **map_kwargs):
+    """GPU-shaped ACTOR-POOL variant of the broadcast scorer.
+
+    The payload deref (and, with a real model, the transformer weights)
+    lives in actor ``__init__`` — once per actor, not per batch — and
+    the pool knobs pass through end to end:
+
+    - ``concurrency``: actor count (pool size); size to the node's GPU
+      count when ``num_gpus`` is set.
+    - ``num_gpus``: per-actor GPU share for ``map_batches`` (the
+      reference's one-process-per-GPU sharding, run_span_detection.py:
+      72-94, replaced by Ray's resource scheduler).
+    - ``batch_size``: rows per model invocation (padded-tensor batch).
+    - ``length_bucket``: sort each batch by head length before scoring
+      (≙ preprocessing_utils.py:196-199), identical output rows.
+    - ``burn_ms``: CPU-burning stand-in model cost for tests/benchmarks.
+
+    Edges are row-identical to score_pairs_broadcast (parity-tested)."""
+    concurrency = concurrency or _default_concurrency()
+    ref = payload_ref if payload_ref is not None else broadcast_payload_ref(payload)
+    if num_gpus:
+        map_kwargs["num_gpus"] = num_gpus
+    scored = pairs.map_batches(
+        PairScorerBroadcast, batch_format="pyarrow",
+        concurrency=concurrency, batch_size=batch_size,
+        fn_constructor_kwargs={"payload_ref": ref, "threshold": threshold,
+                               "length_bucket": length_bucket,
+                               "burn_ms": burn_ms},
+        **map_kwargs)
     edges = scored.filter(expr=f"score >= {threshold}")
     return scored, edges
 
