@@ -1402,6 +1402,137 @@ FROM t GROUP BY doc_id, (ord - 1) // 64
 
 
 # ---------------------------------------------------------------------
+# M8 e2e variant: sentence-boundary windows (never split a sentence) —
+# ≙ Doc._to_batch_elements_e2e (doc_types.py:275-369).  The greedy
+# packing fold is stages/collate.greedy_sentence_pack, the SAME core
+# the real-splitter stage (collate_windows_sentences) uses; here the
+# token→sentence assignment is a fixed cyclic size pattern so a DuckDB
+# recursive CTE can replay the fold bit-exactly.  The real-text
+# splitter semantics (searchsorted boundary assignment, Punkt-style
+# rules) are pytest-gated instead (tests/test_benchmarks_collate.py).
+# ---------------------------------------------------------------------
+
+_SENT_CYCLE = (3, 7, 12, 5, 20, 9)  # token counts per synthetic
+                                    # sentence, cycling; sums to 56
+
+
+def q_window_sentences(sf_dir: str, max_seq: int = 16):
+    """Greedy sentence packing (M8 e2e): each doc's tokens are grouped
+    into synthetic sentences of cyclic sizes ``_SENT_CYCLE`` and packed
+    into ≤``max_seq``-token windows that never split a sentence — a
+    sentence longer than ``max_seq`` splits into max_seq-chunks, each
+    its own window.  ``max_seq=16`` < max(cycle)=20 so every reference
+    branch (flush, fit, long-sentence split with remainder) fires."""
+    from ..functions.tokenize import tokenize_batch
+    from ..stages.collate import greedy_sentence_pack
+    from .queries import _read
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cyc = np.asarray(_SENT_CYCLE, dtype=np.int64)
+    cyc_sum = int(cyc.sum())
+    cyc_off = np.concatenate(([0], np.cumsum(cyc)[:-1]))
+
+    def windows(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        ids = b["doc_id"].to_pylist()
+        _, starts = tokenize_batch(texts)
+        lens = np.diff(np.asarray(starts, dtype=np.int64))
+        out = {"doc_id": [], "window_idx": [], "start_tok": [], "n_tokens": []}
+        for i, L in enumerate(lens):
+            L = int(L)
+            if L == 0:
+                continue
+            full, rem = divmod(L, cyc_sum)
+            counts = np.concatenate(
+                [np.tile(cyc, full),
+                 np.clip(rem - cyc_off, 0, cyc)]) if full or rem else cyc[:0]
+            w = greedy_sentence_pack(counts, max_seq)
+            out["doc_id"].extend([ids[i]] * len(w))
+            out["window_idx"].extend(range(len(w)))
+            out["start_tok"].extend(1 + np.cumsum(w) - w)
+            out["n_tokens"].extend(w)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "window_idx": pa.array(out["window_idx"], type=pa.int64()),
+            "start_tok": pa.array(out["start_tok"], type=pa.int64()),
+            "n_tokens": pa.array(out["n_tokens"], type=pa.int64()),
+        })
+
+    return ds.map_batches(windows, batch_format="pyarrow")
+
+
+def _sql_window_sentences(max_seq: int = 16) -> str:
+    """Recursive-CTE replay of the greedy sentence-packing fold: the
+    recursion walks each doc's sentences in order carrying the open
+    window's token count and emitting closed windows as a list; a
+    final flush closes the last open window."""
+    m = max_seq
+    cyc = _SENT_CYCLE
+    bounds = np.cumsum(cyc)
+    case = " ".join(
+        f"WHEN (ord-1)%{bounds[-1]} < {int(b)} THEN {j}"
+        for j, b in enumerate(bounds[:-1])) + f" ELSE {len(cyc) - 1}"
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, unnest(range(1, len({_TOKS}) + 1)) AS ord FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(((ord-1)//{bounds[-1]})*{len(cyc)}
+              + CASE {case} END AS BIGINT) AS sent,
+         count(*) AS cnt
+  FROM t GROUP BY 1, 2
+), seq AS (
+  SELECT doc_id, CAST(cnt AS BIGINT) AS cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY sent) AS rn
+  FROM s
+), steps AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS cur,
+         CAST([] AS BIGINT[]) AS emitted
+  FROM (SELECT DISTINCT doc_id FROM seq)
+  UNION ALL
+  SELECT q.doc_id, q.rn,
+    CASE WHEN q.cnt <= {m} THEN
+      (CASE WHEN p.cur > 0 AND p.cur + q.cnt > {m} THEN 0 ELSE p.cur END)
+      + q.cnt
+    ELSE 0 END,
+    (CASE WHEN p.cur > 0 AND p.cur + q.cnt > {m}
+          THEN [p.cur] ELSE CAST([] AS BIGINT[]) END)
+    || (CASE WHEN q.cnt > {m} THEN
+          list_transform(range(CAST(q.cnt // {m} AS BIGINT)),
+                         x -> CAST({m} AS BIGINT))
+          || (CASE WHEN q.cnt % {m} > 0
+               THEN [CAST(q.cnt % {m} AS BIGINT)]
+               ELSE CAST([] AS BIGINT[]) END)
+        ELSE CAST([] AS BIGINT[]) END)
+  FROM steps p JOIN seq q ON q.doc_id = p.doc_id AND q.rn = p.rn + 1
+), finals AS (
+  SELECT p.doc_id, p.rn + 1 AS rn, CAST(0 AS BIGINT) AS cur,
+         [p.cur] AS emitted
+  FROM steps p
+  WHERE p.cur > 0 AND NOT EXISTS (
+    SELECT 1 FROM seq q WHERE q.doc_id = p.doc_id AND q.rn = p.rn + 1)
+), allw AS (
+  SELECT doc_id, rn, emitted FROM steps WHERE len(emitted) > 0
+  UNION ALL
+  SELECT doc_id, rn, emitted FROM finals
+), flat AS (
+  SELECT doc_id, rn, unnest(emitted) AS n_tokens,
+         unnest(range(len(emitted))) AS sub
+  FROM allw
+)
+SELECT doc_id,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY rn, sub) - 1
+       AS BIGINT) AS window_idx,
+  CAST(1 + COALESCE(sum(n_tokens) OVER (PARTITION BY doc_id
+      ORDER BY rn, sub
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       AS BIGINT) AS start_tok,
+  CAST(n_tokens AS BIGINT) AS n_tokens
+FROM flat
+"""
+
+
+# ---------------------------------------------------------------------
 # Table linking (≙ the reference's FastAPI table-linking job, §3.3):
 # link a mention column against the PEM candidate table, top-k per
 # cell.  pipelines/table_linking.py holds the reusable pipeline.
@@ -1598,6 +1729,7 @@ EXT_QUERIES = {
     "person_coref": q_person_coref,
     "entity_index": q_entity_index,
     "doc_windows": q_doc_windows,
+    "window_sentences": q_window_sentences,
     "table_link": q_table_link,
     "global_pad": q_global_pad,
     "media_features": q_media_features,
@@ -1628,6 +1760,7 @@ EXT_ORACLES = {
     "sentence_split": _sql_sentence_split(),
     "entity_index": SQL_ENTITY_INDEX,
     "doc_windows": SQL_DOC_WINDOWS,
+    "window_sentences": _sql_window_sentences(),
     "table_link": SQL_TABLE_LINK,
     "global_pad": SQL_GLOBAL_PAD,
     # corpus_shuffle: rows-only (engine-internal permutation; pytest

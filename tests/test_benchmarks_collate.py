@@ -184,3 +184,132 @@ def test_collate_windows_dataset_roundtrip(ray_session):
     rows = collate_windows(ds, max_seq=3).take_all()
     got = {(r["doc_id"], r["window_idx"]): r["n_tokens"] for r in rows}
     assert got == {(10, 0): 3, (10, 1): 2, (11, 0): 1}
+
+
+# ---------------------------------------------------------------------
+# M8 e2e: sentence-boundary windows (never split a sentence) —
+# ≙ Doc._to_batch_elements_e2e (doc_types.py:275-369)
+# ---------------------------------------------------------------------
+
+
+def _reference_e2e_fold(counts, max_seq):
+    """Naive line-by-line transcription of the reference's greedy fold
+    (doc_types.py:300-368) over per-sentence token counts — the oracle
+    for greedy_sentence_pack."""
+    windows, cur = [], 0
+    for s in counts:
+        if s == 0:
+            continue  # sent_to_tokens only holds sentences with tokens
+        if cur + s > max_seq and cur > 0:
+            windows.append(cur)
+            cur = 0
+        if s + cur <= max_seq:
+            cur += s
+        else:
+            # len(cur)==0 and s > max_seq: split into max_seq chunks,
+            # each flushed as its own window (incl. the remainder)
+            for off in range(0, s, max_seq):
+                windows.append(min(max_seq, s - off))
+            cur = 0
+    if cur > 0:
+        windows.append(cur)
+    return windows
+
+
+def test_greedy_sentence_pack_matches_reference_fold():
+    from refined_ray.stages.collate import greedy_sentence_pack
+
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        counts = rng.integers(0, 40, size=rng.integers(0, 12)).tolist()
+        for max_seq in (1, 3, 16, 64):
+            got = greedy_sentence_pack(np.asarray(counts), max_seq).tolist()
+            assert got == _reference_e2e_fold(counts, max_seq), (counts, max_seq)
+            # every token lands in exactly one window, in order
+            assert sum(got) == sum(counts)
+
+
+def test_greedy_sentence_pack_branches():
+    from refined_ray.stages.collate import greedy_sentence_pack
+
+    # fit, flush, long-sentence split with remainder, trailing flush
+    assert greedy_sentence_pack(np.array([3, 3]), 8).tolist() == [6]
+    assert greedy_sentence_pack(np.array([5, 5]), 8).tolist() == [5, 5]
+    # a long sentence's remainder chunk is flushed, NOT left open:
+    # the next sentence starts a fresh window (reference flushes after
+    # every split part)
+    assert greedy_sentence_pack(np.array([20, 2]), 8).tolist() == [8, 8, 4, 2]
+    assert greedy_sentence_pack(np.array([16, 2]), 8).tolist() == [8, 8, 2]
+    assert greedy_sentence_pack(np.array([]), 8).tolist() == []
+    assert greedy_sentence_pack(np.array([0, 4, 0]), 8).tolist() == [4]
+
+
+def _sent_windows(texts, **kw):
+    from refined_ray.stages.collate import sentence_windows_batch
+
+    b = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    return sentence_windows_batch(b, **kw)
+
+
+def test_sentence_windows_never_split_sentence():
+    # two 3-token sentences + one 2-token sentence, max_seq=4: the
+    # fixed-size chunker would emit [4, 4]; the sentence variant keeps
+    # sentences whole → [3, 3, 2]
+    text = "one two three. four five six. seven eight."
+    out = _sent_windows([text], max_seq=4).to_pylist()
+    sizes = [r["n_tokens"] for r in sorted(out, key=lambda r: r["window_idx"])]
+    assert sizes == [3, 3, 2]
+
+
+def test_sentence_windows_token_ids_match_fixed_collate_tokens():
+    # token ids must be the same hash stream the fixed collate uses,
+    # gathered at sentence-aligned offsets
+    from refined_ray.functions.tokenize import tokenize_hash_arrow
+
+    text = "alpha beta gamma. delta epsilon. zeta"
+    tok_h, _, _ = tokenize_hash_arrow(pa.array([text]))
+    tok_h = tok_h.view(np.int64)
+    out = _sent_windows([text], max_seq=3).to_pylist()
+    out.sort(key=lambda r: r["window_idx"])
+    got = [r["token_ids"][:r["n_tokens"]] for r in out]
+    # greedy fold packs the 2-token and 1-token sentences together
+    assert [len(g) for g in got] == [3, 3]
+    assert np.concatenate(got).tolist() == tok_h.tolist()
+
+
+def test_sentence_windows_abbreviation_not_boundary():
+    # "dr." is an abbreviation: no boundary, so the whole text is ONE
+    # 4-token sentence and must stay in one window at max_seq=4
+    out = _sent_windows(["dr. smith greets patients"], max_seq=4).to_pylist()
+    assert [r["n_tokens"] for r in out] == [4]
+    # while a real boundary in the same shape splits windows
+    out2 = _sent_windows(["word. smith greets patients"], max_seq=3).to_pylist()
+    sizes = [r["n_tokens"]
+             for r in sorted(out2, key=lambda r: r["window_idx"])]
+    assert sizes == [1, 3]
+
+
+def test_sentence_windows_long_sentence_and_empty_docs():
+    long = " ".join(f"tok{i}" for i in range(10))  # one 10-token sentence
+    out = _sent_windows(["", long, "..."], max_seq=4).to_pylist()
+    assert all(r["doc_id"] == 1 for r in out)
+    sizes = [r["n_tokens"] for r in sorted(out, key=lambda r: r["window_idx"])]
+    assert sizes == [4, 4, 2]
+    assert _sent_windows([], max_seq=4).num_rows == 0
+    assert _sent_windows(["", "???"], max_seq=4).num_rows == 0
+
+
+def test_collate_windows_sentences_dataset(ray_session):
+    import ray.data as rd
+
+    from refined_ray.stages.collate import collate_windows_sentences
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11], type=pa.int64()),
+        "text": pa.array(["one two three. four five six.",
+                          "seven eight. nine"], type=pa.string()),
+    }))
+    rows = collate_windows_sentences(ds, max_seq=4).take_all()
+    got = {(r["doc_id"], r["window_idx"]): r["n_tokens"] for r in rows}
+    assert got == {(10, 0): 3, (10, 1): 3, (11, 0): 3}

@@ -56,3 +56,21 @@ def test_date_doc_infer_matches_duckdb(ray_session):
     assert len(mine) == len(theirs)
     for c in ["day", "month", "year"]:
         assert (mine[c].values == theirs[c].values).all(), c
+
+
+def test_window_sentences_matches_duckdb(ray_session):
+    import duckdb
+
+    from refined_ray.pipelines.queries_ext import (
+        _sql_window_sentences, q_window_sentences)
+
+    mine = q_window_sentences(SF).to_pandas().sort_values(
+        ["doc_id", "window_idx"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    theirs = con.execute(_sql_window_sentences()).fetchdf().sort_values(
+        ["doc_id", "window_idx"]).reset_index(drop=True)
+    assert len(mine) == len(theirs) > 0
+    for c in ["doc_id", "window_idx", "start_tok", "n_tokens"]:
+        assert (mine[c].astype("int64").values
+                == theirs[c].astype("int64").values).all(), c
