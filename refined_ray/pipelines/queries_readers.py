@@ -169,14 +169,83 @@ FROM t GROUP BY doc_id, (ord - 1) // 64
 """
 
 
+# ---------------------------------------------------------------------
+# S2 original form: streamed bz2 XML dump reader (≙ pages_from +
+# process_dump, wiki_extractor.py:2779-2994) — sources/xmldump.py
+# ---------------------------------------------------------------------
+
+
+def q_xml_pages(sf_dir: str, pages_per_shard: int = 200):
+    """Stage ``documents`` as sharded bz2 MediaWiki-shaped XML (a
+    cached fixture, like ``aida_means``), then stream it back through
+    the ``read_binary_files`` + per-shard page scanner.  The fixture
+    plants decoys the scanner must SKIP — a ``<redirect/>`` page, a
+    consecutive duplicate-id page, and an ``ns=10`` template page per
+    planted slot — so the oracle (plain ``documents``) only matches if
+    the ``pages_from`` yield gates all fire."""
+    import pyarrow.parquet as pq
+
+    from ..sources.xmldump import read_xml_pages, write_xml_shard
+
+    d = os.path.join(_fixture_dir(sf_dir), "xmldump")
+    done = os.path.join(d, "_STAGED")
+    if not os.path.exists(done):
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+
+        def pages(lo: int, hi: int):
+            for did, text in zip(ids[lo:hi], texts[lo:hi]):
+                yield {"page_id": did, "title": f"Doc {did}",
+                       "revid": did + 1, "text": text}
+                if did % 50 == 0:
+                    # decoys: all three must be skipped by the scanner
+                    yield {"page_id": did + 10_000_000,
+                           "title": f"Doc {did} (redirect)",
+                           "redirect": True, "text": "see elsewhere"}
+                    yield {"page_id": did, "title": f"Doc {did} dup",
+                           "text": "duplicate page id — must be skipped"}
+                    yield {"page_id": did + 20_000_000, "ns": "10",
+                           "title": f"Template:{did}", "text": "tpl"}
+
+        for s, lo in enumerate(range(0, len(ids), pages_per_shard)):
+            write_xml_shard(pages(lo, lo + pages_per_shard),
+                            os.path.join(d, f"shard-{s:05d}.xml.bz2"),
+                            compression="bz2")
+        with open(done, "w") as f:
+            f.write("ok")
+
+    ds = read_xml_pages(os.path.join(d), ns_filter="0")
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["page_id"],
+            "title": b["title"].cast(pa.string()),
+            "text": b["text"].cast(pa.string()),
+        })
+
+    # read_binary_files also sees the _STAGED marker file; it has no
+    # <page> so the scanner yields nothing for it
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+SQL_XML_PAGES = """
+SELECT doc_id, 'Doc ' || doc_id AS title, text FROM documents
+"""
+
+
 READER_QUERIES = {
     "aida_means": q_aida_means,
     "el_docs": q_el_docs,
     "collated_windows": q_collated_windows,
+    "xml_pages": q_xml_pages,
 }
 
 READER_ORACLES = {
     "aida_means": SQL_AIDA_MEANS,
     "el_docs": SQL_EL_DOCS,
     "collated_windows": SQL_COLLATED_WINDOWS,
+    "xml_pages": SQL_XML_PAGES,
 }
