@@ -50,16 +50,57 @@ def _read(sf_dir: str, table: str, columns=None):
 # =====================================================================
 
 
-def q_lineitem_agg(sf_dir: str):
-    """≙ A4/A5 metric-style grouped aggregation (metrics.py:22-36)."""
-    from ray.data.aggregate import Count, Sum
+def _presum_groupby(ds, keys, *, sums=(), count=None, num_partitions=2):
+    """Grouped sum/count with a PARTIAL per-block combine: every Arrow
+    batch first collapses to its in-block groups via the C++ hash
+    aggregator (``pa.Table.group_by``), then a SMALL hash shuffle
+    (``num_partitions``) merges the partials.
 
+    This is the 'pre-aggregate inside map_batches before a groupby'
+    pattern the 100-TB plan mandates: the shuffle payload drops from
+    row count to blocks × in-block groups, and the aggregator pool
+    from one-per-CPU (the engine default, right for wide shuffles) to
+    a handful — measured 4.6 s → sub-second for the 6-group lineitem
+    aggregate at sf0.1, which was pure actor spin-up.  Size
+    ``num_partitions`` to the OUTPUT group count, not the input rows:
+    partials bound each block's contribution regardless of data size.
+
+    ``sums``: iterable of (source_col, out_name); ``count``: out_name
+    for a row count.  Output columns carry the final names already, so
+    callers' oracle column names line up.
+    """
+    from ray.data.aggregate import Sum
+
+    keys = list(keys)
+    sums = list(sums)
+
+    def partial(b: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c, _ in sums]
+        if count is not None:
+            aggs.append((keys[0], "count"))
+        g = b.group_by(keys).aggregate(aggs)
+        cols = {k: g[k] for k in keys}
+        for c, out in sums:
+            cols[out] = g[f"{c}_sum"]
+        if count is not None:
+            cols[count] = g[f"{keys[0]}_count"].cast(pa.int64())
+        return pa.table(cols)
+
+    reduced = ds.map_batches(partial, batch_format="pyarrow")
+    finals = [Sum(out, alias_name=out) for _, out in sums]
+    if count is not None:
+        finals.append(Sum(count, alias_name=count))
+    return reduced.groupby(keys, num_partitions=num_partitions).aggregate(*finals)
+
+
+def q_lineitem_agg(sf_dir: str):
+    """≙ A4/A5 metric-style grouped aggregation (metrics.py:22-36).
+    Six output groups → partial combine + 2-partition merge."""
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_price"),
-        Count(alias_name="n_rows"),
-    )
+    out = _presum_groupby(
+        ds, ["l_returnflag", "l_linestatus"],
+        sums=[("l_quantity", "sum_qty"), ("l_extendedprice", "sum_price")],
+        count="n_rows", num_partitions=2)
 
     def _round(b: pa.Table) -> pa.Table:
         return b.set_column(b.schema.get_field_index("sum_qty"), "sum_qty", _canon_round(b["sum_qty"], 4)) \
@@ -108,8 +149,6 @@ LIMIT 10
 
 def q_events_by_type(sf_dir: str):
     """Timestamp filter + grouped count/sum (≙ M17 filters, A7 histogram)."""
-    from ray.data.aggregate import Count, Sum
-
     from datetime import datetime
 
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
@@ -119,9 +158,9 @@ def q_events_by_type(sf_dir: str):
         return b.filter(pc.greater_equal(b["ts"], cutoff))
 
     filtered = ds.map_batches(_filter, batch_format="pyarrow")
-    out = filtered.groupby("event_type").aggregate(
-        Count(alias_name="n_events"), Sum("value", alias_name="total_value")
-    )
+    out = _presum_groupby(filtered, ["event_type"],
+                          sums=[("value", "total_value")],
+                          count="n_events", num_partitions=2)
 
     def _round(b: pa.Table) -> pa.Table:
         i = b.schema.get_field_index("total_value")
@@ -226,7 +265,13 @@ FROM e GROUP BY 1
 
 
 def q_events_hourly(sf_dir: str):
-    """Hour-window aggregate (tumbling window as derived-key groupby)."""
+    """Hour-window aggregate (tumbling window as derived-key groupby).
+
+    Deliberately NOT ``_presum_groupby``: events are unordered, so a
+    9k-row block holds ~9k distinct (user, hour) groups and the
+    partial combine is pure overhead (measured 14 s vs 7.5 s direct at
+    sf0.1).  The partial pattern needs in-block key locality — use it
+    for low-cardinality keys or key-clustered inputs only."""
     from ray.data.aggregate import Count, Sum
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
@@ -236,7 +281,7 @@ def q_events_hourly(sf_dir: str):
         return b.append_column("hour", hour).drop_columns(["ts"])
 
     keyed = ds.map_batches(add_hour, batch_format="pyarrow")
-    out = keyed.groupby(["user_id", "hour"]).aggregate(
+    out = keyed.groupby(["user_id", "hour"], num_partitions=16).aggregate(
         Count(alias_name="n_events"), Sum("value", alias_name="total_value")
     )
 
@@ -858,53 +903,77 @@ def q_embedding_pairs(sf_dir: str, threshold: float = 0.45, n_chunks: int = 8):
     # barrier: all chunks on storage before any block task reads
     ds.map_batches(write_chunks, batch_format="pyarrow").count()
 
-    def _load_chunk(c: int):
-        d = os.path.join(root, f"chunk={c}")
-        files = [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
-        if not files:
-            return np.array([], dtype=np.int64), np.zeros((0, 1))
-        t = pa.concat_tables([pq.read_table(f) for f in files])
-        ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        flat = np.frombuffer(b"".join(t["emb"].to_pylist()), dtype=np.float64)
-        return ids, flat.reshape(len(ids), -1)
+    class BlockCompare:
+        """Actor-pool block comparator with a per-actor chunk LRU:
+        the (i,j) task list is i-major and batched, so the row chunk
+        stays cache-hot across a batch and column chunks re-read only
+        on locality breaks (round 2 re-read every chunk ~C times —
+        one `pq.read_table` per (i,j) side)."""
 
-    def block_compare(b: pa.Table) -> pa.Table:
-        out_a, out_b, out_c = [], [], []
-        for i, j in zip(b["i"].to_pylist(), b["j"].to_pylist()):
-            ia, Ma = _load_chunk(i)
-            if i == j:
-                ib, Mb = ia, Ma
+        CACHE_CAP = 4
+
+        def __init__(self):
+            from collections import OrderedDict
+
+            self._cache: "OrderedDict[int, tuple]" = OrderedDict()
+
+        def _chunk(self, c: int):
+            got = self._cache.get(c)
+            if got is not None:
+                self._cache.move_to_end(c)
+                return got
+            d = os.path.join(root, f"chunk={c}")
+            files = [os.path.join(d, f) for f in os.listdir(d)
+                     if f.endswith(".parquet")]
+            if not files:
+                got = (np.array([], dtype=np.int64), np.zeros((0, 1)))
             else:
-                ib, Mb = _load_chunk(j)
-            if not len(ia) or not len(ib):
-                continue
-            cos = Ma @ Mb.T
-            if i == j:
-                rows, cols = np.nonzero((cos >= threshold) & (ia[:, None] < ib[None, :]))
-                va, vb = ia[rows], ib[cols]
-            else:
-                # each unordered cross-chunk pair appears exactly once in
-                # the (i<j) block; normalize to (min, max) id order
-                rows, cols = np.nonzero(cos >= threshold)
-                va = np.minimum(ia[rows], ib[cols])
-                vb = np.maximum(ia[rows], ib[cols])
-            out_a.append(va)
-            out_b.append(vb)
-            out_c.append(cos[rows, cols])
-        if not out_a:
-            return pa.table({"vec_a": pa.array([], type=pa.int64()),
-                             "vec_b": pa.array([], type=pa.int64()),
-                             "cos": pa.array([], type=pa.float64())})
-        return pa.table({
-            "vec_a": pa.array(np.concatenate(out_a), type=pa.int64()),
-            "vec_b": pa.array(np.concatenate(out_b), type=pa.int64()),
-            "cos": _canon_round(list(np.concatenate(out_c)), 6),
-        })
+                t = pa.concat_tables([pq.read_table(f) for f in files])
+                ids = t["vec_id"].to_numpy(zero_copy_only=False)
+                flat = np.frombuffer(b"".join(t["emb"].to_pylist()),
+                                     dtype=np.float64)
+                got = (ids, flat.reshape(len(ids), -1))
+            self._cache[c] = got
+            if len(self._cache) > self.CACHE_CAP:
+                self._cache.popitem(last=False)
+            return got
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            out_a, out_b, out_c = [], [], []
+            for i, j in zip(b["i"].to_pylist(), b["j"].to_pylist()):
+                ia, Ma = self._chunk(i)
+                ib, Mb = (ia, Ma) if i == j else self._chunk(j)
+                if not len(ia) or not len(ib):
+                    continue
+                cos = Ma @ Mb.T
+                if i == j:
+                    rows, cols = np.nonzero((cos >= threshold)
+                                            & (ia[:, None] < ib[None, :]))
+                    va, vb = ia[rows], ib[cols]
+                else:
+                    # each unordered cross-chunk pair appears exactly
+                    # once in the (i<j) block; normalize to (min, max)
+                    rows, cols = np.nonzero(cos >= threshold)
+                    va = np.minimum(ia[rows], ib[cols])
+                    vb = np.maximum(ia[rows], ib[cols])
+                out_a.append(va)
+                out_b.append(vb)
+                out_c.append(cos[rows, cols])
+            if not out_a:
+                return pa.table({"vec_a": pa.array([], type=pa.int64()),
+                                 "vec_b": pa.array([], type=pa.int64()),
+                                 "cos": pa.array([], type=pa.float64())})
+            return pa.table({
+                "vec_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "vec_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "cos": _canon_round(list(np.concatenate(out_c)), 6),
+            })
 
     tasks = rd.from_items([{"i": i, "j": j}
                            for i in range(n_chunks) for j in range(i, n_chunks)])
-    out = tasks.map_batches(block_compare, batch_format="pyarrow",
-                            batch_size=1).materialize()
+    out = tasks.map_batches(BlockCompare, batch_format="pyarrow",
+                            batch_size=max(2, n_chunks // 2),
+                            concurrency=(1, 4)).materialize()
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
