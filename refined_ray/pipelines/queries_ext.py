@@ -1707,6 +1707,159 @@ def q_er_clusters_checkpointed(sf_dir: str):
 
 
 
+# ---------------------------------------------------------------------
+# Training-data engine additions: deterministic corpus split +
+# cross-split n-gram decontamination (the train/test-overlap scrub
+# every LLM data pipeline runs before training).  Both oracle-checked.
+# ---------------------------------------------------------------------
+
+# md5-hex prefix split boundaries (two lowercase hex chars compare like
+# the byte they encode): train < 'cc' (204/256 ≈ 79.7%), val < 'e6'
+# (26/256 ≈ 10.2%), test the rest.  md5 is the PORTABLE contract —
+# hashlib and DuckDB's md5() agree byte-for-byte, so the assignment is
+# reproducible across engines and stable at any scale (a doc's split
+# never depends on what else is in the corpus).
+SPLIT_TRAIN_MAX = "cc"
+SPLIT_VAL_MAX = "e6"
+
+
+def _md5_buckets(ids) -> list[str]:
+    import hashlib
+
+    return [hashlib.md5(str(int(i)).encode()).hexdigest()[:2] for i in ids]
+
+
+def q_corpus_split(sf_dir: str):
+    """Deterministic hash split: doc_id → (bucket, train/val/test).
+    Stateless per row, so it runs as a pure projection at any scale;
+    the md5-of-key contract (not the engine-internal FNV) is chosen so
+    any system — SQL, Spark, a bash script — reproduces the split."""
+    from .queries import _read
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        buckets = _md5_buckets(ids)
+        split = ["train" if h < SPLIT_TRAIN_MAX
+                 else "val" if h < SPLIT_VAL_MAX else "test"
+                 for h in buckets]
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "bucket": pa.array(buckets, type=pa.string()),
+            "split": pa.array(split, type=pa.string()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_CORPUS_SPLIT = f"""
+WITH b AS (
+  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < '{SPLIT_TRAIN_MAX}' THEN 'train'
+            WHEN bucket < '{SPLIT_VAL_MAX}' THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def q_decontaminate(sf_dir: str, n: int = 5):
+    """Cross-split n-gram decontamination: for every TEST doc, count
+    its distinct n-token shingles that also occur anywhere in the
+    TRAIN split (docs shorter than n tokens have no shingles).
+
+    Shape at 100 TB: shingles are 64-bit hashes (the same rolling
+    kernel the MinHash path uses — the DuckDB oracle compares string
+    shingles, so the green row doubles as a collision check), the
+    train side collapses to DISTINCT shingles via a keyed groupby, and
+    the test⋈train semi-join is a hash-partitioned equi-join on the
+    shingle key — no side is ever collected.  The one materialize() is
+    the shingle table itself (both splits read it), the role the
+    flagship's disk exchange plays at full scale."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from .. import default_num_partitions
+    from ..functions.minhash import shingle_hashes
+    from ..functions.tokenize import tokenize_hash_arrow
+    from .queries import _read
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def shingles(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "sh": pa.array([], type=pa.int64()),
+                          "role": pa.array([], type=pa.int8())})
+        if b.num_rows == 0:
+            return empty
+        ids = np.asarray(b["doc_id"].to_pylist(), dtype=np.int64)
+        buckets = np.asarray(_md5_buckets(ids))
+        role = np.full(len(ids), -1, dtype=np.int8)  # -1 = val (dropped)
+        role[buckets < SPLIT_TRAIN_MAX] = 0          # train
+        role[buckets >= SPLIT_VAL_MAX] = 1           # test
+
+        tok_h, starts, _ = tokenize_hash_arrow(b["text"])
+        flat_sh, _ = shingle_hashes(None, starts, k=n, tok_h=tok_h)
+        lens = np.diff(starts)
+        cnt = np.maximum(lens - (n - 1), 1)  # shingle_hashes slot layout
+        doc_rep = np.repeat(np.arange(len(ids), dtype=np.int64), cnt)
+        # keep only real shingles (docs with >= n tokens) of split docs
+        mask = (lens >= n)[doc_rep] & (role[doc_rep] >= 0)
+        d, s = doc_rep[mask], flat_sh[mask].view(np.int64)
+        if not len(d):
+            return empty
+        # distinct (doc, shingle): one lexsort + neighbor mask
+        order = np.lexsort((s, d))
+        d, s = d[order], s[order]
+        keep = np.empty(len(d), dtype=bool)
+        keep[0] = True
+        keep[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
+        d, s = d[keep], s[keep]
+        return pa.table({
+            "doc_id": pa.array(ids[d], type=pa.int64()),
+            "sh": pa.array(s, type=pa.int64()),
+            "role": pa.array(role[d], type=pa.int8()),
+        })
+
+    pairs = ds.map_batches(shingles, batch_format="pyarrow").materialize()
+    nparts = default_num_partitions()
+    train_sh = pairs.filter(expr="role == 0") \
+        .groupby("sh", num_partitions=nparts) \
+        .aggregate(Count(alias_name="n_train")) \
+        .select_columns(["sh"])
+    test_sh = pairs.filter(expr="role == 1").select_columns(["doc_id", "sh"])
+    hits = test_sh.join(train_sh, join_type="inner",
+                        num_partitions=nparts, on=("sh",))
+    return hits.groupby("doc_id", num_partitions=4).aggregate(
+        Count(alias_name="n_contaminated"))
+
+
+def _sql_decontaminate(n: int = 5) -> str:
+    return f"""
+WITH sp AS (
+  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len({_TOKS}) - {n} + 2),
+           i -> array_to_string(list_slice({_TOKS}, i, i + {n} - 1), ' ')
+         ))) AS s
+  FROM documents WHERE len({_TOKS}) >= {n}
+), train AS (
+  SELECT DISTINCT s FROM sh JOIN sp USING (doc_id)
+  WHERE b < '{SPLIT_TRAIN_MAX}'
+), test AS (
+  SELECT doc_id, s FROM sh JOIN sp USING (doc_id)
+  WHERE b >= '{SPLIT_VAL_MAX}'
+)
+SELECT doc_id, count(*) AS n_contaminated
+FROM test JOIN train USING (s) GROUP BY 1
+"""
+
+
 EXT_QUERIES = {
     "part_norm": q_part_norm,
     "orders_topk_per_customer": q_orders_topk_per_customer,
@@ -1730,6 +1883,8 @@ EXT_QUERIES = {
     "entity_index": q_entity_index,
     "doc_windows": q_doc_windows,
     "window_sentences": q_window_sentences,
+    "corpus_split": q_corpus_split,
+    "decontaminate": q_decontaminate,
     "table_link": q_table_link,
     "global_pad": q_global_pad,
     "media_features": q_media_features,
@@ -1761,6 +1916,8 @@ EXT_ORACLES = {
     "entity_index": SQL_ENTITY_INDEX,
     "doc_windows": SQL_DOC_WINDOWS,
     "window_sentences": _sql_window_sentences(),
+    "corpus_split": SQL_CORPUS_SPLIT,
+    "decontaminate": _sql_decontaminate(),
     "table_link": SQL_TABLE_LINK,
     "global_pad": SQL_GLOBAL_PAD,
     # corpus_shuffle: rows-only (engine-internal permutation; pytest

@@ -74,3 +74,30 @@ def test_window_sentences_matches_duckdb(ray_session):
     for c in ["doc_id", "window_idx", "start_tok", "n_tokens"]:
         assert (mine[c].astype("int64").values
                 == theirs[c].astype("int64").values).all(), c
+
+
+def test_corpus_split_and_decontaminate_match_duckdb(ray_session):
+    import duckdb
+
+    from refined_ray.pipelines.queries_ext import (
+        EXT_ORACLES, q_corpus_split, q_decontaminate)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+
+    mine = q_corpus_split(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    theirs = con.execute(EXT_ORACLES["corpus_split"]).fetchdf().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert (mine.bucket.values == theirs.bucket.values).all()
+    assert (mine.split.values == theirs.split.values).all()
+    # all three splits non-empty at 500 docs, roughly 80/10/10
+    frac = mine.split.value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9 and frac["test"] > 0.03
+
+    mine_d = q_decontaminate(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    theirs_d = con.execute(EXT_ORACLES["decontaminate"]).fetchdf().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert len(mine_d) == len(theirs_d) > 0
+    assert (mine_d.doc_id.values == theirs_d.doc_id.values).all()
+    assert (mine_d.n_contaminated.astype("int64").values
+            == theirs_d.n_contaminated.astype("int64").values).all()
