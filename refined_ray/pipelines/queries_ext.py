@@ -1860,6 +1860,102 @@ FROM test JOIN train USING (s) GROUP BY 1
 """
 
 
+def q_doc_repetition(sf_dir: str):
+    """Repetition-based quality signals (the Gopher/C4-style filter
+    family): per doc, the fraction of line CHARACTERS belonging to
+    repeated lines (occurrences beyond a line's first) and the
+    fraction of token 3-grams that are duplicates.  One stateless
+    vectorized pass — line hashing, 3-gram hashing and the per-doc
+    duplicate detection are each a lexsort + neighbor mask over flat
+    segment arrays, no per-doc python."""
+    from ..functions.minhash import shingle_hashes
+    from ..functions.tokenize import _fnv_hash_strview, tokenize_hash_arrow
+    from .queries import _canon_round, _read
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _dup_weight(doc_rep: np.ndarray, h: np.ndarray,
+                    w: np.ndarray, n_docs: int) -> np.ndarray:
+        """Σ weight over occurrences beyond the first of each (doc,
+        hash) group, per doc."""
+        if not len(doc_rep):
+            return np.zeros(n_docs)
+        order = np.lexsort((h, doc_rep))
+        d, v, wt = doc_rep[order], h[order], w[order]
+        dup = np.empty(len(d), dtype=bool)
+        dup[0] = False
+        dup[1:] = (d[1:] == d[:-1]) & (v[1:] == v[:-1])
+        return np.bincount(d[dup], weights=wt[dup], minlength=n_docs)
+
+    def rep(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"]
+        n = b.num_rows
+        text = b["text"].combine_chunks() if isinstance(
+            b["text"], pa.ChunkedArray) else b["text"]
+
+        # repeated-line character fraction
+        lines = pc.split_pattern(text, pattern="\n")
+        lines = lines.combine_chunks() if isinstance(
+            lines, pa.ChunkedArray) else lines
+        flat = lines.flatten()
+        counts = np.diff(lines.offsets.to_numpy())
+        doc_rep = np.repeat(np.arange(n, dtype=np.int64), counts)
+        ln = pc.utf8_length(flat).to_numpy().astype(np.float64)
+        lh = _fnv_hash_strview(flat)
+        dupchars = _dup_weight(doc_rep, lh, ln, n)
+        totchars = np.bincount(doc_rep, weights=ln, minlength=n)
+        line_frac = np.divide(dupchars, totchars,
+                              out=np.zeros(n), where=totchars > 0)
+
+        # duplicate token-3-gram fraction
+        tok_h, starts, _ = tokenize_hash_arrow(text)
+        tlens = np.diff(starts)
+        flat_sh, _ = shingle_hashes(None, starts, k=3, tok_h=tok_h)
+        cnt = np.maximum(tlens - 2, 1)  # shingle_hashes slot layout
+        sh_doc = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        real = (tlens >= 3)[sh_doc]  # drop short-doc sentinel shingles
+        dup3 = _dup_weight(sh_doc[real], flat_sh[real],
+                           np.ones(int(real.sum())), n)
+        n3 = np.where(tlens >= 3, tlens - 2, 0).astype(np.float64)
+        ngram_frac = np.divide(dup3, n3, out=np.zeros(n), where=n3 > 0)
+
+        return pa.table({
+            "doc_id": ids,
+            "dup_line_frac": _canon_round(line_frac, 6),
+            "dup_ngram_frac": _canon_round(ngram_frac, 6),
+        })
+
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
+def _sql_doc_repetition() -> str:
+    from .queries import _sql_round
+
+    return f"""
+WITH lc AS (
+  SELECT doc_id, line, len(line) AS ln, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        FROM documents)
+  GROUP BY 1, 2, 3
+), la AS (
+  SELECT doc_id, sum((c - 1) * ln) AS dupchars, sum(c * ln) AS totchars
+  FROM lc GROUP BY 1
+), tg AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 0 END AS n3,
+         CASE WHEN len(toks) >= 3 THEN len(list_distinct(list_transform(
+             range(1, len(toks) - 1),
+             i -> array_to_string(list_slice(toks, i, i + 2), ' '))))
+              ELSE 0 END AS d3
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+)
+SELECT la.doc_id,
+  {_sql_round("CASE WHEN totchars > 0 THEN dupchars / CAST(totchars AS DOUBLE) ELSE 0.0 END", 6)} AS dup_line_frac,
+  {_sql_round("CASE WHEN n3 > 0 THEN (n3 - d3) / CAST(n3 AS DOUBLE) ELSE 0.0 END", 6)} AS dup_ngram_frac
+FROM la JOIN tg USING (doc_id)
+"""
+
+
 EXT_QUERIES = {
     "part_norm": q_part_norm,
     "orders_topk_per_customer": q_orders_topk_per_customer,
@@ -1885,6 +1981,7 @@ EXT_QUERIES = {
     "window_sentences": q_window_sentences,
     "corpus_split": q_corpus_split,
     "decontaminate": q_decontaminate,
+    "doc_repetition": q_doc_repetition,
     "table_link": q_table_link,
     "global_pad": q_global_pad,
     "media_features": q_media_features,
@@ -1918,6 +2015,7 @@ EXT_ORACLES = {
     "window_sentences": _sql_window_sentences(),
     "corpus_split": SQL_CORPUS_SPLIT,
     "decontaminate": _sql_decontaminate(),
+    "doc_repetition": _sql_doc_repetition(),
     "table_link": SQL_TABLE_LINK,
     "global_pad": SQL_GLOBAL_PAD,
     # corpus_shuffle: rows-only (engine-internal permutation; pytest

@@ -101,3 +101,44 @@ def test_corpus_split_and_decontaminate_match_duckdb(ray_session):
     assert (mine_d.doc_id.values == theirs_d.doc_id.values).all()
     assert (mine_d.n_contaminated.astype("int64").values
             == theirs_d.n_contaminated.astype("int64").values).all()
+
+
+def test_doc_repetition_hand_case_and_oracle(ray_session):
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from refined_ray.pipelines.queries_ext import EXT_ORACLES, q_doc_repetition
+
+    # hand case via the same batch function, isolated from parquet
+    from refined_ray.pipelines import queries_ext as qx
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "aa bb cc\naa bb cc\nxx",   # dup line: 8 of 19 chars; 3-grams: "aa bb cc","bb cc aa","cc aa bb","aa bb cc","bb cc xx" -> 1 dup of 5
+            "one two three four",        # no repetition
+            "",                          # degenerate
+        ], type=pa.string()),
+    }))
+    # route through the public query machinery by monkey-free call:
+    import refined_ray.pipelines.queries as q
+    orig = q._read
+    try:
+        q._read = lambda sf, t, cols=None: ds
+        out = {r["doc_id"]: r for r in q_doc_repetition("unused").take_all()}
+    finally:
+        q._read = orig
+    # dup line "aa bb cc" repeats once: 8 of 18 line chars
+    assert abs(out[1]["dup_line_frac"] - 8 / 18) < 1e-6
+    assert abs(out[1]["dup_ngram_frac"] - 1 / 5) < 1e-6
+    assert out[2]["dup_line_frac"] == 0.0 and out[2]["dup_ngram_frac"] == 0.0
+    assert out[3]["dup_line_frac"] == 0.0 and out[3]["dup_ngram_frac"] == 0.0
+
+    # oracle parity on the real table
+    mine = q_doc_repetition(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    theirs = con.execute(EXT_ORACLES["doc_repetition"]).fetchdf().sort_values(
+        "doc_id").reset_index(drop=True)
+    for c in ["dup_line_frac", "dup_ngram_frac"]:
+        assert (mine[c].values == theirs[c].values).all(), c
