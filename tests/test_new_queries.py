@@ -111,11 +111,10 @@ def test_doc_repetition_hand_case_and_oracle(ray_session):
     from refined_ray.pipelines.queries_ext import EXT_ORACLES, q_doc_repetition
 
     # hand case via the same batch function, isolated from parquet
-    from refined_ray.pipelines import queries_ext as qx
     ds = rd.from_arrow(pa.table({
         "doc_id": pa.array([1, 2, 3], type=pa.int64()),
         "text": pa.array([
-            "aa bb cc\naa bb cc\nxx",   # dup line: 8 of 19 chars; 3-grams: "aa bb cc","bb cc aa","cc aa bb","aa bb cc","bb cc xx" -> 1 dup of 5
+            "aa bb cc\naa bb cc\nxx",   # dup line: 8 of 18 chars; 1 of 5 3-grams duplicated
             "one two three four",        # no repetition
             "",                          # degenerate
         ], type=pa.string()),
@@ -142,3 +141,30 @@ def test_doc_repetition_hand_case_and_oracle(ray_session):
         "doc_id").reset_index(drop=True)
     for c in ["dup_line_frac", "dup_ngram_frac"]:
         assert (mine[c].values == theirs[c].values).all(), c
+
+
+def test_presum_groupby_matches_direct(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from refined_ray.pipelines.queries import _presum_groupby
+
+    t = pa.table({
+        "k": pa.array(["a", "b", "a", "c", "b", "a", "c"],
+                      type=pa.string()),
+        "v": pa.array([1.5, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0], type=pa.float64()),
+        "w": pa.array([1, 2, 3, 4, 5, 6, 7], type=pa.int64()),
+    })
+    ds = rd.from_arrow(t).repartition(3)  # force multiple partial blocks
+    got = {r["k"]: r for r in _presum_groupby(
+        ds, ["k"], sums=[("v", "sv"), ("w", "sw")], count="n",
+        num_partitions=2).take_all()}
+    direct = {r["k"]: r for r in rd.from_arrow(t).groupby("k").aggregate(
+        Sum("v", alias_name="sv"), Sum("w", alias_name="sw"),
+        Count(alias_name="n")).take_all()}
+    assert set(got) == set(direct) == {"a", "b", "c"}
+    for k in got:
+        assert got[k]["sv"] == direct[k]["sv"]
+        assert got[k]["sw"] == direct[k]["sw"]
+        assert got[k]["n"] == direct[k]["n"]
