@@ -68,6 +68,11 @@ def _presum_groupby(ds, keys, *, sums=(), count=None, num_partitions=2):
     ``sums``: iterable of (source_col, out_name); ``count``: out_name
     for a row count.  Output columns carry the final names already, so
     callers' oracle column names line up.
+
+    Caveat: the partial count is ``count(keys[0])`` (non-null), so rows
+    with a NULL first key are not counted — matching SQL ``count(*)``
+    GROUP BY semantics only when keys are non-null, which every caller
+    here guarantees.
     """
     from ray.data.aggregate import Sum
 

@@ -1833,7 +1833,7 @@ def q_decontaminate(sf_dir: str, n: int = 5):
     test_sh = pairs.filter(expr="role == 1").select_columns(["doc_id", "sh"])
     hits = test_sh.join(train_sh, join_type="inner",
                         num_partitions=nparts, on=("sh",))
-    return hits.groupby("doc_id", num_partitions=4).aggregate(
+    return hits.groupby("doc_id", num_partitions=nparts).aggregate(
         Count(alias_name="n_contaminated"))
 
 
