@@ -3332,6 +3332,13 @@ from .queries_readers import READER_ORACLES, READER_QUERIES  # noqa: E402
 EXT_QUERIES.update(READER_QUERIES)
 EXT_ORACLES.update(READER_ORACLES)
 
+# webtext corpus-hygiene ops (PII redaction, canonical-URL dedup,
+# global line dedup, near-dup keep); all four are oracle-checked
+from .queries_webtext import WEBTEXT_ORACLES, WEBTEXT_QUERIES  # noqa: E402
+
+EXT_QUERIES.update(WEBTEXT_QUERIES)
+EXT_ORACLES.update(WEBTEXT_ORACLES)
+
 # complete the catalog registration for the queries_ext-first import
 # order (queries.py skips its own update when this module is mid-import)
 from .queries import QUERIES as _QUERIES  # noqa: E402

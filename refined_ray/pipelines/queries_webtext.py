@@ -1,0 +1,389 @@
+"""Webtext corpus-hygiene catalog queries (engine additions): PII
+redaction, canonical-URL dedup, C4-style global line dedup, and
+near-dup canonical-document selection.
+
+These are the operators a Common-Crawl-scale training-data pipeline
+runs between crawling and training (CCNet / C4 / Gopher lineage).
+Each derives its input deterministically from the driver's test
+tables (no external data) so a DuckDB oracle can replay the result
+bit-exactly — the synth is replayed in SQL, while the operator under
+test runs only on the Ray side.
+
+Scale shapes: the redaction/canonicalization stages are stateless
+pyarrow-RE2 projections (zero Python per row); both dedups are ONE
+keyed repartition + a vectorized lexsort/segment pass per partition
+(the repo-standard exchange, no per-group pandas); the near-dup keep
+reuses the doc_clusters machinery plus one hash join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.tokenize import tokenize_batch
+from .queries import _read, _TOKS
+
+# ---------------------------------------------------------------------
+# PII redaction (engine addition; CCNet/privacy-filter family)
+# ---------------------------------------------------------------------
+
+# RE2 on both sides (pyarrow + DuckDB): patterns are shared verbatim.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(arr):
+    """Vectorized PII scrub of a string array: emails, then NANP-style
+    phone numbers, then IPv4 literals, each replaced by a typed token.
+    Order matters (an address containing digits must be consumed by
+    the email pass first) and is part of the contract."""
+    arr = pc.replace_substring_regex(arr, pattern=EMAIL_RE, replacement="<EMAIL>")
+    arr = pc.replace_substring_regex(arr, pattern=PHONE_RE, replacement="<PHONE>")
+    return pc.replace_substring_regex(arr, pattern=IP_RE, replacement="<IP>")
+
+
+def q_pii_redact(sf_dir: str):
+    """Plant deterministic PII into ``documents.text`` (every doc gets
+    an email; every 3rd a phone; every 5th an IP), then run the
+    vectorized redaction and count each PII type per doc.  The oracle
+    replays the plant and the same RE2 chain."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def redact(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        ids = pa.array(did.astype(str))
+        email = pc.binary_join_element_wise(
+            " contact user", ids, "@mail.example.com", "")
+        phone_num = pa.array((did % 10000).astype(str))
+        phone = pc.if_else(
+            pa.array(did % 3 == 0),
+            pc.binary_join_element_wise(
+                " call 415-555-", pc.utf8_lpad(phone_num, 4, "0"), ""),
+            "")
+        ip = pc.if_else(
+            pa.array(did % 5 == 0),
+            pc.binary_join_element_wise(
+                " from 10.", pa.array((did % 200).astype(str)),
+                ".0.", pa.array((did * 7 % 250).astype(str)), ""),
+            "")
+        aug = pc.binary_join_element_wise(b["text"], email, phone, ip, "")
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "clean": redact_pii(aug),
+            "n_email": pc.cast(pc.count_substring_regex(aug, pattern=EMAIL_RE), pa.int64()),
+            "n_phone": pc.cast(pc.count_substring_regex(aug, pattern=PHONE_RE), pa.int64()),
+            "n_ip": pc.cast(pc.count_substring_regex(aug, pattern=IP_RE), pa.int64()),
+        })
+
+    return ds.map_batches(redact, batch_format="pyarrow")
+
+
+SQL_PII_REDACT = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                      THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                           || '.0.' || CAST(doc_id * 7 % 250 AS VARCHAR)
+                      ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(t,
+           '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PHONE_RE}', '<PHONE>', 'g'),
+           '{IP_RE}', '<IP>', 'g') AS clean,
+       CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '{IP_RE}')) AS BIGINT) AS n_ip
+FROM aug
+"""
+
+
+# ---------------------------------------------------------------------
+# Canonical-URL dedup (engine addition; crawl-dedup family)
+# ---------------------------------------------------------------------
+
+
+def _messy_urls(did: np.ndarray) -> pa.Array:
+    """Deterministic messy-URL synth: the canonical form depends only
+    on ``v = doc_id % 30`` (30 groups -> heavy dupes), while the
+    surface mess — case, default ports, doubled/trailing slashes,
+    tracking params, fragments — varies per doc_id.  The oracle
+    recomputes the CLOSED-FORM canonical from v, so the query only
+    matches if every canonicalization rule fires correctly."""
+    v = did % 30
+    vs = pa.array(v.astype(str))
+    scheme = pc.if_else(pa.array(v % 2 == 0), "http", "https")
+    scheme = pc.if_else(pa.array(did % 2 == 0), pc.utf8_upper(scheme), scheme)
+    host = pc.binary_join_element_wise("www.site", vs, ".example.com", "")
+    host = pc.if_else(pa.array(did % 3 == 0), pc.utf8_upper(host), host)
+    # default ports appear per-doc (stripped by canon); a REAL port is
+    # a class property (v%5==0) so it survives canonicalization
+    default_port = pc.if_else(pa.array(v % 2 == 0), ":80", ":443")
+    port = pc.if_else(pa.array(v % 5 == 0), ":8080",
+                      pc.if_else(pa.array(did % 4 == 0), default_port, ""))
+    slash = pc.if_else(pa.array(did % 5 == 0), "//", "/")
+    path = pc.binary_join_element_wise("/articles", slash, "item-", vs, "")
+    trail = pc.if_else(pa.array(did % 7 == 0), "/", "")
+    ids = pa.array(did.astype(str))
+    query = pc.if_else(
+        pa.array(did % 2 == 1),
+        pc.binary_join_element_wise("?utm_source=s", ids, "&id=", vs, ""),
+        pc.binary_join_element_wise("?id=", vs, "&utm_campaign=c", ids, ""))
+    fbc = pc.if_else(pa.array(did % 11 == 0), "&fbclid=x", "")
+    frag = pc.if_else(pa.array(did % 3 == 0),
+                      pc.binary_join_element_wise("#sec", ids, ""), "")
+    return pc.binary_join_element_wise(
+        scheme, "://", host, port, path, trail, query, fbc, frag, "")
+
+
+def q_url_dedup(sf_dir: str):
+    """Canonicalize messy synthetic URLs (functions/urls.py) and assign
+    each page its canonical representative: the min doc_id sharing the
+    canonical URL.  Scale shape: stateless canon projection, then ONE
+    repartition keyed on canon_url + a lexsort/segment pass (at 100 TB
+    you would key the exchange on a hash of the canonical URL and keep
+    the string only for in-partition verification)."""
+    from .. import default_num_partitions
+    from ..functions.urls import canonicalize_urls
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def canon(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": b["doc_id"],
+                         "canon_url": canonicalize_urls(_messy_urls(did))})
+
+    parted = ds.map_batches(canon, batch_format="pyarrow").repartition(
+        num_blocks=default_num_partitions(), keys=["canon_url"], sort=False)
+
+    def assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "canon_url": pa.array([], type=pa.string()),
+                             "canonical_doc_id": pa.array([], type=pa.int64())})
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        url = b["canon_url"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, url))
+        did, url = did[order], url[order]
+        seg = np.flatnonzero(np.r_[True, url[1:] != url[:-1]])
+        rep = np.repeat(did[seg], np.diff(np.r_[seg, len(did)]))
+        return pa.table({"doc_id": pa.array(did, type=pa.int64()),
+                         "canon_url": pa.array(url, type=pa.string()),
+                         "canonical_doc_id": pa.array(rep, type=pa.int64())})
+
+    return parted.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+SQL_URL_DEDUP = """
+WITH c AS (
+  SELECT doc_id,
+         (CASE WHEN (doc_id % 30) % 2 = 0 THEN 'http' ELSE 'https' END)
+         || '://www.site' || CAST(doc_id % 30 AS VARCHAR) || '.example.com'
+         || CASE WHEN (doc_id % 30) % 5 = 0 THEN ':8080' ELSE '' END
+         || '/articles/item-' || CAST(doc_id % 30 AS VARCHAR)
+         || '?id=' || CAST(doc_id % 30 AS VARCHAR) AS canon_url
+  FROM documents
+)
+SELECT doc_id, canon_url,
+       min(doc_id) OVER (PARTITION BY canon_url) AS canonical_doc_id
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------
+# C4-style global line dedup (engine addition)
+# ---------------------------------------------------------------------
+
+_LINE_TOKENS = 10
+_BP_VARIANTS = 3  # docs with doc_id % 7 < 3 carry a shared boilerplate line
+
+
+def q_line_dedup(sf_dir: str):
+    """Global exact line-level dedup (the C4 move: drop every repeated
+    line corpus-wide, keeping its first occurrence in (doc_id,
+    line_idx) order).  "Lines" are 10-token windows of the tokenized
+    text plus a planted boilerplate line shared across ~3/7 of docs —
+    so the dedup provably removes cross-doc repeats.  Output: the
+    surviving lines with their corpus-wide copy count.
+
+    Scale shape: vectorized line construction (Arrow ``binary_join``
+    over a ListArray — no per-line Python), then ONE repartition keyed
+    on the line string + a lexsort/segment pass.  At 100 TB the
+    exchange key becomes a 128-bit line hash; the string rides along
+    only for in-partition verification."""
+    from .. import default_num_partitions
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def lines(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        flat, starts = tokenize_batch(texts)
+        lens = np.diff(starts)
+        n_lines = -(-lens // _LINE_TOKENS)  # ceil; 0 for empty docs
+        doc_rep = np.repeat(ids, n_lines)
+        lidx = np.arange(n_lines.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(n_lines) - n_lines, n_lines)
+        # line start offsets into the flat token stream; the final
+        # sentinel closes the last list
+        line_starts = np.repeat(starts[:-1], n_lines) + lidx * _LINE_TOKENS
+        offsets = np.append(line_starts, starts[-1]).astype(np.int32)
+        la = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                      pa.array(flat, type=pa.string()))
+        content = pa.table({
+            "doc_id": pa.array(doc_rep, type=pa.int64()),
+            "line_idx": pa.array(lidx, type=pa.int64()),
+            "line": pc.binary_join(la, " "),
+        })
+        bp_mask = ids % 7 < _BP_VARIANTS
+        bp_ids = ids[bp_mask]
+        bp = pa.table({
+            "doc_id": pa.array(bp_ids, type=pa.int64()),
+            "line_idx": pa.array(n_lines[bp_mask], type=pa.int64()),
+            "line": pc.binary_join_element_wise(
+                "please subscribe to newsletter ",
+                pa.array((bp_ids % 7).astype(str)), ""),
+        })
+        return pa.concat_tables([content, bp])
+
+    parted = ds.map_batches(lines, batch_format="pyarrow").repartition(
+        num_blocks=default_num_partitions(), keys=["line"], sort=False)
+
+    def keep_first(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "line_idx": pa.array([], type=pa.int64()),
+                             "line": pa.array([], type=pa.string()),
+                             "n_copies": pa.array([], type=pa.int64())})
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        lix = b["line_idx"].to_numpy(zero_copy_only=False)
+        line = b["line"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((lix, did, line))
+        did, lix, line = did[order], lix[order], line[order]
+        seg = np.flatnonzero(np.r_[True, line[1:] != line[:-1]])
+        counts = np.diff(np.r_[seg, len(line)])
+        return pa.table({"doc_id": pa.array(did[seg], type=pa.int64()),
+                         "line_idx": pa.array(lix[seg], type=pa.int64()),
+                         "line": pa.array(line[seg], type=pa.string()),
+                         "n_copies": pa.array(counts, type=pa.int64())})
+
+    return parted.map_batches(keep_first, batch_format="pyarrow", batch_size=None)
+
+
+SQL_LINE_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok,
+         unnest(range(1, len({_TOKS}) + 1)) AS ord
+  FROM documents
+),
+content AS (
+  SELECT doc_id, CAST((ord - 1) // {_LINE_TOKENS} AS BIGINT) AS line_idx,
+         string_agg(tok, ' ' ORDER BY ord) AS line
+  FROM t GROUP BY doc_id, (ord - 1) // {_LINE_TOKENS}
+),
+bp AS (
+  SELECT doc_id,
+         CAST((len({_TOKS}) + {_LINE_TOKENS - 1}) // {_LINE_TOKENS} AS BIGINT) AS line_idx,
+         'please subscribe to newsletter ' || CAST(doc_id % 7 AS VARCHAR) AS line
+  FROM documents WHERE doc_id % 7 < {_BP_VARIANTS}
+),
+lines AS (SELECT * FROM content UNION ALL SELECT * FROM bp),
+ranked AS (
+  SELECT doc_id, line_idx, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn,
+         CAST(count(*) OVER (PARTITION BY line) AS BIGINT) AS n_copies
+  FROM lines
+)
+SELECT doc_id, line_idx, line, n_copies FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------
+# Near-dup canonical-document selection (engine addition: the keep
+# step that turns near-dup clusters into a deduplicated corpus)
+# ---------------------------------------------------------------------
+
+
+def q_neardup_keep(sf_dir: str):
+    """For every near-dup cluster (doc_clusters: MinHash-LSH -> exact
+    verify -> connected components), select the canonical document to
+    KEEP: the longest text (max n_chars), ties to the smallest doc_id.
+    Output one row per cluster — the deduplicated corpus manifest.
+
+    Scale shape: reuses the doc_clusters machinery, one hash join to
+    attach n_chars, then ONE repartition keyed on the cluster id + a
+    lexsort/segment argmax."""
+    from .. import default_num_partitions
+    from .queries import q_doc_clusters
+
+    nparts = default_num_partitions()
+    labels = q_doc_clusters(sf_dir)
+    meta = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    joined = labels.join(meta, join_type="inner", num_partitions=nparts,
+                         on=("doc_id",))
+    parted = joined.repartition(num_blocks=nparts,
+                                keys=["cluster_doc_id"], sort=False)
+
+    def pick(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"cluster_doc_id": pa.array([], type=pa.int64()),
+                             "keep_doc_id": pa.array([], type=pa.int64()),
+                             "n_chars": pa.array([], type=pa.int64()),
+                             "cluster_size": pa.array([], type=pa.int64())})
+        cid = b["cluster_doc_id"].to_numpy(zero_copy_only=False)
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        nch = b["n_chars"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -nch, cid))
+        cid, did, nch = cid[order], did[order], nch[order]
+        seg = np.flatnonzero(np.r_[True, cid[1:] != cid[:-1]])
+        size = np.diff(np.r_[seg, len(cid)])
+        return pa.table({"cluster_doc_id": pa.array(cid[seg], type=pa.int64()),
+                         "keep_doc_id": pa.array(did[seg], type=pa.int64()),
+                         "n_chars": pa.array(nch[seg], type=pa.int64()),
+                         "cluster_size": pa.array(size, type=pa.int64())})
+
+    return parted.map_batches(pick, batch_format="pyarrow", batch_size=None)
+
+
+def _sql_neardup_keep() -> str:
+    from .queries import SQL_DOC_CLUSTERS
+
+    return f"""
+WITH labels AS ({SQL_DOC_CLUSTERS}),
+j AS (
+  SELECT l.cluster_doc_id, l.doc_id, d.n_chars
+  FROM labels l JOIN documents d ON l.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT cluster_doc_id, doc_id, n_chars,
+         row_number() OVER (PARTITION BY cluster_doc_id
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY cluster_doc_id) AS BIGINT) AS cluster_size
+  FROM j
+)
+SELECT cluster_doc_id, doc_id AS keep_doc_id, n_chars, cluster_size
+FROM ranked WHERE rn = 1
+"""
+
+
+WEBTEXT_QUERIES = {
+    "pii_redact": q_pii_redact,
+    "url_dedup": q_url_dedup,
+    "line_dedup": q_line_dedup,
+    "neardup_keep": q_neardup_keep,
+}
+
+WEBTEXT_ORACLES = {
+    "pii_redact": SQL_PII_REDACT,
+    "url_dedup": SQL_URL_DEDUP,
+    "line_dedup": SQL_LINE_DEDUP,
+    "neardup_keep": _sql_neardup_keep(),
+}

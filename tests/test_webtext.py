@@ -1,0 +1,73 @@
+"""Unit tests for the webtext corpus-hygiene kernels: URL
+canonicalization (hand cases + pyarrow-vs-DuckDB chain parity) and PII
+redaction edge semantics.  The end-to-end queries (pii_redact,
+url_dedup, line_dedup, neardup_keep) are oracle-gated by the driver;
+these tests pin the kernel contracts directly."""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from refined_ray.functions.urls import canonical_sql, canonicalize_urls
+from refined_ray.pipelines.queries_webtext import redact_pii
+
+URL_CASES = [
+    # (raw, canonical)
+    ("HTTP://WWW.Example.COM:80/a/b", "http://www.example.com/a/b"),
+    ("https://Site.org:443/x", "https://site.org/x"),
+    ("https://site.org:8080/x", "https://site.org:8080/x"),  # real port kept
+    ("http://a.com/p/?utm_source=x", "http://a.com/p"),
+    ("http://a.com/p?utm_source=x&id=3", "http://a.com/p?id=3"),
+    ("http://a.com/p?id=3&utm_campaign=y&fbclid=z", "http://a.com/p?id=3"),
+    ("http://a.com/p?utm_a=1&utm_b=2", "http://a.com/p"),
+    ("http://a.com//x///y//", "http://a.com/x/y"),
+    ("http://a.com/x#frag", "http://a.com/x"),
+    ("http://a.com/x?id=1#frag", "http://a.com/x?id=1"),
+    ("http://a.com:8080", "http://a.com:8080"),       # no path at all
+    ("http://a.com:80", "http://a.com"),
+    ("relative/path#f", "relative/path"),             # non-absolute passthrough
+    ("http://a.com/CaseSensitive/Path", "http://a.com/CaseSensitive/Path"),
+    ("http://a.com/p?gclid=abc&id=7&utm_x=1", "http://a.com/p?id=7"),
+]
+
+
+def test_canonicalize_hand_cases():
+    raw = pa.array([r for r, _ in URL_CASES])
+    got = canonicalize_urls(raw).to_pylist()
+    for (r, want), g in zip(URL_CASES, got):
+        assert g == want, f"{r!r}: got {g!r}, want {want!r}"
+
+
+def test_canonicalize_null_and_chunked():
+    arr = pa.chunked_array([["http://A.com:80/x#f", None], ["https://B.io/"]])
+    got = canonicalize_urls(arr).to_pylist()
+    assert got == ["http://a.com/x", None, "https://b.io"]
+
+
+def test_canonical_sql_chain_parity():
+    """The DuckDB regexp chain (canonical_sql) and the pyarrow kernel
+    are the same RE2 program — they must agree on every hand case."""
+    con = duckdb.connect()
+    raws = [r for r, _ in URL_CASES]
+    con.execute("CREATE TABLE u AS SELECT unnest(?) AS url", [raws])
+    sql = canonical_sql("url")
+    theirs = [r[0] for r in con.execute(f"SELECT {sql} FROM u").fetchall()]
+    mine = canonicalize_urls(pa.array(raws)).to_pylist()
+    assert theirs == mine
+
+
+@pytest.mark.parametrize("text,want", [
+    ("mail bob.smith+x@Sub.Example.org now", "mail <EMAIL> now"),
+    ("call 415-555-0199 today", "call <PHONE> today"),
+    ("host 192.168.0.1 down", "host <IP> down"),
+    ("a 212-555-0000 at x@y.io via 10.0.0.7", "a <PHONE> at <EMAIL> via <IP>"),
+    # email pass consumes digits before the phone pass sees them
+    ("x 555-555-5555@mail.com y", "x <EMAIL> y"),
+    # 4-digit run is not a NANP phone; 5 dotted octet groups: first 4 match
+    ("p 1234-555-0199 q 1.2.3.4.5 r", "p 1234-555-0199 q <IP>.5 r"),
+    ("clean text stays", "clean text stays"),
+])
+def test_redact_pii(text, want):
+    assert redact_pii(pa.array([text])).to_pylist() == [want]
