@@ -1766,23 +1766,11 @@ FROM b
 """
 
 
-def q_decontaminate(sf_dir: str, n: int = 5):
-    """Cross-split n-gram decontamination: for every TEST doc, count
-    its distinct n-token shingles that also occur anywhere in the
-    TRAIN split (docs shorter than n tokens have no shingles).
-
-    Shape at 100 TB: shingles are 64-bit hashes (the same rolling
-    kernel the MinHash path uses — the DuckDB oracle compares string
-    shingles, so the green row doubles as a collision check), the
-    train side collapses to DISTINCT shingles via a keyed groupby, and
-    the test⋈train semi-join is a hash-partitioned equi-join on the
-    shingle key — no side is ever collected.  The one materialize() is
-    the shingle table itself (both splits read it), the role the
-    flagship's disk exchange plays at full scale."""
-    import ray.data
-    from ray.data.aggregate import Count
-
-    from .. import default_num_partitions
+def _split_shingle_pairs(sf_dir: str, n: int = 5):
+    """Shared first stage of the decontamination family: materialized
+    distinct (doc_id, shingle-hash, role) rows for the train/test
+    splits (role 0 = train, 1 = test; val dropped).  Shingles are
+    64-bit hashes of n-token windows via the MinHash rolling kernel."""
     from ..functions.minhash import shingle_hashes
     from ..functions.tokenize import tokenize_hash_arrow
     from .queries import _read
@@ -1824,7 +1812,29 @@ def q_decontaminate(sf_dir: str, n: int = 5):
             "role": pa.array(role[d], type=pa.int8()),
         })
 
-    pairs = ds.map_batches(shingles, batch_format="pyarrow").materialize()
+    return ds.map_batches(shingles, batch_format="pyarrow").materialize()
+
+
+def q_decontaminate(sf_dir: str, n: int = 5):
+    """Cross-split n-gram decontamination: for every TEST doc, count
+    its distinct n-token shingles that also occur anywhere in the
+    TRAIN split (docs shorter than n tokens have no shingles).
+
+    Shape at 100 TB: shingles are 64-bit hashes (the same rolling
+    kernel the MinHash path uses — the DuckDB oracle compares string
+    shingles, so the green row doubles as a collision check), the
+    train side collapses to DISTINCT shingles via a keyed groupby, and
+    the test⋈train semi-join is a hash-partitioned equi-join on the
+    shingle key — no side is ever collected.  The one materialize() is
+    the shingle table itself (both splits read it), the role the
+    flagship's disk exchange plays at full scale.  The sketch twin
+    (``decontaminate_bloom``) replaces the equi-join with a broadcast
+    Bloom filter when the train side dwarfs the test side."""
+    from ray.data.aggregate import Count
+
+    from .. import default_num_partitions
+
+    pairs = _split_shingle_pairs(sf_dir, n)
     nparts = default_num_partitions()
     train_sh = pairs.filter(expr="role == 0") \
         .groupby("sh", num_partitions=nparts) \

@@ -374,16 +374,189 @@ FROM ranked WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------
+# Exact corpus-wide heavy hitters (engine addition)
+# ---------------------------------------------------------------------
+
+
+def q_token_topk(sf_dir: str, k: int = 25):
+    """Global top-k most frequent tokens with exact counts.
+
+    Scale shape — the canonical pre-aggregation pattern: each block
+    collapses its token stream to (token, count) via one C++
+    ``value_counts`` pass BEFORE the shuffle (the exchange moves
+    vocabulary-sized rows, never token instances), then a keyed
+    groupby-sum, per-block partial top-k, and a single-block exact
+    merge of ≤ k·num_blocks survivors.  Deterministic tie-break:
+    count desc, token asc."""
+    from ray.data.aggregate import Sum
+
+    from .. import default_num_partitions
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"tok": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        texts = b["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        flat = pc.split_pattern_regex(
+            pc.utf8_lower(texts), pattern="[^a-z0-9]+").flatten()
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        vc = pc.value_counts(flat)
+        return pa.table({"tok": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    agg = ds.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("tok", num_partitions=default_num_partitions()) \
+        .aggregate(Sum("n", alias_name="n"))
+
+    def topk_part(b: pa.Table, with_rank: bool = False) -> pa.Table:
+        if b.num_rows == 0:
+            out = {"tok": pa.array([], type=pa.string()),
+                   "n": pa.array([], type=pa.int64())}
+            if with_rank:
+                out["rank"] = pa.array([], type=pa.int64())
+            return pa.table(out)
+        tok = b["tok"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, -n))[:k]
+        out = {"tok": pa.array(tok[order], type=pa.string()),
+               "n": pa.array(n[order], type=pa.int64())}
+        if with_rank:
+            out["rank"] = pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
+        return pa.table(out)
+
+    survivors = agg.map_batches(topk_part, batch_format="pyarrow",
+                                batch_size=None)
+    return survivors.repartition(1).map_batches(
+        lambda b: topk_part(b, with_rank=True),
+        batch_format="pyarrow", batch_size=None)
+
+
+SQL_TOKEN_TOPK = f"""
+WITH t AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1)
+SELECT tok, n,
+       CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rank
+FROM c ORDER BY n DESC, tok LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------
+# Bloom-filter decontamination (the broadcast-sketch scale path for
+# queries_ext.q_decontaminate's equi-join)
+# ---------------------------------------------------------------------
+
+_BLOOM_MAX_BITS = 1 << 30  # 128 MiB broadcast budget
+
+
+def _bloom_positions(sh: np.ndarray, m: int, n_hashes: int):
+    """Double-hashing probe positions for int64 shingle hashes:
+    h1 + j*h2 mod m (m a power of two, h2 forced odd)."""
+    from ..functions.hashing import splitmix64
+
+    h1 = sh.view(np.uint64)
+    h2 = splitmix64(h1 ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    mask = np.uint64(m - 1)
+    return [((h1 + np.uint64(j) * h2) & mask).astype(np.int64)
+            for j in range(n_hashes)]
+
+
+def q_decontaminate_bloom(sf_dir: str, n: int = 5, bits_per_key: int = 16,
+                          n_hashes: int = 4):
+    """``decontaminate`` with the train side compressed into a Bloom
+    filter instead of joined: per-block partial bitsets OR-fold into
+    one filter (HLL-register precedent: the shuffle/driver move sketch
+    state, never keys), broadcast via ``ray.put``, and the test side
+    probes it inside ``map_batches``.  One-sided error: counts can
+    only exceed the exact join's (superset semantics — safe for
+    decontamination, where a false positive merely over-removes).
+    The pytest gate asserts the superset property and a bounded
+    false-positive rate vs the exact query.
+
+    Use over the join path when the train corpus dwarfs the test set
+    (the common case: trillions of train shingles, thousands of eval
+    docs): the filter is |train|·bits_per_key bits once, not a
+    shuffle of every key."""
+    import ray
+
+    from .. import default_num_partitions
+    from .queries_ext import _split_shingle_pairs
+
+    pairs = _split_shingle_pairs(sf_dir, n)
+    train = pairs.filter(expr="role == 0").select_columns(["sh"])
+    n_train = train.count()
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "n_contaminated": pa.array([], type=pa.int64())})
+    if n_train == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    m = 1 << int(np.ceil(np.log2(max(64, n_train * bits_per_key))))
+    if m > _BLOOM_MAX_BITS:
+        raise ValueError(
+            f"bloom filter of {m} bits exceeds the {_BLOOM_MAX_BITS}-bit "
+            f"broadcast budget; lower bits_per_key or shard the filter")
+
+    def partial_bits(b: pa.Table) -> pa.Table:
+        words = np.zeros(m // 64, dtype=np.uint64)
+        sh = b["sh"].to_numpy(zero_copy_only=False)
+        for idx in _bloom_positions(sh, m, n_hashes):
+            np.bitwise_or.at(words, idx >> 6,
+                             np.uint64(1) << (idx.view(np.uint64) & np.uint64(63)))
+        return pa.table({"words": pa.array([words.tobytes()], type=pa.binary())})
+
+    # fold ≤ num_blocks sketch rows (m/8 bytes each) on the driver —
+    # sketch state, never keys (the HLL-register pattern)
+    folded = np.zeros(m // 64, dtype=np.uint64)
+    for row in train.map_batches(partial_bits, batch_format="pyarrow",
+                                 batch_size=None).iter_rows():
+        folded |= np.frombuffer(row["words"], dtype=np.uint64)
+    bloom_ref = ray.put(folded)
+
+    test = pairs.filter(expr="role == 1").select_columns(["doc_id", "sh"])
+
+    def probe(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        words = ray.get(bloom_ref)
+        sh = b["sh"].to_numpy(zero_copy_only=False)
+        member = np.ones(len(sh), dtype=bool)
+        for idx in _bloom_positions(sh, m, n_hashes):
+            bit = (words[idx >> 6] >> (idx.view(np.uint64) & np.uint64(63))) & np.uint64(1)
+            member &= bit.astype(bool)
+        did = b["doc_id"].to_numpy(zero_copy_only=False)[member]
+        if not len(did):
+            return empty
+        u, c = np.unique(did, return_counts=True)
+        return pa.table({"doc_id": pa.array(u, type=pa.int64()),
+                         "n_contaminated": pa.array(c, type=pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    return test.map_batches(probe, batch_format="pyarrow") \
+        .groupby("doc_id", num_partitions=default_num_partitions()) \
+        .aggregate(Sum("n_contaminated", alias_name="n_contaminated"))
+
+
 WEBTEXT_QUERIES = {
     "pii_redact": q_pii_redact,
     "url_dedup": q_url_dedup,
     "line_dedup": q_line_dedup,
     "neardup_keep": q_neardup_keep,
+    "token_topk": q_token_topk,
+    "decontaminate_bloom": q_decontaminate_bloom,
 }
 
 WEBTEXT_ORACLES = {
+    # decontaminate_bloom: rows-only (one-sided sketch error by design;
+    # the pytest gate checks superset-of-exact + bounded FP rate)
     "pii_redact": SQL_PII_REDACT,
     "url_dedup": SQL_URL_DEDUP,
     "line_dedup": SQL_LINE_DEDUP,
     "neardup_keep": _sql_neardup_keep(),
+    "token_topk": SQL_TOKEN_TOPK,
 }

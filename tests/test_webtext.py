@@ -58,6 +58,26 @@ def test_canonical_sql_chain_parity():
     assert theirs == mine
 
 
+def test_decontaminate_bloom_superset_of_exact(ray_session):
+    """The Bloom path must dominate the exact join per doc (one-sided
+    error) and stay close to it: at 16 bits/key + 4 hashes the false
+    positive rate is ~2^-4.6 per probe, so shingle-count inflation on
+    this fixture should be well under 5%."""
+    from refined_ray.pipelines.queries_ext import q_decontaminate
+    from refined_ray.pipelines.queries_webtext import q_decontaminate_bloom
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["doc_id"]: r["n_contaminated"]
+             for r in q_decontaminate(sf).iter_rows()}
+    bloom = {r["doc_id"]: r["n_contaminated"]
+             for r in q_decontaminate_bloom(sf).iter_rows()}
+    assert exact, "fixture must have contaminated docs"
+    for did, n_exact in exact.items():
+        assert bloom.get(did, 0) >= n_exact, f"doc {did} lost hits"
+    inflation = sum(bloom.values()) - sum(exact.values())
+    assert inflation <= max(2, 0.05 * sum(exact.values()))
+
+
 @pytest.mark.parametrize("text,want", [
     ("mail bob.smith+x@Sub.Example.org now", "mail <EMAIL> now"),
     ("call 415-555-0199 today", "call <PHONE> today"),
