@@ -542,6 +542,169 @@ def q_decontaminate_bloom(sf_dir: str, n: int = 5, bits_per_key: int = 16,
         .aggregate(Sum("n_contaminated", alias_name="n_contaminated"))
 
 
+# ---------------------------------------------------------------------
+# Token-budget shard assignment (engine addition: training-shard
+# packing via a distributed prefix sum)
+# ---------------------------------------------------------------------
+
+_SHARD_TOKENS = 4096
+
+
+def q_token_shards(sf_dir: str, budget: int = _SHARD_TOKENS):
+    """Assign every doc (in doc_id order) to a training shard of
+    ~``budget`` tokens: shard_id = exclusive-prefix-token-count //
+    budget — the deterministic sharding a dataloader uses to cut a
+    corpus into equal-token output files.
+
+    Scale shape — a distributed prefix sum (the ``zip_with_index``
+    pattern, stages/index.py): per-block token sums travel to the
+    driver as ONE metadata row per block, exclusive block offsets are
+    broadcast back, and each block adds its in-block exclusive cumsum.
+    The driver never sees data rows."""
+    import ray
+
+    from .. import scrub_empty_blocks
+    from ..functions.textstats import token_stats_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        n = token_stats_batch(b["text"].to_pylist())["n_tokens"]
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_tokens": pa.array(n, type=pa.int64())})
+
+    schema = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64())])
+    counted = ds.map_batches(counts, batch_format="pyarrow") \
+        .sort("doc_id").materialize()
+    counted = scrub_empty_blocks(counted, fallback_schema=schema)
+
+    def block_meta(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"first": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.int64())})
+        tot = int(np.sum(b["n_tokens"].to_numpy(zero_copy_only=False)))
+        return pa.table({"first": pa.array([b["doc_id"][0].as_py()], type=pa.int64()),
+                         "s": pa.array([tot], type=pa.int64())})
+
+    meta = sorted((r["first"], r["s"]) for r in
+                  counted.map_batches(block_meta, batch_format="pyarrow",
+                                      batch_size=None).take_all())
+    offsets, acc = {}, 0
+    for first, s in meta:
+        offsets[first] = acc
+        acc += s
+    ref = ray.put(offsets)
+
+    def assign(b: pa.Table, _ref=ref) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_tokens": pa.array([], type=pa.int64()),
+                             "shard_id": pa.array([], type=pa.int64())})
+        base = ray.get(_ref)[b["doc_id"][0].as_py()]
+        nt = b["n_tokens"].to_numpy(zero_copy_only=False)
+        excl = base + np.cumsum(nt) - nt
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_tokens": b["n_tokens"],
+                         "shard_id": pa.array(excl // budget, type=pa.int64())})
+
+    return counted.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+SQL_TOKEN_SHARDS = f"""
+WITH s AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // {_SHARD_TOKENS} AS BIGINT) AS shard_id
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------
+# Composed training-data-prep pipeline: the end-to-end "corpus_clean"
+# ---------------------------------------------------------------------
+
+_CLEAN_MIN_QUALITY = 0.45
+_CLEAN_MAX_LINE_FRAC = 0.1
+_CLEAN_MAX_NGRAM_FRAC = 0.05
+
+
+def q_corpus_clean(sf_dir: str):
+    """End-to-end corpus cleaning, the composition a real training-data
+    pipeline runs (CCNet/C4/Gopher order): language-ID filter (keep
+    'en'), quality-score filter, repetition filter, then near-dup
+    resolution (keep only each cluster's canonical doc).  Output: the
+    kept-document manifest with its headline signals.
+
+    Scale shape: ALL stateless per-doc signals (langid, quality, token
+    stats) come from ONE read + ONE map_batches pass — the corpus is
+    not re-read per filter.  The repetition signals and the near-dup
+    keeper manifest are each their own single pass, attached by
+    doc_id-keyed hash joins of already-filtered (shrunken) sides."""
+    from .. import default_num_partitions
+    from ..functions.textstats import langid_batch, quality_score_batch, token_stats_batch
+    from .queries import _canon_round
+    from .queries_ext import q_doc_repetition
+
+    nparts = default_num_partitions()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def signals(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        codes, _ = langid_batch(texts)
+        quality = _canon_round(list(quality_score_batch(texts)), 6)
+        n_tokens = pa.array(token_stats_batch(texts)["n_tokens"], type=pa.int64())
+        t = pa.table({"doc_id": b["doc_id"],
+                      "quality": quality,
+                      "n_tokens": n_tokens,
+                      "lang_pred": pa.array(list(codes), type=pa.string())})
+        keep = pc.and_(pc.equal(t["lang_pred"], "en"),
+                       pc.greater_equal(t["quality"], _CLEAN_MIN_QUALITY))
+        return t.filter(keep).drop_columns(["lang_pred"])
+
+    sig = ds.map_batches(signals, batch_format="pyarrow")
+
+    def rep_ok(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64())})
+        keep = pc.and_(
+            pc.less_equal(b["dup_line_frac"], _CLEAN_MAX_LINE_FRAC),
+            pc.less_equal(b["dup_ngram_frac"], _CLEAN_MAX_NGRAM_FRAC))
+        return b.filter(keep).select(["doc_id"])
+
+    rep = q_doc_repetition(sf_dir).map_batches(rep_ok, batch_format="pyarrow")
+    keepers = q_neardup_keep(sf_dir).select_columns(["keep_doc_id"]) \
+        .rename_columns({"keep_doc_id": "doc_id"})
+    return sig.join(rep, join_type="inner", num_partitions=nparts,
+                    on=("doc_id",)) \
+              .join(keepers, join_type="inner", num_partitions=nparts,
+                    on=("doc_id",))
+
+
+def _sql_corpus_clean() -> str:
+    from .queries import _TOKS as toks
+    from .queries import QUERIES, oracles  # noqa: F401 — oracle composition
+    from .queries_ext import _sql_doc_repetition
+
+    o = oracles()
+    return f"""
+WITH lang AS ({o['doc_langid']}),
+qual AS ({o['doc_quality']}),
+rep AS ({_sql_doc_repetition()}),
+keep AS ({_sql_neardup_keep()})
+SELECT d.doc_id, q.quality, CAST(len({toks.replace('text', 'd.text')}) AS BIGINT) AS n_tokens
+FROM documents d
+JOIN lang l ON l.doc_id = d.doc_id AND l.lang_pred = 'en'
+JOIN qual q ON q.doc_id = d.doc_id AND q.quality >= {_CLEAN_MIN_QUALITY}
+JOIN rep r ON r.doc_id = d.doc_id
+          AND r.dup_line_frac <= {_CLEAN_MAX_LINE_FRAC}
+          AND r.dup_ngram_frac <= {_CLEAN_MAX_NGRAM_FRAC}
+JOIN keep k ON k.keep_doc_id = d.doc_id
+"""
+
+
 WEBTEXT_QUERIES = {
     "pii_redact": q_pii_redact,
     "url_dedup": q_url_dedup,
@@ -549,6 +712,8 @@ WEBTEXT_QUERIES = {
     "neardup_keep": q_neardup_keep,
     "token_topk": q_token_topk,
     "decontaminate_bloom": q_decontaminate_bloom,
+    "corpus_clean": q_corpus_clean,
+    "token_shards": q_token_shards,
 }
 
 WEBTEXT_ORACLES = {
@@ -559,4 +724,6 @@ WEBTEXT_ORACLES = {
     "line_dedup": SQL_LINE_DEDUP,
     "neardup_keep": _sql_neardup_keep(),
     "token_topk": SQL_TOKEN_TOPK,
+    "corpus_clean": _sql_corpus_clean(),
+    "token_shards": SQL_TOKEN_SHARDS,
 }
