@@ -3343,11 +3343,18 @@ EXT_QUERIES.update(READER_QUERIES)
 EXT_ORACLES.update(READER_ORACLES)
 
 # webtext corpus-hygiene ops (PII redaction, canonical-URL dedup,
-# global line dedup, near-dup keep); all four are oracle-checked
-from .queries_webtext import WEBTEXT_ORACLES, WEBTEXT_QUERIES  # noqa: E402
+# global line dedup, near-dup keep, heavy hitters, bloom decontam,
+# shard packing, corpus_clean)
+try:
+    from .queries_webtext import WEBTEXT_ORACLES, WEBTEXT_QUERIES  # noqa: E402
 
-EXT_QUERIES.update(WEBTEXT_QUERIES)
-EXT_ORACLES.update(WEBTEXT_ORACLES)
+    EXT_QUERIES.update(WEBTEXT_QUERIES)
+    EXT_ORACLES.update(WEBTEXT_ORACLES)
+except ImportError:
+    # queries_webtext is mid-import (a worker unpickling one of its
+    # UDFs imports it first, which re-enters this module); it completes
+    # the registration itself at the end of its body.
+    pass
 
 # complete the catalog registration for the queries_ext-first import
 # order (queries.py skips its own update when this module is mid-import)

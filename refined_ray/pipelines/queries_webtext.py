@@ -684,14 +684,17 @@ def q_corpus_clean(sf_dir: str):
 
 
 def _sql_corpus_clean() -> str:
+    # direct SQL-constant imports (NOT queries.oracles()): this runs at
+    # module level, and both parents may be mid-import — these names
+    # are defined before either parent's registration tail, so the
+    # composition is safe in every import order
+    from .queries import SQL_DOC_QUALITY, _sql_doc_langid
     from .queries import _TOKS as toks
-    from .queries import QUERIES, oracles  # noqa: F401 — oracle composition
     from .queries_ext import _sql_doc_repetition
 
-    o = oracles()
     return f"""
-WITH lang AS ({o['doc_langid']}),
-qual AS ({o['doc_quality']}),
+WITH lang AS ({_sql_doc_langid()}),
+qual AS ({SQL_DOC_QUALITY}),
 rep AS ({_sql_doc_repetition()}),
 keep AS ({_sql_neardup_keep()})
 SELECT d.doc_id, q.quality, CAST(len({toks.replace('text', 'd.text')}) AS BIGINT) AS n_tokens
@@ -727,3 +730,18 @@ WEBTEXT_ORACLES = {
     "corpus_clean": _sql_corpus_clean(),
     "token_shards": SQL_TOKEN_SHARDS,
 }
+
+# complete the catalog registration for the webtext-first import order
+# (a worker unpickling one of this module's UDFs imports it before
+# queries/queries_ext; their registration tails then saw this module
+# partially initialized and skipped it)
+import sys as _sys  # noqa: E402
+
+_qe = _sys.modules.get(__package__ + ".queries_ext")
+if _qe is not None and hasattr(_qe, "EXT_QUERIES"):
+    _qe.EXT_QUERIES.update(WEBTEXT_QUERIES)
+    _qe.EXT_ORACLES.update(WEBTEXT_ORACLES)
+from .queries import QUERIES as _QUERIES  # noqa: E402
+
+for _k, _v in WEBTEXT_QUERIES.items():
+    _QUERIES.setdefault(_k, _v)
