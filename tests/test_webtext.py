@@ -58,6 +58,35 @@ def test_canonical_sql_chain_parity():
     assert theirs == mine
 
 
+def test_canonicalize_idempotent():
+    """canon(canon(x)) == canon(x) over a randomized URL space — a
+    canonicalization that isn't a projection corrupts dedup keys."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    seg = st.text(alphabet="aB3.-_~%", min_size=0, max_size=6)
+    url = st.builds(
+        lambda sch, host, port, segs, q, frag: (
+            sch + "://" + host + port + "/" + "/".join(segs) + q + frag),
+        st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+        st.sampled_from(["A.com", "www.Ex.org", "x-y.Z.io"]),
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        st.lists(seg, max_size=4),
+        st.sampled_from(["", "?id=1", "?utm_a=1", "?utm_a=1&id=2",
+                         "?id=2&gclid=x&b=3", "?fbclid=1&utm_b=2"]),
+        st.sampled_from(["", "#f", "#a#b"]),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(url, min_size=1, max_size=20))
+    def check(urls):
+        once = canonicalize_urls(pa.array(urls))
+        twice = canonicalize_urls(once)
+        assert once.to_pylist() == twice.to_pylist()
+
+    check()
+
+
 def test_decontaminate_bloom_superset_of_exact(ray_session):
     """The Bloom path must dominate the exact join per doc (one-sided
     error) and stay close to it: at 16 bits/key + 4 hashes the false
