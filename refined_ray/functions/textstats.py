@@ -31,10 +31,13 @@ LANG_MARKERS: dict[str, frozenset] = {
 }
 
 
-def token_stats_batch(texts) -> dict[str, np.ndarray]:
+def token_stats_batch(texts, pretok=None) -> dict[str, np.ndarray]:
     """Per-text counters: n_tokens, n_stopwords, n_unique_tokens,
-    n_chars, plus stopword_ratio (= n_stopwords/n_tokens, 0 if empty)."""
-    flat, starts = tokenize_batch(texts)
+    n_chars, plus stopword_ratio (= n_stopwords/n_tokens, 0 if empty).
+
+    ``pretok``: optional (flat, starts) from ``tokenize_batch`` so a
+    caller computing several signals tokenizes the batch ONCE."""
+    flat, starts = pretok if pretok is not None else tokenize_batch(texts)
     n_docs = len(starts) - 1
     n_tokens = np.diff(starts).astype(np.int64)
     n_stop = np.zeros(n_docs, dtype=np.int64)
@@ -57,10 +60,13 @@ def token_stats_batch(texts) -> dict[str, np.ndarray]:
     }
 
 
-def quality_score_batch(texts) -> np.ndarray:
+def quality_score_batch(texts, stats=None) -> np.ndarray:
     """Heuristic quality in [0,1]: blends length band, stopword presence
-    and lexical diversity — the shape of C4/Gopher-style quality rules."""
-    s = token_stats_batch(texts)
+    and lexical diversity — the shape of C4/Gopher-style quality rules.
+
+    ``stats``: optional precomputed ``token_stats_batch`` dict (shares
+    the tokenize + counter pass with other signals)."""
+    s = stats if stats is not None else token_stats_batch(texts)
     nt = s["n_tokens"].astype(np.float64)
     len_score = np.clip(nt / 50.0, 0.0, 1.0)
     stop_score = np.clip(s["stopword_ratio"] * 5.0, 0.0, 1.0)
@@ -70,12 +76,13 @@ def quality_score_batch(texts) -> np.ndarray:
     return (len_score + stop_score + div) / 3.0
 
 
-def langid_batch(texts) -> tuple[np.ndarray, np.ndarray]:
+def langid_batch(texts, pretok=None) -> tuple[np.ndarray, np.ndarray]:
     """(lang_code, score) per text by marker-token overlap argmax.
 
     Ties and zero-marker docs resolve to 'und' (undetermined).
+    ``pretok``: optional (flat, starts) from ``tokenize_batch``.
     """
-    flat, starts = tokenize_batch(texts)
+    flat, starts = pretok if pretok is not None else tokenize_batch(texts)
     n_docs = len(starts) - 1
     langs = list(LANG_MARKERS)
     counts = np.zeros((n_docs, len(langs)), dtype=np.int64)

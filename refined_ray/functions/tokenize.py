@@ -33,6 +33,23 @@ def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
     return [(m.group(0), m.start(), m.end()) for m in TOKEN_RE.finditer(text.lower())]
 
 
+def flat_tokens_arrow(arr):
+    """All tokens of an Arrow string array as ONE flat string array
+    (instances, not vocabulary) — the TOKEN_RE/TOKEN_SQL contract with
+    tokenization fully in C++ (utf8_lower + split_pattern_regex).
+    Use when per-doc structure is not needed (e.g. corpus-wide token
+    counting); ``tokenize_hash_arrow`` keeps the per-doc offsets."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = pc.split_pattern_regex(
+        pc.utf8_lower(arr), pattern="[^a-z0-9]+").flatten()
+    # split leaves empty tokens at text edges
+    return flat.filter(pc.greater(pc.utf8_length(flat), 0))
+
+
 def tokenize_hash_arrow(arr, hasher=None) -> tuple[np.ndarray, np.ndarray, "object"]:
     """Arrow-native tokenize + hash for the signing hot path.
 

@@ -1052,12 +1052,28 @@ QUERIES = {
     "er_clusters": q_er_clusters,
     "doc_fingerprints": q_doc_fingerprints,
 }
+def _mid_import(mod_name: str) -> bool:
+    """True iff ``mod_name`` is currently being imported (its body is
+    executing further up the stack) — the only state in which a
+    catalog-module ImportError is a benign circular re-entry."""
+    import sys
+
+    m = sys.modules.get(mod_name)
+    spec = getattr(m, "__spec__", None) if m is not None else None
+    return bool(spec is not None and getattr(spec, "_initializing", False))
+
+
 try:
     QUERIES.update(_ext()[0])
 except ImportError:
-    # queries_ext is mid-import (it imports this module first); it
-    # completes the registration itself at the end of its body.
-    pass
+    # tolerate ONLY the circular re-entry (a sibling catalog module is
+    # mid-import — it imported this module first and completes the
+    # registration itself at the end of its body); a genuine import
+    # failure must not silently shrink the catalog
+    if not any(_mid_import(__package__ + m)
+               for m in (".queries_ext", ".queries_webtext",
+                         ".queries_readers")):
+        raise
 
 
 def oracles() -> dict[str, str]:

@@ -3336,11 +3336,19 @@ EXT_QUERIES["offline_pem"] = q_offline_pem
 EXT_ORACLES["offline_pem"] = SQL_OFFLINE_PEM
 
 # benchmark-file readers (S5/S6) + collation (M9) live in their own
-# module; all three are oracle-checked
-from .queries_readers import READER_ORACLES, READER_QUERIES  # noqa: E402
+# module; all are oracle-checked
+try:
+    from .queries_readers import READER_ORACLES, READER_QUERIES  # noqa: E402
 
-EXT_QUERIES.update(READER_QUERIES)
-EXT_ORACLES.update(READER_ORACLES)
+    EXT_QUERIES.update(READER_QUERIES)
+    EXT_ORACLES.update(READER_ORACLES)
+except ImportError:
+    # tolerate ONLY the circular re-entry (see the queries_webtext
+    # guard below); queries_readers completes its own registration
+    from .queries import _mid_import
+
+    if not _mid_import(__package__ + ".queries_readers"):
+        raise
 
 # webtext corpus-hygiene ops (PII redaction, canonical-URL dedup,
 # global line dedup, near-dup keep, heavy hitters, bloom decontam,
@@ -3351,10 +3359,15 @@ try:
     EXT_QUERIES.update(WEBTEXT_QUERIES)
     EXT_ORACLES.update(WEBTEXT_ORACLES)
 except ImportError:
-    # queries_webtext is mid-import (a worker unpickling one of its
-    # UDFs imports it first, which re-enters this module); it completes
-    # the registration itself at the end of its body.
-    pass
+    # tolerate ONLY the circular re-entry (a worker unpickling one of
+    # queries_webtext's UDFs imports it first, which re-enters this
+    # module mid-import; it completes the registration itself at the
+    # end of its body) — a genuine import failure must not silently
+    # shrink the catalog
+    from .queries import _mid_import
+
+    if not _mid_import(__package__ + ".queries_webtext"):
+        raise
 
 # complete the catalog registration for the queries_ext-first import
 # order (queries.py skips its own update when this module is mid-import)

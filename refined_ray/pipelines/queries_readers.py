@@ -249,3 +249,18 @@ READER_ORACLES = {
     "collated_windows": SQL_COLLATED_WINDOWS,
     "xml_pages": SQL_XML_PAGES,
 }
+
+# complete the catalog registration for the readers-first import order
+# (a worker unpickling one of this module's UDFs imports it before
+# queries/queries_ext; their registration tails then saw this module
+# partially initialized and skipped it)
+import sys as _sys  # noqa: E402
+
+_qe = _sys.modules.get(__package__ + ".queries_ext")
+if _qe is not None and hasattr(_qe, "EXT_QUERIES"):
+    _qe.EXT_QUERIES.update(READER_QUERIES)
+    _qe.EXT_ORACLES.update(READER_ORACLES)
+from .queries import QUERIES as _QUERIES  # noqa: E402
+
+for _k, _v in READER_QUERIES.items():
+    _QUERIES.setdefault(_k, _v)

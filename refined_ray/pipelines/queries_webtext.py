@@ -235,6 +235,10 @@ def q_line_dedup(sf_dir: str):
         # line start offsets into the flat token stream; the final
         # sentinel closes the last list
         line_starts = np.repeat(starts[:-1], n_lines) + lidx * _LINE_TOKENS
+        if starts[-1] >= 2**31:  # int32 list offsets: fail loudly, not wrap
+            raise ValueError(
+                f"batch has {starts[-1]} flat tokens (>= 2^31); lower "
+                f"batch_size so ListArray int32 offsets cannot overflow")
         offsets = np.append(line_starts, starts[-1]).astype(np.int32)
         la = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
                                       pa.array(flat, type=pa.string()))
@@ -396,16 +400,12 @@ def q_token_topk(sf_dir: str, k: int = 25):
     ds = _read(sf_dir, "documents", ["text"])
 
     def partial_counts(b: pa.Table) -> pa.Table:
+        from ..functions.tokenize import flat_tokens_arrow
+
         if b.num_rows == 0:
             return pa.table({"tok": pa.array([], type=pa.string()),
                              "n": pa.array([], type=pa.int64())})
-        texts = b["text"]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        flat = pc.split_pattern_regex(
-            pc.utf8_lower(texts), pattern="[^a-z0-9]+").flatten()
-        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
-        vc = pc.value_counts(flat)
+        vc = pc.value_counts(flat_tokens_arrow(b["text"]))
         return pa.table({"tok": vc.field("values"),
                          "n": pc.cast(vc.field("counts"), pa.int64())})
 
@@ -653,9 +653,11 @@ def q_corpus_clean(sf_dir: str):
 
     def signals(b: pa.Table) -> pa.Table:
         texts = b["text"].to_pylist()
-        codes, _ = langid_batch(texts)
-        quality = _canon_round(list(quality_score_batch(texts)), 6)
-        n_tokens = pa.array(token_stats_batch(texts)["n_tokens"], type=pa.int64())
+        pretok = tokenize_batch(texts)  # ONE tokenize pass for all signals
+        stats = token_stats_batch(texts, pretok=pretok)
+        codes, _ = langid_batch(texts, pretok=pretok)
+        quality = _canon_round(list(quality_score_batch(texts, stats=stats)), 6)
+        n_tokens = pa.array(stats["n_tokens"], type=pa.int64())
         t = pa.table({"doc_id": b["doc_id"],
                       "quality": quality,
                       "n_tokens": n_tokens,
