@@ -199,6 +199,86 @@ FROM c
 
 
 # ---------------------------------------------------------------------
+# Latest-crawl selection per canonical URL (the warc_ts recrawl dedup)
+# ---------------------------------------------------------------------
+
+_TS_BASE_US = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in epoch µs
+
+
+def q_url_latest(sf_dir: str):
+    """Keep only the LATEST crawl of each canonical URL — the
+    Common-Crawl recrawl dedup: the same page arrives once per crawl
+    with a new ``warc_ts``; a corpus build keeps max(warc_ts), ties to
+    min doc_id.  Synthetic warc_ts = 2025-01-01 + (doc_id·37 mod 1000)
+    hours, messy URLs as in ``url_dedup``.
+
+    Scale shape: canonicalization projection, ONE canon-keyed
+    repartition + lexsort/segment argmax (the ``neardup_keep``
+    kernel)."""
+    from .. import default_num_partitions
+    from ..functions.urls import canonicalize_urls
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def canon(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        us = _TS_BASE_US + (did * 37 % 1000) * 3_600_000_000
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "warc_ts": pa.array(us, type=pa.int64()).cast(pa.timestamp("us")),
+            "canon_url": canonicalize_urls(_messy_urls(did)),
+        })
+
+    parted = ds.map_batches(canon, batch_format="pyarrow").repartition(
+        num_blocks=default_num_partitions(), keys=["canon_url"], sort=False)
+
+    def latest(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"canon_url": pa.array([], type=pa.string()),
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "warc_ts": pa.array([], type=pa.timestamp("us")),
+                             "n_crawls": pa.array([], type=pa.int64())})
+        url = b["canon_url"].to_numpy(zero_copy_only=False)
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        ts = b["warc_ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        order = np.lexsort((did, -ts, url))
+        url, did, ts = url[order], did[order], ts[order]
+        seg = np.flatnonzero(np.r_[True, url[1:] != url[:-1]])
+        n = np.diff(np.r_[seg, len(url)])
+        return pa.table({
+            "canon_url": pa.array(url[seg], type=pa.string()),
+            "doc_id": pa.array(did[seg], type=pa.int64()),
+            "warc_ts": pa.array(ts[seg], type=pa.int64()).cast(pa.timestamp("us")),
+            "n_crawls": pa.array(n, type=pa.int64()),
+        })
+
+    return parted.map_batches(latest, batch_format="pyarrow", batch_size=None)
+
+
+SQL_URL_LATEST = """
+WITH c AS (
+  SELECT doc_id,
+         TIMESTAMP '2025-01-01'
+           + INTERVAL (doc_id * 37 % 1000) HOUR AS warc_ts,
+         (CASE WHEN (doc_id % 30) % 2 = 0 THEN 'http' ELSE 'https' END)
+         || '://www.site' || CAST(doc_id % 30 AS VARCHAR) || '.example.com'
+         || CASE WHEN (doc_id % 30) % 5 = 0 THEN ':8080' ELSE '' END
+         || '/articles/item-' || CAST(doc_id % 30 AS VARCHAR)
+         || '?id=' || CAST(doc_id % 30 AS VARCHAR) AS canon_url
+  FROM documents
+),
+ranked AS (
+  SELECT canon_url, doc_id, warc_ts,
+         row_number() OVER (PARTITION BY canon_url
+                            ORDER BY warc_ts DESC, doc_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT) AS n_crawls
+  FROM c
+)
+SELECT canon_url, doc_id, warc_ts, n_crawls FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------
 # C4-style global line dedup (engine addition)
 # ---------------------------------------------------------------------
 
@@ -719,6 +799,7 @@ WEBTEXT_QUERIES = {
     "decontaminate_bloom": q_decontaminate_bloom,
     "corpus_clean": q_corpus_clean,
     "token_shards": q_token_shards,
+    "url_latest": q_url_latest,
 }
 
 WEBTEXT_ORACLES = {
@@ -731,6 +812,7 @@ WEBTEXT_ORACLES = {
     "token_topk": SQL_TOKEN_TOPK,
     "corpus_clean": _sql_corpus_clean(),
     "token_shards": SQL_TOKEN_SHARDS,
+    "url_latest": SQL_URL_LATEST,
 }
 
 # complete the catalog registration for the webtext-first import order

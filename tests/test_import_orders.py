@@ -12,8 +12,8 @@ import sys
 
 import pytest
 
-N_QUERIES = 83
-N_ORACLES = 64
+N_QUERIES = 84
+N_ORACLES = 65
 
 _FIRST = ["queries", "queries_ext", "queries_webtext", "queries_readers",
           "entity_resolution", "evaluation", "offline_build", "table_linking"]
