@@ -525,6 +525,75 @@ FROM c ORDER BY n DESC, tok LIMIT 25
 """
 
 
+def q_token_topk_sketch(sf_dir: str, k: int = 25, m: int = 200):
+    """Approximate heavy hitters — ``token_topk``'s sketch twin (the
+    SpaceSaving/Misra-Gries family): each block keeps only its top-m
+    (token, count) rows plus its truncation bound (the count of the
+    first DROPPED token, 0 if nothing was dropped); the merge sums
+    survivor counts and bounds.  Estimates are one-sided (est ≤ true ≤
+    est + max_undercount), so every token whose true count clears the
+    k-th estimate by more than the summed bound provably appears.
+
+    Use over the exact path when the vocabulary itself is too big to
+    shuffle (web-scale n-grams): the exchange carries ≤ m rows per
+    block regardless of block vocabulary.  The bound rides along as a
+    null-token row so the same keyed groupby merges counts and bounds
+    in one exchange; the gate tests assert the exactness case (bound
+    0 -> identical to token_topk) and the undercount contract under
+    forced truncation."""
+    from ray.data.aggregate import Sum
+
+    from .. import default_num_partitions
+    from ..functions.tokenize import flat_tokens_arrow
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial_sketch(b: pa.Table) -> pa.Table:
+        empty = pa.table({"tok": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        vc = pc.value_counts(flat_tokens_arrow(b["text"]))
+        tok = vc.field("values").to_numpy(zero_copy_only=False)
+        n = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tok, -n))
+        bound = int(n[order[m]]) if len(order) > m else 0
+        keep = order[:m]
+        out = pa.table({"tok": pa.array(tok[keep], type=pa.string()),
+                        "n": pa.array(n[keep], type=pa.int64())})
+        bound_row = pa.table({"tok": pa.array([None], type=pa.string()),
+                              "n": pa.array([bound], type=pa.int64())})
+        return pa.concat_tables([out, bound_row])
+
+    agg = ds.map_batches(partial_sketch, batch_format="pyarrow") \
+        .groupby("tok", num_partitions=default_num_partitions()) \
+        .aggregate(Sum("n", alias_name="n", ignore_nulls=False))
+
+    def final_topk(b: pa.Table) -> pa.Table:
+        schema = {"tok": pa.array([], type=pa.string()),
+                  "n_est": pa.array([], type=pa.int64()),
+                  "rank": pa.array([], type=pa.int64()),
+                  "max_undercount": pa.array([], type=pa.int64())}
+        if b.num_rows == 0:
+            return pa.table(schema)
+        tok = b["tok"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        isnull = pa.compute.is_null(b["tok"]).to_numpy(zero_copy_only=False)
+        undercount = int(n[isnull].sum())
+        tok, n = tok[~isnull], n[~isnull]
+        order = np.lexsort((tok, -n))[:k]
+        return pa.table({
+            "tok": pa.array(tok[order], type=pa.string()),
+            "n_est": pa.array(n[order], type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "max_undercount": pa.array(
+                np.full(len(order), undercount, dtype=np.int64)),
+        })
+
+    return agg.repartition(1).map_batches(final_topk, batch_format="pyarrow",
+                                          batch_size=None)
+
+
 # ---------------------------------------------------------------------
 # Bloom-filter decontamination (the broadcast-sketch scale path for
 # queries_ext.q_decontaminate's equi-join)
@@ -800,6 +869,7 @@ WEBTEXT_QUERIES = {
     "corpus_clean": q_corpus_clean,
     "token_shards": q_token_shards,
     "url_latest": q_url_latest,
+    "token_topk_sketch": q_token_topk_sketch,
 }
 
 WEBTEXT_ORACLES = {

@@ -95,6 +95,40 @@ def test_canonicalize_idempotent():
     check()
 
 
+def test_token_topk_sketch_exact_when_untrucated(ray_session):
+    """With m larger than every block's vocabulary nothing is dropped,
+    every bound is 0, and the sketch must equal the exact top-k."""
+    from refined_ray.pipelines.queries_webtext import q_token_topk, q_token_topk_sketch
+
+    sf = "/root/testdata/sf0.001"
+    exact = q_token_topk(sf).to_pandas().sort_values("rank")
+    sk = q_token_topk_sketch(sf, m=10_000).to_pandas().sort_values("rank")
+    assert (sk["max_undercount"] == 0).all()
+    assert list(sk["tok"]) == list(exact["tok"])
+    assert list(sk["n_est"]) == list(exact["n"])
+
+
+def test_token_topk_sketch_undercount_contract(ray_session):
+    """Forced truncation (m=3): estimates are one-sided — for every
+    reported token, est <= true <= est + max_undercount — and the
+    sketch theorem holds: any token whose TRUE count exceeds the k-th
+    reported estimate plus the summed bound must be reported."""
+    from refined_ray.pipelines.queries_webtext import q_token_topk, q_token_topk_sketch
+
+    sf = "/root/testdata/sf0.001"
+    true = dict(q_token_topk(sf, k=10_000).to_pandas()[["tok", "n"]].values)
+    sk = q_token_topk_sketch(sf, k=10, m=3).to_pandas()
+    assert (sk["max_undercount"] > 0).any()
+    for _, r in sk.iterrows():
+        t = true[r["tok"]]
+        assert r["n_est"] <= t <= r["n_est"] + r["max_undercount"], r["tok"]
+    kth_est = sk["n_est"].min()
+    bound = int(sk["max_undercount"].iloc[0])
+    reported = set(sk["tok"])
+    must_appear = {t for t, n in true.items() if n > kth_est + bound}
+    assert must_appear <= reported, must_appear - reported
+
+
 def test_decontaminate_bloom_superset_of_exact(ray_session):
     """The Bloom path must dominate the exact join per doc (one-sided
     error) and stay close to it: at 16 bits/key + 4 hashes the false
