@@ -40,6 +40,10 @@ HEADLINE = [
     "events_hourly",
     "simhash_candidates",
     "date_doc_infer",
+    # appended round 3 (keep ABOVE list unchanged for round-over-round
+    # comparability): the webtext corpus-hygiene family
+    "line_dedup",
+    "corpus_clean",
 ]
 
 
