@@ -25,6 +25,18 @@ import pyarrow.compute as pc
 from ..functions.tokenize import tokenize_batch
 from .queries import _read, _TOKS
 
+
+def _lexsort_segments(primary: np.ndarray, *tiebreaks: np.ndarray):
+    """Shared segment kernel: lexsort rows by (primary, *tiebreaks) and
+    return (order, seg_starts, seg_sizes) where segments are runs of
+    equal ``primary`` values.  Every dedup/argmax query in this module
+    is one keyed repartition + this kernel + a projection."""
+    order = np.lexsort(tuple(reversed(tiebreaks)) + (primary,))
+    sorted_primary = primary[order]
+    seg = np.flatnonzero(np.r_[True, sorted_primary[1:] != sorted_primary[:-1]])
+    sizes = np.diff(np.r_[seg, len(sorted_primary)])
+    return order, seg, sizes
+
 # ---------------------------------------------------------------------
 # PII redaction (engine addition; CCNet/privacy-filter family)
 # ---------------------------------------------------------------------
@@ -171,10 +183,9 @@ def q_url_dedup(sf_dir: str):
                              "canonical_doc_id": pa.array([], type=pa.int64())})
         did = b["doc_id"].to_numpy(zero_copy_only=False)
         url = b["canon_url"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((did, url))
+        order, seg, sizes = _lexsort_segments(url, did)
         did, url = did[order], url[order]
-        seg = np.flatnonzero(np.r_[True, url[1:] != url[:-1]])
-        rep = np.repeat(did[seg], np.diff(np.r_[seg, len(did)]))
+        rep = np.repeat(did[seg], sizes)
         return pa.table({"doc_id": pa.array(did, type=pa.int64()),
                          "canon_url": pa.array(url, type=pa.string()),
                          "canonical_doc_id": pa.array(rep, type=pa.int64())})
@@ -241,10 +252,8 @@ def q_url_latest(sf_dir: str):
         url = b["canon_url"].to_numpy(zero_copy_only=False)
         did = b["doc_id"].to_numpy(zero_copy_only=False)
         ts = b["warc_ts"].to_numpy(zero_copy_only=False).view(np.int64)
-        order = np.lexsort((did, -ts, url))
+        order, seg, n = _lexsort_segments(url, -ts, did)
         url, did, ts = url[order], did[order], ts[order]
-        seg = np.flatnonzero(np.r_[True, url[1:] != url[:-1]])
-        n = np.diff(np.r_[seg, len(url)])
         return pa.table({
             "canon_url": pa.array(url[seg], type=pa.string()),
             "doc_id": pa.array(did[seg], type=pa.int64()),
@@ -350,10 +359,8 @@ def q_line_dedup(sf_dir: str):
         did = b["doc_id"].to_numpy(zero_copy_only=False)
         lix = b["line_idx"].to_numpy(zero_copy_only=False)
         line = b["line"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((lix, did, line))
+        order, seg, counts = _lexsort_segments(line, did, lix)
         did, lix, line = did[order], lix[order], line[order]
-        seg = np.flatnonzero(np.r_[True, line[1:] != line[:-1]])
-        counts = np.diff(np.r_[seg, len(line)])
         return pa.table({"doc_id": pa.array(did[seg], type=pa.int64()),
                          "line_idx": pa.array(lix[seg], type=pa.int64()),
                          "line": pa.array(line[seg], type=pa.string()),
@@ -425,10 +432,8 @@ def q_neardup_keep(sf_dir: str):
         cid = b["cluster_doc_id"].to_numpy(zero_copy_only=False)
         did = b["doc_id"].to_numpy(zero_copy_only=False)
         nch = b["n_chars"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((did, -nch, cid))
+        order, seg, size = _lexsort_segments(cid, -nch, did)
         cid, did, nch = cid[order], did[order], nch[order]
-        seg = np.flatnonzero(np.r_[True, cid[1:] != cid[:-1]])
-        size = np.diff(np.r_[seg, len(cid)])
         return pa.table({"cluster_doc_id": pa.array(cid[seg], type=pa.int64()),
                          "keep_doc_id": pa.array(did[seg], type=pa.int64()),
                          "n_chars": pa.array(nch[seg], type=pa.int64()),
@@ -568,6 +573,26 @@ def q_token_topk_sketch(sf_dir: str, k: int = 25, m: int = 200):
     agg = ds.map_batches(partial_sketch, batch_format="pyarrow") \
         .groupby("tok", num_partitions=default_num_partitions()) \
         .aggregate(Sum("n", alias_name="n", ignore_nulls=False))
+
+    def trim_part(b: pa.Table) -> pa.Table:
+        """Per-partition pre-trim before the single-block merge: each
+        token's sum is already FINAL here (tok is the groupby key, so a
+        token lives in exactly one partition) — keep this partition's
+        top-k plus its bound row; the merge block then holds
+        ~k·num_partitions rows instead of ~m·num_blocks."""
+        if b.num_rows == 0:
+            return pa.table({"tok": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        isnull = pc.is_null(b["tok"]).to_numpy(zero_copy_only=False)
+        tok = b["tok"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        t, v = tok[~isnull], n[~isnull]
+        keep = np.lexsort((t, -v))[:k]
+        return pa.table({
+            "tok": pa.array(np.r_[t[keep], tok[isnull]], type=pa.string()),
+            "n": pa.array(np.r_[v[keep], n[isnull]], type=pa.int64())})
+
+    agg = agg.map_batches(trim_part, batch_format="pyarrow", batch_size=None)
 
     def final_topk(b: pa.Table) -> pa.Table:
         schema = {"tok": pa.array([], type=pa.string()),

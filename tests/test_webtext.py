@@ -95,7 +95,7 @@ def test_canonicalize_idempotent():
     check()
 
 
-def test_token_topk_sketch_exact_when_untrucated(ray_session):
+def test_token_topk_sketch_exact_when_untruncated(ray_session):
     """With m larger than every block's vocabulary nothing is dropped,
     every bound is 0, and the sketch must equal the exact top-k."""
     from refined_ray.pipelines.queries_webtext import q_token_topk, q_token_topk_sketch
