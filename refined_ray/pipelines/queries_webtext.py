@@ -797,6 +797,39 @@ FROM s
 
 
 # ---------------------------------------------------------------------
+# Compression-ratio quality signal (Gopher/RefinedWeb family)
+# ---------------------------------------------------------------------
+
+
+def q_doc_compressibility(sf_dir: str, level: int = 6):
+    """Per-doc deflate compression ratio — the classic "too
+    compressible = boilerplate/repetition, incompressible = noise"
+    quality signal (rows-only: SQL has no deflate; the pytest gate
+    pins the ordering and determinism contracts).
+
+    ratio = len(zlib(text_utf8, level)) / max(1, len(text_utf8)).
+    Stateless per-doc projection (one C compressor call per doc, the
+    md5_hex/exact_dedup precedent), so it streams at any scale."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ratio(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        out = np.empty(len(texts), dtype=np.float64)
+        raw_len = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            raw = t.encode("utf-8")
+            raw_len[i] = len(raw)
+            out[i] = len(zlib.compress(raw, level)) / max(1, len(raw))
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_bytes": pa.array(raw_len, type=pa.int64()),
+                         "compress_ratio": pa.array(out, type=pa.float64())})
+
+    return ds.map_batches(ratio, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------
 # Composed training-data-prep pipeline: the end-to-end "corpus_clean"
 # ---------------------------------------------------------------------
 
@@ -895,6 +928,7 @@ WEBTEXT_QUERIES = {
     "token_shards": q_token_shards,
     "url_latest": q_url_latest,
     "token_topk_sketch": q_token_topk_sketch,
+    "doc_compressibility": q_doc_compressibility,
 }
 
 WEBTEXT_ORACLES = {

@@ -12,7 +12,7 @@ import sys
 
 import pytest
 
-N_QUERIES = 85
+N_QUERIES = 86
 N_ORACLES = 65
 
 _FIRST = ["queries", "queries_ext", "queries_webtext", "queries_readers",

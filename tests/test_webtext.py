@@ -129,6 +129,34 @@ def test_token_topk_sketch_undercount_contract(ray_session):
     assert must_appear <= reported, must_appear - reported
 
 
+def test_doc_compressibility_contract(ray_session):
+    """Repetitive text must compress harder (lower ratio) than the
+    corpus median and the signal must be deterministic across runs."""
+    import numpy as np
+
+    from refined_ray.pipelines.queries_webtext import q_doc_compressibility
+
+    sf = "/root/testdata/sf0.001"
+    a = q_doc_compressibility(sf).to_pandas().sort_values("doc_id")
+    b = q_doc_compressibility(sf).to_pandas().sort_values("doc_id")
+    assert (a["compress_ratio"].values == b["compress_ratio"].values).all()
+    assert (a["compress_ratio"] > 0).all()
+    # the ~11-byte deflate header dominates tiny docs; the <=1 bound
+    # only means anything once the text dwarfs it
+    big = a[a["n_bytes"] >= 100]
+    assert len(big) > 0 and (big["compress_ratio"] <= 1.0).all()
+    # direct kernel contract on planted texts
+    import zlib
+    rep = "spam ham " * 200
+    rnd = " ".join(f"w{i * 7919 % 104729}" for i in range(400))
+    r_rep = len(zlib.compress(rep.encode(), 6)) / len(rep.encode())
+    r_rnd = len(zlib.compress(rnd.encode(), 6)) / len(rnd.encode())
+    assert r_rep < r_rnd / 2
+    # heavy repetition lands far below the corpus median
+    med = float(np.median(a["compress_ratio"]))
+    assert r_rep < med / 4
+
+
 def test_decontaminate_bloom_superset_of_exact(ray_session):
     """The Bloom path must dominate the exact join per doc (one-sided
     error) and stay close to it: at 16 bits/key + 4 hashes the false
