@@ -21,6 +21,7 @@ import json
 import os
 import shutil
 import time
+from datetime import datetime
 
 import pyarrow.parquet as pq
 
@@ -93,7 +94,9 @@ class StageCheckpointer:
             "partitions": partitions,
             "wall_sec": round(wall, 3),
             "counters": counters or {},
-            "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            # microsecond precision: a rebuild within the same second
+            # must still be distinguishable from the run it replaced
+            "completed_at": datetime.now().isoformat(timespec="microseconds"),
         }
         tmp = self._manifest_path(stage) + ".part"
         with open(tmp, "w") as f:
