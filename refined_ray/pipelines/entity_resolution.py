@@ -158,8 +158,17 @@ def er_edges(sf_dir: str, threshold: float = DEFAULT_THRESHOLD,
     if scorer not in ("auto", "actor", "join"):
         raise ValueError(f"unknown scorer {scorer!r}")
     n_pages = payload.count()
+    payload_bytes = n_pages * PAYLOAD_ROW_BYTES
+    if scorer == "actor" and payload_bytes > BROADCAST_MAX_BYTES:
+        # the actor pool holds the payload per actor: refuse loudly
+        # rather than OOM the driver assembling an over-budget bundle
+        raise ValueError(
+            f"scorer='actor' needs the payload broadcast, but "
+            f"{n_pages} pages ≈ {payload_bytes >> 20} MiB exceeds the "
+            f"{BROADCAST_MAX_BYTES >> 20} MiB budget; use scorer='auto' "
+            f"(hash-join fallback) or raise BROADCAST_MAX_BYTES")
     use_broadcast = scorer == "actor" or (
-        scorer == "auto" and n_pages * PAYLOAD_ROW_BYTES <= BROADCAST_MAX_BYTES)
+        scorer == "auto" and payload_bytes <= BROADCAST_MAX_BYTES)
 
     # The broadcast assembly is DRIVER-side memcpy over the materialized
     # payload (zero-copy plasma derefs, no dataset execution) — overlap

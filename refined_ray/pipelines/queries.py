@@ -1065,14 +1065,13 @@ def _mid_import(mod_name: str) -> bool:
 
 try:
     QUERIES.update(_ext()[0])
-except ImportError:
-    # tolerate ONLY the circular re-entry (a sibling catalog module is
-    # mid-import — it imported this module first and completes the
-    # registration itself at the end of its body); a genuine import
-    # failure must not silently shrink the catalog
-    if not any(_mid_import(__package__ + m)
-               for m in (".queries_ext", ".queries_webtext",
-                         ".queries_readers")):
+except ImportError as _e:
+    # tolerate ONLY the circular re-entry: the module the failed
+    # from-import targeted (e.name) is itself mid-import — it imported
+    # this module first and completes the registration at the end of
+    # its body.  A genuine import failure (broken dep, missing name in
+    # a COMPLETED module) must not silently shrink the catalog.
+    if not (getattr(_e, "name", None) and _mid_import(_e.name)):
         raise
 
 

@@ -782,8 +782,9 @@ def q_class_selection(sf_dir: str, n_classes: int = 10):
     Scale shape: the closure stage PRE-AGGREGATES per batch (emits
     (class, partial count) rows, a combiner), so the groupby shuffle
     moves one row per distinct class per block — never one row per
-    (entity, class) instance; the final top-N is a bounded driver
-    materialization of ``n_classes`` rows."""
+    (entity, class) instance; the top-N is a per-block partial top-N
+    followed by a single-block exact merge (the ``token_topk``
+    pattern), so the driver never sees the class-frequency table."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -809,15 +810,27 @@ def q_class_selection(sf_dir: str, n_classes: int = 10):
     freq = ds.map_batches(ClosureCounts, batch_format="pyarrow",
                           concurrency=(1, 4)) \
              .groupby("class").aggregate(Sum("cnt", alias_name="n"))
-    # top-N: bounded (n_classes rows) driver materialization with the
-    # deterministic tie-break
-    top = sorted(((r["class"], r["n"]) for r in freq.take_all()),
-                 key=lambda x: (-x[1], x[0]))[:n_classes]
-    return pa.table({
-        "class": pa.array([c for c, _ in top], type=pa.string()),
-        "n": pa.array([n for _, n in top], type=pa.int64()),
-        "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
-    })
+
+    def topn(b: pa.Table, with_rank: bool = False) -> pa.Table:
+        out = {"class": pa.array([], type=pa.string()),
+               "n": pa.array([], type=pa.int64())}
+        if with_rank:
+            out["rank"] = pa.array([], type=pa.int64())
+        if b.num_rows == 0:
+            return pa.table(out)
+        cls = b["class"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cls, -n))[:n_classes]
+        out = {"class": pa.array(cls[order], type=pa.string()),
+               "n": pa.array(n[order], type=pa.int64())}
+        if with_rank:
+            out["rank"] = pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
+        return pa.table(out)
+
+    return freq.map_batches(topn, batch_format="pyarrow", batch_size=None) \
+        .repartition(1) \
+        .map_batches(lambda b: topn(b, with_rank=True),
+                     batch_format="pyarrow", batch_size=None)
 
 
 SQL_CLASS_SELECTION = f"""
@@ -1237,7 +1250,7 @@ def _person_coref_join_path(ds, counts, doc_mentions_fn, nparts: int):
     return parted.map_batches(fold, batch_format="pyarrow", batch_size=None)
 
 
-def q_person_coref(sf_dir: str, max_candidates: int = 3):
+def q_person_coref(sf_dir: str):
     import ray
 
     from ..functions.tokenize import STOPWORD_SET, tokenize_batch
@@ -3342,12 +3355,12 @@ try:
 
     EXT_QUERIES.update(READER_QUERIES)
     EXT_ORACLES.update(READER_ORACLES)
-except ImportError:
+except ImportError as _e:
     # tolerate ONLY the circular re-entry (see the queries_webtext
     # guard below); queries_readers completes its own registration
     from .queries import _mid_import
 
-    if not _mid_import(__package__ + ".queries_readers"):
+    if not (getattr(_e, "name", None) and _mid_import(_e.name)):
         raise
 
 # webtext corpus-hygiene ops (PII redaction, canonical-URL dedup,
@@ -3358,7 +3371,7 @@ try:
 
     EXT_QUERIES.update(WEBTEXT_QUERIES)
     EXT_ORACLES.update(WEBTEXT_ORACLES)
-except ImportError:
+except ImportError as _e:
     # tolerate ONLY the circular re-entry (a worker unpickling one of
     # queries_webtext's UDFs imports it first, which re-enters this
     # module mid-import; it completes the registration itself at the
@@ -3366,7 +3379,7 @@ except ImportError:
     # shrink the catalog
     from .queries import _mid_import
 
-    if not _mid_import(__package__ + ".queries_webtext"):
+    if not (getattr(_e, "name", None) and _mid_import(_e.name)):
         raise
 
 # complete the catalog registration for the queries_ext-first import

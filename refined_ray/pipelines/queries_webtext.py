@@ -738,14 +738,15 @@ def q_token_shards(sf_dir: str, budget: int = _SHARD_TOKENS):
     import ray
 
     from .. import scrub_empty_blocks
-    from ..functions.textstats import token_stats_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def counts(b: pa.Table) -> pa.Table:
-        n = token_stats_batch(b["text"].to_pylist())["n_tokens"]
+        # only n_tokens is needed: tokenize once, diff the offsets
+        # (token_stats_batch would also pay the unique/stopword passes)
+        _, starts = tokenize_batch(b["text"].to_pylist())
         return pa.table({"doc_id": b["doc_id"],
-                         "n_tokens": pa.array(n, type=pa.int64())})
+                         "n_tokens": pa.array(np.diff(starts), type=pa.int64())})
 
     schema = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64())])
     counted = ds.map_batches(counts, batch_format="pyarrow") \

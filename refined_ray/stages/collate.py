@@ -235,6 +235,15 @@ def sentence_windows_batch(b: pa.Table, *, max_seq: int = 64,
         flat_tokens.extend(t for t, _, _ in toks)
         ends = np.asarray([e for _, e in split_sentences(text)] or [len(text)],
                           dtype=np.int64)
+        # token offsets live in text.lower() space; sentence boundaries
+        # in original space.  For the rare chars whose lowercase has a
+        # different LENGTH (e.g. 'İ' -> 'i̇'), translate the boundaries
+        # into lowered space so searchsorted compares like with like.
+        if len(text.lower()) != len(text):
+            per_char = np.fromiter((len(c.lower()) for c in text),
+                                   dtype=np.int64, count=len(text))
+            cmap = np.concatenate(([0], np.cumsum(per_char)))
+            ends = cmap[ends]
         tstarts = np.asarray([s for _, s, _ in toks], dtype=np.int64)
         assign = np.minimum(np.searchsorted(ends, tstarts, side="right"),
                             len(ends) - 1)

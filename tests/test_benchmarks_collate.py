@@ -313,3 +313,16 @@ def test_collate_windows_sentences_dataset(ray_session):
     rows = collate_windows_sentences(ds, max_seq=4).take_all()
     got = {(r["doc_id"], r["window_idx"]): r["n_tokens"] for r in rows}
     assert got == {(10, 0): 3, (10, 1): 3, (11, 0): 3}
+
+
+def test_sentence_windows_lowercase_length_shift_boundary():
+    # 'İ'.lower() is TWO chars ('i' + combining dot): token offsets
+    # (lowered space) shift right of the original-space sentence
+    # boundaries.  In "İİx y. zz ww." the token 'y' starts at lowered
+    # offset 6 == the ORIGINAL-space end of sentence 1, so without
+    # translating boundaries into lowered space it is misassigned to
+    # sentence 2 (packing [3,3]); correctly aligned it stays in
+    # sentence 1 (packing [4,2] at max_seq=4).
+    out = _sent_windows(["İİx y. zz ww."], max_seq=4).to_pylist()
+    sizes = [r["n_tokens"] for r in sorted(out, key=lambda r: r["window_idx"])]
+    assert sizes == [4, 2]

@@ -37,20 +37,45 @@ print("ok")
     assert out.endswith("ok"), out[-500:]
 
 
+_BLOCKER = """
+import sys
+from importlib.machinery import ModuleSpec
+class _Loader:
+    def create_module(self, spec):
+        raise ImportError("simulated genuine breakage", name=spec.name)
+    def exec_module(self, module):
+        raise ImportError("simulated genuine breakage")
+class Blocker:
+    def find_spec(self, name, path=None, target=None):
+        if name == "refined_ray.pipelines.{broken}":
+            return ModuleSpec(name, _Loader())
+        return None
+sys.meta_path.insert(0, Blocker())
+"""
+
+
 @pytest.mark.parametrize("broken", ["queries_ext", "queries_webtext",
                                     "queries_readers"])
 def test_genuine_import_failure_propagates(broken):
-    out = _run(f"""
-import sys
-class Blocker:
-    def find_module(self, name, path=None):
-        return self if name == "refined_ray.pipelines.{broken}" else None
-    def load_module(self, name):
-        raise ImportError("simulated genuine breakage")
-sys.meta_path.insert(0, Blocker())
+    out = _run(_BLOCKER.format(broken=broken) + """
 try:
     import refined_ray.pipelines.queries
     print("BAD: catalog imported despite broken module")
+except ImportError:
+    print("ok")
+""")
+    assert out.endswith("ok"), out[-500:]
+
+
+def test_broken_sibling_fails_worker_first_import_too():
+    """The subtle case: a worker imports queries_webtext FIRST (so it
+    is legitimately mid-import) while queries_ext is genuinely broken.
+    The guard must not mistake the broken sibling for the circular
+    re-entry and hand back a silently shrunken catalog."""
+    out = _run(_BLOCKER.format(broken="queries_ext") + """
+try:
+    import refined_ray.pipelines.queries_webtext
+    print("BAD: webtext imported despite broken queries_ext")
 except ImportError:
     print("ok")
 """)
