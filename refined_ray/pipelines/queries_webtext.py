@@ -798,6 +798,64 @@ FROM s
 
 
 # ---------------------------------------------------------------------
+# Per-row percentile rank within a group (window-function shape)
+# ---------------------------------------------------------------------
+
+
+def q_value_percentile(sf_dir: str):
+    """percent_rank() of each event's value within its event_type —
+    the per-row window-rank shape (quality-score percentile filtering
+    uses exactly this to keep "top X% per domain").
+
+    Scale shape: ONE type-keyed repartition + a lexsort/segment pass —
+    rank via each row's position among its group's sorted values
+    (average of the SQL RANK convention: ties share their min rank),
+    percentile = (rank-1)/(n-1), matching SQL percent_rank exactly."""
+    from .. import default_num_partitions
+    from .queries import _canon_round
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    parted = ds.repartition(num_blocks=default_num_partitions(),
+                            keys=["event_type"], sort=False)
+
+    def pct(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"event_id": pa.array([], type=pa.int64()),
+                             "event_type": pa.array([], type=pa.string()),
+                             "pct_rank": pa.array([], type=pa.float64())})
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        val = b["value"].to_numpy(zero_copy_only=False)
+        order, seg, sizes = _lexsort_segments(et, val)
+        et, eid, val = et[order], eid[order], val[order]
+        pos = np.arange(len(et), dtype=np.int64) - np.repeat(seg, sizes)
+        # SQL RANK ties: every row of a tie run takes the run's FIRST
+        # position — runs of equal (type, value) map to their start
+        tie_start = np.flatnonzero(
+            np.r_[True, (et[1:] != et[:-1]) | (val[1:] != val[:-1])])
+        tie_sizes = np.diff(np.r_[tie_start, len(et)])
+        rank = np.repeat(pos[tie_start], tie_sizes)
+        denom = np.maximum(np.repeat(sizes, sizes) - 1, 1)
+        return pa.table({
+            "event_id": pa.array(eid, type=pa.int64()),
+            "event_type": pa.array(et, type=pa.string()),
+            "pct_rank": _canon_round(rank / denom, 6),
+        })
+
+    return parted.map_batches(pct, batch_format="pyarrow", batch_size=None)
+
+
+def _sql_value_percentile() -> str:
+    from .queries import _sql_round
+
+    return f"""
+SELECT event_id, event_type,
+       {_sql_round("percent_rank() OVER (PARTITION BY event_type ORDER BY value)", 6)} AS pct_rank
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------
 # Compression-ratio quality signal (Gopher/RefinedWeb family)
 # ---------------------------------------------------------------------
 
@@ -930,6 +988,7 @@ WEBTEXT_QUERIES = {
     "url_latest": q_url_latest,
     "token_topk_sketch": q_token_topk_sketch,
     "doc_compressibility": q_doc_compressibility,
+    "value_percentile": q_value_percentile,
 }
 
 WEBTEXT_ORACLES = {
@@ -943,6 +1002,7 @@ WEBTEXT_ORACLES = {
     "corpus_clean": _sql_corpus_clean(),
     "token_shards": SQL_TOKEN_SHARDS,
     "url_latest": SQL_URL_LATEST,
+    "value_percentile": _sql_value_percentile(),
 }
 
 # complete the catalog registration for the webtext-first import order
