@@ -1,6 +1,9 @@
 """Webtext corpus-hygiene catalog queries (engine additions): PII
-redaction, canonical-URL dedup, C4-style global line dedup, and
-near-dup canonical-document selection.
+redaction, canonical-URL dedup + latest-crawl selection, C4-style
+global line dedup, near-dup canonical-document selection, exact and
+sketch heavy hitters, Bloom-filter decontamination, token-budget
+shard packing, per-group percentile rank, the deflate compressibility
+signal, and the composed ``corpus_clean`` training-data-prep pipeline.
 
 These are the operators a Common-Crawl-scale training-data pipeline
 runs between crawling and training (CCNet / C4 / Gopher lineage).
@@ -9,11 +12,12 @@ tables (no external data) so a DuckDB oracle can replay the result
 bit-exactly — the synth is replayed in SQL, while the operator under
 test runs only on the Ray side.
 
-Scale shapes: the redaction/canonicalization stages are stateless
-pyarrow-RE2 projections (zero Python per row); both dedups are ONE
-keyed repartition + a vectorized lexsort/segment pass per partition
-(the repo-standard exchange, no per-group pandas); the near-dup keep
-reuses the doc_clusters machinery plus one hash join.
+Scale shapes: redaction/canonicalization are stateless pyarrow-RE2
+projections (zero Python per row); every dedup/argmax/rank is ONE
+keyed repartition + the shared ``_lexsort_segments`` pass per
+partition (no per-group pandas); heavy hitters pre-aggregate per
+block before the shuffle; the sketch variants (bloom, truncated
+counts) move sketch state, never keys.
 """
 
 from __future__ import annotations
