@@ -95,6 +95,33 @@ def test_canonicalize_idempotent():
     check()
 
 
+def test_canonicalize_randomized_sql_parity():
+    """Differential test: the pyarrow kernel and the DuckDB regexp
+    chain (same RE2 programs) must agree across a randomized URL space
+    including userinfo, ports, tracking params and fragments."""
+    import random
+
+    con = duckdb.connect()
+    rng = random.Random(20260818)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp"]
+    hosts = ["A.com", "www.Ex.org", "x-y.Z.io", "User:P@H.net", "u@H.net"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/a/b", "//a//b//", "/CaseS/p/", "/a%20b"]
+    queries = ["", "?id=1", "?UTM_A=1", "?utm_a=1&id=2&gclid=x",
+               "?fbclid=1&Utm_B=2", "?a=1&b=2"]
+    frags = ["", "#f", "#a#b", "#"]
+    raws = ["".join([rng.choice(schemes), "://", rng.choice(hosts),
+                     rng.choice(ports), rng.choice(paths),
+                     rng.choice(queries), rng.choice(frags)])
+            for _ in range(300)]
+    con.execute("CREATE TABLE u AS SELECT unnest(?) AS url", [raws])
+    sql = canonical_sql("url")
+    theirs = [r[0] for r in con.execute(f"SELECT {sql} FROM u").fetchall()]
+    mine = canonicalize_urls(pa.array(raws)).to_pylist()
+    for raw, a, b in zip(raws, mine, theirs):
+        assert a == b, f"{raw!r}: arrow={a!r} sql={b!r}"
+
+
 def test_token_topk_sketch_exact_when_untruncated(ray_session):
     """With m larger than every block's vocabulary nothing is dropped,
     every bound is 0, and the sketch must equal the exact top-k."""
