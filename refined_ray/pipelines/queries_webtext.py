@@ -802,6 +802,83 @@ FROM s
 
 
 # ---------------------------------------------------------------------
+# Deterministic weighted sampling without replacement (A-Res)
+# ---------------------------------------------------------------------
+
+_WS_SEED = ":ws1"
+_WS_K = 50
+
+
+def q_corpus_weighted_sample(sf_dir: str, k: int = _WS_K):
+    """Weighted reservoir sampling without replacement (Efraimidis-
+    Spirakis A-Res): keep the k docs with the largest ln(u)/w where
+    u is a PORTABLE per-doc uniform (md5 of doc_id+seed, the
+    ``corpus_split`` hash contract — any system reproduces the draw)
+    and w = n_chars + 1 (longer docs proportionally likelier — the
+    quality-weighted sampling move of data-mixing pipelines).
+
+    Scale shape: stateless key projection, per-block partial top-k,
+    single-block exact merge (the ``token_topk`` pattern) — the
+    exchange carries ≤ k rows per block, never the corpus."""
+    from ..functions.hashing import md5_hex
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def keys(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        nch = b["n_chars"].to_numpy(zero_copy_only=False)
+        hx = md5_hex([f"{d}{_WS_SEED}" for d in did])
+        u = (np.array([int(h[:8], 16) for h in hx], dtype=np.float64) + 1.0) \
+            / 4294967297.0
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_chars": b["n_chars"],
+                         "key": pa.array(np.log(u) / (nch + 1),
+                                         type=pa.float64())})
+
+    def topk(b: pa.Table, with_rank: bool = False) -> pa.Table:
+        out = {"doc_id": pa.array([], type=pa.int64()),
+               "n_chars": pa.array([], type=pa.int64()),
+               "key": pa.array([], type=pa.float64())}
+        if with_rank:
+            out = {"doc_id": out["doc_id"], "n_chars": out["n_chars"],
+                   "rank": pa.array([], type=pa.int64())}
+        if b.num_rows == 0:
+            return pa.table(out)
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        nch = b["n_chars"].to_numpy(zero_copy_only=False)
+        key = b["key"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -key))[:k]
+        if with_rank:
+            return pa.table({
+                "doc_id": pa.array(did[order], type=pa.int64()),
+                "n_chars": pa.array(nch[order], type=pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            })
+        return pa.table({"doc_id": pa.array(did[order], type=pa.int64()),
+                         "n_chars": pa.array(nch[order], type=pa.int64()),
+                         "key": pa.array(key[order], type=pa.float64())})
+
+    return ds.map_batches(keys, batch_format="pyarrow") \
+        .map_batches(topk, batch_format="pyarrow", batch_size=None) \
+        .repartition(1) \
+        .map_batches(lambda b: topk(b, with_rank=True),
+                     batch_format="pyarrow", batch_size=None)
+
+
+SQL_CORPUS_WEIGHTED_SAMPLE = f"""
+WITH w AS (
+  SELECT doc_id, n_chars,
+         ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '{_WS_SEED}'), 1, 8)) AS BIGINT) + 1)
+            / 4294967297.0) / (n_chars + 1) AS key
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rank
+FROM w ORDER BY key DESC, doc_id LIMIT {_WS_K}
+"""
+
+
+# ---------------------------------------------------------------------
 # Per-row percentile rank within a group (window-function shape)
 # ---------------------------------------------------------------------
 
@@ -993,6 +1070,7 @@ WEBTEXT_QUERIES = {
     "token_topk_sketch": q_token_topk_sketch,
     "doc_compressibility": q_doc_compressibility,
     "value_percentile": q_value_percentile,
+    "corpus_weighted_sample": q_corpus_weighted_sample,
 }
 
 WEBTEXT_ORACLES = {
@@ -1007,6 +1085,7 @@ WEBTEXT_ORACLES = {
     "token_shards": SQL_TOKEN_SHARDS,
     "url_latest": SQL_URL_LATEST,
     "value_percentile": _sql_value_percentile(),
+    "corpus_weighted_sample": SQL_CORPUS_WEIGHTED_SAMPLE,
 }
 
 # complete the catalog registration for the webtext-first import order

@@ -12,8 +12,8 @@ import sys
 
 import pytest
 
-N_QUERIES = 87
-N_ORACLES = 66
+N_QUERIES = 88
+N_ORACLES = 67
 
 _FIRST = ["queries", "queries_ext", "queries_webtext", "queries_readers",
           "entity_resolution", "evaluation", "offline_build", "table_linking"]
