@@ -127,10 +127,13 @@ def q_top_customers(sf_dir: str):
     """Join + grouped sum + global top-k (≙ J7 join, O2 top-k)."""
     from ray.data.aggregate import Sum
 
+    from .. import default_num_partitions
+
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     rev = orders.groupby("o_custkey").aggregate(Sum("o_totalprice", alias_name="revenue"))
-    joined = rev.join(cust, join_type="inner", num_partitions=4, on=("o_custkey",), right_on=("c_custkey",))
+    joined = rev.join(cust, join_type="inner", num_partitions=default_num_partitions(),
+                      on=("o_custkey",), right_on=("c_custkey",))
     top = joined.sort(["revenue", "o_custkey"], descending=[True, False]).limit(10)
 
     def _fmt(b: pa.Table) -> pa.Table:

@@ -107,7 +107,10 @@ def iter_pages(lines: Iterable[str], *, unescape_entities: bool = True
         if m:
             if page_id is None:
                 page_id = m.group(1)
-            elif revid is None:
+            else:
+                # reference parity: every subsequent <id> (revision id,
+                # then <contributor><id> on real dumps) overwrites revid
+                # — last-id-wins, matching wiki_extractor's pages_from
                 revid = m.group(1)
             continue
         m = _TEXT_OPEN.search(line)

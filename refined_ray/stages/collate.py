@@ -206,9 +206,14 @@ def sentence_windows_batch(b: pa.Table, *, max_seq: int = 64,
     Token→sentence assignment matches the reference exactly
     (doc_types.py:285-295): a token belongs to the current sentence
     until its start offset reaches the sentence's end boundary, and
-    tokens past the last boundary clamp to the last sentence —
-    expressed here as one ``searchsorted`` over the sentence end
-    offsets per doc instead of the reference's per-token advance loop.
+    the cursor advances AT MOST ONE sentence per token (so a token
+    that jumps past several token-free sentences lands on
+    ``prev+1``, not its raw searchsorted slot) with tokens past the
+    last boundary clamping to the last sentence.  Expressed here as
+    one ``searchsorted`` plus a cumulative-minimum recurrence
+    ``assign[i] = min(raw[i], assign[i-1]+1)`` (vectorized as
+    ``arange + minimum(1, cummin(raw - arange))``) instead of the
+    reference's per-token advance loop.
 
     Cost shape: the sentence splitter and offset tokenizer are python
     regex passes per doc (exactly the reference's per-doc cost); the
@@ -245,8 +250,14 @@ def sentence_windows_batch(b: pa.Table, *, max_seq: int = 64,
             cmap = np.concatenate(([0], np.cumsum(per_char)))
             ends = cmap[ends]
         tstarts = np.asarray([s for _, s, _ in toks], dtype=np.int64)
-        assign = np.minimum(np.searchsorted(ends, tstarts, side="right"),
-                            len(ends) - 1)
+        raw = np.minimum(np.searchsorted(ends, tstarts, side="right"),
+                         len(ends) - 1)
+        # reference advances the sentence cursor at most ONE step per
+        # token (doc_types.py:287-294): assign[i] = min(raw[i],
+        # assign[i-1]+1), assign[-1] ≡ 0 — a cummin over raw - arange
+        ar = np.arange(len(raw), dtype=np.int64)
+        assign = ar + np.minimum(np.int64(1),
+                                 np.minimum.accumulate(raw - ar))
         counts = np.bincount(assign, minlength=len(ends))
         win_sizes.append(greedy_sentence_pack(counts, max_seq))
 

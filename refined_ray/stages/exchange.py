@@ -113,6 +113,17 @@ def exchange_map_partitions(ds, key_cols: list[str], partition_fn,
                 tid = _ray.get_runtime_context().get_task_id() or ""
             except Exception:
                 tid = ""
+            if not tid:
+                # No stable task id → retried tasks would mint NEW file
+                # names instead of replacing their first attempt's
+                # files, silently duplicating rows.  The commit protocol
+                # depends on task-stable names, so fail loudly.
+                raise RuntimeError(
+                    "exchange writer requires a Ray task id for its "
+                    "retry-replacement commit protocol (retried tasks "
+                    "must overwrite their first attempt's files); "
+                    "get_task_id() returned nothing — is the writer "
+                    "running outside a Ray task?")
             if tid != _wstate["tid"]:
                 _wstate["tid"], _wstate["i"] = tid, 0
             call_i, _wstate["i"] = _wstate["i"], _wstate["i"] + 1

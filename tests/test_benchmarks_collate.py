@@ -326,3 +326,16 @@ def test_sentence_windows_lowercase_length_shift_boundary():
     out = _sent_windows(["İİx y. zz ww."], max_seq=4).to_pylist()
     sizes = [r["n_tokens"] for r in sorted(out, key=lambda r: r["window_idx"])]
     assert sizes == [4, 2]
+
+
+def test_sentence_windows_single_step_advance_past_empty_sentences():
+    # Round-3 ADVICE: the reference advances the sentence cursor AT
+    # MOST ONE step per token (doc_types.py:287-294), so tokens after
+    # punctuation-only sentences land on prev+1, not their raw
+    # searchsorted slot.  Per-sentence counts for this text are
+    # [2, 1, 1, 2] (reference), NOT [2, 0, 0, 4] (plain searchsorted);
+    # at max_seq=3 the greedy pack is therefore [3, 3], not [2, 3, 1].
+    text = "Hello world. ??? !!! Next sentence here okay."
+    out = _sent_windows([text], max_seq=3).to_pylist()
+    sizes = [r["n_tokens"] for r in sorted(out, key=lambda r: r["window_idx"])]
+    assert sizes == [3, 3]

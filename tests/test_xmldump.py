@@ -89,3 +89,18 @@ def test_read_xml_pages_dataset_ns_filter(ray_session, tmp_path):
     types = dict(zip(t.names, t.types))
     assert types["page_id"] == pa.int64()
     assert types["text"] == pa.large_string()
+
+
+def test_iter_pages_revid_last_id_wins_contributor():
+    # Round-3 ADVICE: real MediaWiki dumps carry <contributor><id>
+    # after the revision id; the reference's pages_from assigns every
+    # subsequent <id> to revid (last-id-wins), so ours must too.
+    lines = [
+        "<page>\n", "  <title>X</title>\n", "  <ns>0</ns>\n",
+        "  <id>11</id>\n", "  <revision>\n", "    <id>22</id>\n",
+        "    <contributor>\n", "      <id>33</id>\n",
+        "    </contributor>\n",
+        "    <text>hello</text>\n", "  </revision>\n", "</page>\n",
+    ]
+    (p,) = iter_pages(lines)
+    assert (p["page_id"], p["revid"]) == (11, 33)
