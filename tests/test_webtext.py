@@ -204,6 +204,34 @@ def test_decontaminate_bloom_superset_of_exact(ray_session):
     assert inflation <= max(2, 0.05 * sum(exact.values()))
 
 
+def test_decontaminate_bloom_sharded_matches_exact(ray_session):
+    """Forced multi-shard path (round-3 VERDICT #1): a tiny per-shard
+    budget splits the filter into 8 hash-ranged sub-filters, built by
+    one keyed repartition and probed via filter/test co-partitioning —
+    no driver fold, no broadcast-size ValueError.  At 64 bits/key + 6
+    hashes the FP rate is ~5e-7 per probe, and the hashing is seedless
+    and deterministic, so the output must EQUAL the exact join on this
+    fixture (verified once, pinned forever)."""
+    from refined_ray.pipelines.queries_ext import q_decontaminate
+    from refined_ray.pipelines.queries_webtext import q_decontaminate_bloom
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["doc_id"]: r["n_contaminated"]
+             for r in q_decontaminate(sf).iter_rows()}
+    sharded = {r["doc_id"]: r["n_contaminated"]
+               for r in q_decontaminate_bloom(
+                   sf, bits_per_key=64, n_hashes=6,
+                   max_filter_bits=1 << 18).iter_rows()}
+    assert exact and sharded == exact
+
+
+def test_decontaminate_bloom_rejects_bad_budget():
+    from refined_ray.pipelines.queries_webtext import q_decontaminate_bloom
+
+    with pytest.raises(ValueError, match="power of two"):
+        q_decontaminate_bloom("/root/testdata/sf0.001", max_filter_bits=100)
+
+
 @pytest.mark.parametrize("text,want", [
     ("mail bob.smith+x@Sub.Example.org now", "mail <EMAIL> now"),
     ("call 415-555-0199 today", "call <PHONE> today"),
