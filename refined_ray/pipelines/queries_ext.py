@@ -1552,29 +1552,33 @@ FROM flat
 # ---------------------------------------------------------------------
 
 
-def q_table_link(sf_dir: str, k: int = 3):
+def _table_link_cells(b: pa.Table) -> pa.Table:
+    """First token of every non-empty doc as a (row_id, col, surface)
+    cell — the shared synthetic cell table for both table-link
+    queries."""
     from ..functions.tokenize import tokenize_batch
+
+    texts = b["text"].to_pylist()
+    ids = b["doc_id"].to_pylist()
+    flat, starts = tokenize_batch(texts)
+    rid, surf = [], []
+    for i, did in enumerate(ids):
+        if starts[i + 1] > starts[i]:
+            rid.append(did)
+            surf.append(flat[starts[i]])
+    return pa.table({
+        "row_id": pa.array(rid, type=pa.int64()),
+        "col": pa.array(["c0"] * len(rid), type=pa.string()),
+        "surface": pa.array(surf, type=pa.string()),
+    })
+
+
+def q_table_link(sf_dir: str, k: int = 3):
     from .queries import q_pem_table
     from .table_linking import link_cells
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def to_cells(b: pa.Table) -> pa.Table:
-        texts = b["text"].to_pylist()
-        ids = b["doc_id"].to_pylist()
-        flat, starts = tokenize_batch(texts)
-        rid, surf = [], []
-        for i, did in enumerate(ids):
-            if starts[i + 1] > starts[i]:
-                rid.append(did)
-                surf.append(flat[starts[i]])
-        return pa.table({
-            "row_id": pa.array(rid, type=pa.int64()),
-            "col": pa.array(["c0"] * len(rid), type=pa.string()),
-            "surface": pa.array(surf, type=pa.string()),
-        })
-
-    cells = docs.map_batches(to_cells, batch_format="pyarrow")
+    cells = docs.map_batches(_table_link_cells, batch_format="pyarrow")
     return link_cells(cells, q_pem_table(sf_dir), k=k)
 
 
@@ -1596,6 +1600,66 @@ WITH toks AS (
 SELECT c.row_id, c.col, c.surface, CAST(r.rank AS BIGINT) AS rank, r.entity, r.prob
 FROM cells c JOIN ranked r ON r.surface = c.surface
 WHERE r.rank <= 3
+"""
+
+
+def q_table_link_koala(sf_dir: str, k: int = 3):
+    """Koala-shaped table linking (≙ job_service.py:181-230): the
+    nested per-row result (candidates + null-candidate NIL handling +
+    A7 column classification) built by ``koala_table_link``, exploded
+    back to flat rows for the oracle gate.  The nested shape itself is
+    golden-tested in tests/test_table_linking.py."""
+    from .queries import q_pem_table
+    from .table_linking import flatten_koala, koala_table_link
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cells = docs.map_batches(_table_link_cells, batch_format="pyarrow")
+    return flatten_koala(koala_table_link(cells, q_pem_table(sf_dir), k=k))
+
+
+_SQL_COARSE_OF = ("CASE (strpos('0123456789abcdef', substr(md5({e}), 1, 1)) - 1) % 4 "
+                  "WHEN 0 THEN 'PERSON' WHEN 1 THEN 'ORG' WHEN 2 THEN 'LOC' "
+                  "ELSE 'OTHER' END")
+
+SQL_TABLE_LINK_KOALA = f"""
+WITH toks AS (
+  SELECT source AS entity, unnest(list_distinct({_TOKS})) AS surface FROM documents
+), pem AS (
+  SELECT surface, entity, count(*) AS cnt,
+         count(*) / CAST(sum(count(*)) OVER (PARTITION BY surface) AS DOUBLE) AS prob
+  FROM toks GROUP BY 1, 2
+), ranked AS (
+  SELECT surface, entity, prob,
+         row_number() OVER (PARTITION BY surface ORDER BY prob DESC, entity) AS rank
+  FROM pem
+), cells AS (
+  SELECT doc_id AS row_id, list_extract({_TOKS}, 1) AS surface
+  FROM documents WHERE len({_TOKS}) >= 1
+), linked AS (
+  SELECT c.row_id, c.surface, r.rank, r.entity, r.prob
+  FROM cells c LEFT JOIN (SELECT * FROM ranked WHERE rank <= 3) r
+    ON r.surface = c.surface
+), coarse_c AS (
+  SELECT row_id,
+         CASE WHEN entity IS NULL THEN 'OTHER'
+              ELSE {_SQL_COARSE_OF.format(e='entity')} END AS coarse
+  FROM linked WHERE rank = 1 OR rank IS NULL
+), hist AS (
+  SELECT coarse, count(*) AS n FROM coarse_c GROUP BY 1
+)
+SELECT l.row_id, l.surface,
+       CAST(COALESCE(l.rank, 1) AS BIGINT) AS idx,
+       COALESCE(l.entity, 'null') AS cand_id,
+       CASE WHEN l.entity IS NULL THEN l.surface ELSE l.entity END AS cand_name,
+       COALESCE(l.prob, 0.0) AS score,
+       CAST(CASE WHEN l.entity IS NOT NULL AND l.rank = 1 THEN 1 ELSE 0 END
+            AS BIGINT) AS is_match,
+       CASE WHEN l.entity IS NOT NULL AND l.rank = 1 THEN cc.coarse ELSE '' END
+         AS type_id,
+       cc.coarse,
+       (SELECT coarse FROM hist ORDER BY n DESC, coarse LIMIT 1) AS col_coarse,
+       (SELECT CAST(count(*) AS BIGINT) FROM cells) AS n_cells
+FROM linked l JOIN coarse_c cc USING (row_id)
 """
 
 
@@ -2006,6 +2070,7 @@ EXT_QUERIES = {
     "decontaminate": q_decontaminate,
     "doc_repetition": q_doc_repetition,
     "table_link": q_table_link,
+    "table_link_koala": q_table_link_koala,
     "global_pad": q_global_pad,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
@@ -2040,6 +2105,7 @@ EXT_ORACLES = {
     "decontaminate": _sql_decontaminate(),
     "doc_repetition": _sql_doc_repetition(),
     "table_link": SQL_TABLE_LINK,
+    "table_link_koala": SQL_TABLE_LINK_KOALA,
     "global_pad": SQL_GLOBAL_PAD,
     # corpus_shuffle: rows-only (engine-internal permutation; pytest
     # gate asserts permutation + fixed-seed determinism)

@@ -49,3 +49,44 @@ def test_join_path_equals_broadcast(ray_session, monkeypatch):
     base = _run(CELLS, PEM)
     joined = _run(CELLS, PEM, monkeypatch=monkeypatch, force_join=True)
     pd.testing.assert_frame_equal(base, joined)
+
+
+def test_koala_nested_shape(ray_session):
+    """Golden test of the Koala nesting (job_service.py:181-230):
+    per-row candidates with is_match/types, the null candidate on NIL
+    cells, and the histogram+argmax column classification."""
+    import ray.data as rd
+
+    from refined_ray.pipelines.table_linking import (entity_coarse_type,
+                                                     koala_table_link)
+
+    out = koala_table_link(rd.from_arrow(CELLS), rd.from_arrow(PEM), k=2)
+    rows = {r["row_id"]: r for r in out.take_all()}
+    assert set(rows) == {1, 2, 3}
+
+    r1 = rows[1]
+    assert r1["idRow"] == "row_1" and r1["idColumn"] == 0
+    assert r1["data"] == ["The Apple"]
+    c = r1["candidates"]
+    assert [x["id"] for x in c] == ["Q1", "Q2"]
+    assert [x["is_match"] for x in c] == [True, False]
+    assert c[0]["score"] == 0.75 and c[0]["description"] == ""
+    t1 = entity_coarse_type(["Q1"])[0]
+    assert c[0]["types"] == [{"id": t1, "name": t1}]
+    assert c[1]["types"] == [] and r1["coarse"] == t1
+
+    # NIL cell → single null candidate, coarse OTHER
+    c3 = rows[3]["candidates"]
+    assert len(c3) == 1
+    assert c3[0]["id"] == "null" and c3[0]["name"] == "unknown thing"
+    assert c3[0]["score"] == 0.0 and not c3[0]["is_match"]
+    assert c3[0]["types"] == [] and rows[3]["coarse"] == "OTHER"
+
+    # column classification: histogram over {t1, t3, OTHER}, ties by name
+    t3 = entity_coarse_type(["Q3"])[0]
+    hist = {}
+    for v in (t1, t3, "OTHER"):
+        hist[v] = hist.get(v, 0) + 1
+    want = min(hist.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    assert rows[1]["col_coarse"] == want
+    assert all(r["n_cells"] == 3 for r in rows.values())
