@@ -236,11 +236,70 @@ SELECT doc_id, 'Doc ' || doc_id AS title, text FROM documents
 """
 
 
+def q_wiki_redirects(sf_dir: str):
+    """S3 original form: stage ``page.sql.gz`` / ``redirect.sql.gz``
+    in the enwiki dump format (multi-row ``INSERT INTO ... VALUES``
+    lines, short DDL decoy lines) from the nation/region tables, parse
+    them back with the reference-contract regex readers
+    (process_wiki.py:61-113), and resolve redirects through the
+    distributed page⋈redirect join (J2).
+
+    Decoys the parser/join must drop: ns=1 talk pages, ns=1 redirect
+    rows, redirects from ids that exist only as ns-1 pages (only
+    dropped if the page reader's ns gate fired), and redirects from
+    ids that exist in no page row.  A planted comma-in-title page
+    exercises the regex backtracking."""
+    import pyarrow.parquet as pq
+
+    from ..sources.sqldump import (page_tuple, redirect_tuple, wiki_redirects,
+                                   write_sql_dump)
+
+    d = os.path.join(_fixture_dir(sf_dir), "sqldump")
+    done = os.path.join(d, "_STAGED")
+    if not os.path.exists(done):
+        os.makedirs(d, exist_ok=True)
+        nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                            columns=["n_nationkey", "n_name", "n_regionkey"])
+        reg = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                            columns=["r_regionkey", "r_name"])
+        rname = dict(zip(reg["r_regionkey"].to_pylist(),
+                         reg["r_name"].to_pylist()))
+        pages, reds = [], []
+        for nk, nn, rk in zip(nat["n_nationkey"].to_pylist(),
+                              nat["n_name"].to_pylist(),
+                              nat["n_regionkey"].to_pylist()):
+            pages.append(page_tuple(nk + 1000, 0, f"N_{nn}", latest=nk + 1,
+                                    length=100 + nk))
+            pages.append(page_tuple(nk + 2000, 1, f"Talk_{nn}"))  # ns decoy
+            reds.append(redirect_tuple(nk + 1000, 0, f"R_{rname[rk]}"))
+            reds.append(redirect_tuple(nk + 1000, 1, "BAD_NS"))       # ns decoy
+            reds.append(redirect_tuple(nk + 2000, 0, "ONLY_NS1_PAGE"))  # page ns gate
+            reds.append(redirect_tuple(nk + 777000, 0, "DANGLING"))   # no page row
+        pages.append(page_tuple(9001, 0, "Comma, Title"))
+        reds.append(redirect_tuple(9001, 0, "Comma, Target"))
+        write_sql_dump(os.path.join(d, "page.sql.gz"), "page", pages)
+        write_sql_dump(os.path.join(d, "redirect.sql.gz"), "redirect", reds)
+        with open(done, "w") as f:
+            f.write("ok")
+
+    return wiki_redirects(os.path.join(d, "page.sql.gz"),
+                          os.path.join(d, "redirect.sql.gz"))
+
+
+SQL_WIKI_REDIRECTS = """
+SELECT 'N_' || n_name AS wiki_title, 'R_' || r_name AS dest_title
+FROM nation JOIN region ON r_regionkey = n_regionkey
+UNION ALL
+SELECT 'Comma, Title', 'Comma, Target'
+"""
+
+
 READER_QUERIES = {
     "aida_means": q_aida_means,
     "el_docs": q_el_docs,
     "collated_windows": q_collated_windows,
     "xml_pages": q_xml_pages,
+    "wiki_redirects": q_wiki_redirects,
 }
 
 READER_ORACLES = {
@@ -248,6 +307,7 @@ READER_ORACLES = {
     "el_docs": SQL_EL_DOCS,
     "collated_windows": SQL_COLLATED_WINDOWS,
     "xml_pages": SQL_XML_PAGES,
+    "wiki_redirects": SQL_WIKI_REDIRECTS,
 }
 
 # complete the catalog registration for the readers-first import order

@@ -12,8 +12,8 @@ import sys
 
 import pytest
 
-N_QUERIES = 89
-N_ORACLES = 68
+N_QUERIES = 90
+N_ORACLES = 69
 
 _FIRST = ["queries", "queries_ext", "queries_webtext", "queries_readers",
           "entity_resolution", "evaluation", "offline_build", "table_linking"]
