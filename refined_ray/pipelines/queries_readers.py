@@ -294,12 +294,73 @@ SELECT 'Comma, Title', 'Comma, Target'
 """
 
 
+def q_aida_conll(sf_dir: str, sent_tokens: int = 8):
+    """Per-dataset EL reader variant (S6): stage ``documents`` as an
+    AIDA CoNLL mention-detection file (``-DOCSTART-`` per doc,
+    ``tok POS DEP NER`` lines, blank line per sentence, a planted
+    ``-LRB-`` special tag opening every doc) and read it back through
+    the reference-contract doc splitter (conll_reader.py:119-161) in
+    article mode with ``bio_only``.
+
+    The oracle replays the arithmetic AND the reference's EOF quirk —
+    the file's LAST document is dropped (docs only flush on the next
+    ``-DOCSTART-``), so the max doc_id is excluded."""
+    import pyarrow.parquet as pq
+
+    from ..functions.tokenize import tokenize_batch
+    from ..sources.conll import read_conll_docs
+
+    d = _fixture_dir(sf_dir)
+    path = os.path.join(d, "aida_conll.txt")
+    if not os.path.exists(path):
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        rows = sorted(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            for did, text in rows:
+                f.write(f"-DOCSTART- ({did} testa)\n")
+                flat, starts = tokenize_batch([text])
+                toks = ["-LRB-"] + list(flat[starts[0]:starts[1]])
+                for j, tok in enumerate(toks):
+                    ner = ("B-PER" if j % 7 == 0
+                           else "I-PER" if j % 7 == 1 else "O")
+                    f.write(f"{tok} NNP _ {ner}\n")
+                    if j % sent_tokens == sent_tokens - 1:
+                        f.write("\n")
+                f.write("\n")
+        os.replace(tmp, path)
+
+    return read_conll_docs(path, bio_only=True, sentence_level=False)
+
+
+SQL_AIDA_CONLL = f"""
+WITH docs AS (
+  SELECT doc_id, ['('] || {_TOKS} AS toks,
+         row_number() OVER (ORDER BY doc_id) - 1 AS doc_idx
+  FROM documents
+), tok AS (
+  SELECT doc_idx, doc_id, unnest(toks) AS token,
+         unnest(range(0, len(toks))) AS j
+  FROM docs
+)
+SELECT CAST(doc_idx AS BIGINT) AS doc_idx,
+       CAST(j // 8 AS BIGINT) AS sent_idx,
+       CAST(j % 8 AS BIGINT) AS tok_idx,
+       token, 'NNP' AS pos, '_' AS dep,
+       CASE j % 7 WHEN 0 THEN 'B' WHEN 1 THEN 'I' ELSE 'O' END AS ner
+FROM tok
+WHERE doc_id < (SELECT max(doc_id) FROM documents)
+"""
+
+
 READER_QUERIES = {
     "aida_means": q_aida_means,
     "el_docs": q_el_docs,
     "collated_windows": q_collated_windows,
     "xml_pages": q_xml_pages,
     "wiki_redirects": q_wiki_redirects,
+    "aida_conll": q_aida_conll,
 }
 
 READER_ORACLES = {
@@ -308,6 +369,7 @@ READER_ORACLES = {
     "collated_windows": SQL_COLLATED_WINDOWS,
     "xml_pages": SQL_XML_PAGES,
     "wiki_redirects": SQL_WIKI_REDIRECTS,
+    "aida_conll": SQL_AIDA_CONLL,
 }
 
 # complete the catalog registration for the readers-first import order
