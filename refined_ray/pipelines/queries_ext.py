@@ -2119,6 +2119,91 @@ EXT_ORACLES = {
 # ---------------------------------------------------------------------
 
 
+def ivf_centroids(ds, n_cells: int, n_iters: int = 2):
+    """Coarse IVF centroids: stride-sampled seeds refined by
+    ``n_iters`` DISTRIBUTED spherical-Lloyd rounds (round-3 VERDICT
+    #8 — seeds alone mis-shape cells on clustered data).
+
+    Scale shape per round (the CC-loop pattern): centroids broadcast
+    via ``ray.put``; each block computes per-cell partial (sum-vector,
+    count) rows — ≤ ``n_cells`` TINY rows per block, the vectors
+    themselves never move; partials fold by ONE keyed repartition on
+    cell; exactly ≤ ``n_cells`` folded rows cross to the driver, which
+    renormalizes (spherical k-means — the metric is cosine) and
+    re-broadcasts.  Empty cells keep their previous centroid.
+    Deterministic: seeds are file-order strided, every fold is
+    order-independent summation re-sorted by cell."""
+    import ray
+
+    from .. import default_num_partitions
+
+    sample = ds.limit(n_cells * 64).take_all()
+    S = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(S, axis=1, keepdims=True)
+    np.divide(S, norms, out=S, where=norms > 0)
+    C = S[::max(len(S) // n_cells, 1)][:n_cells].copy()
+    dim = C.shape[1]
+
+    for _ in range(n_iters):
+        cref = ray.put(C)
+
+        def partial(b: pa.Table, _cref=cref) -> pa.Table:
+            empty = pa.table({"cell": pa.array([], type=pa.int64()),
+                              "vsum": pa.array([], type=pa.binary()),
+                              "n": pa.array([], type=pa.int64())})
+            if b.num_rows == 0:
+                return empty
+            Cc = ray.get(_cref)
+            E = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+            nn = np.linalg.norm(E, axis=1, keepdims=True)
+            np.divide(E, nn, out=E, where=nn > 0)
+            cell = np.argmax(E @ Cc.T, axis=1)
+            sums = np.zeros((len(Cc), E.shape[1]))
+            np.add.at(sums, cell, E)
+            cnt = np.bincount(cell, minlength=len(Cc))
+            live = np.flatnonzero(cnt)
+            return pa.table({
+                "cell": pa.array(live, type=pa.int64()),
+                "vsum": pa.array([sums[c].tobytes() for c in live],
+                                 type=pa.binary()),
+                "n": pa.array(cnt[live], type=pa.int64()),
+            })
+
+        def fold(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"cell": pa.array([], type=pa.int64()),
+                                 "vsum": pa.array([], type=pa.binary()),
+                                 "n": pa.array([], type=pa.int64())})
+            cell = b["cell"].to_numpy(zero_copy_only=False)
+            n = b["n"].to_numpy(zero_copy_only=False)
+            V = np.stack([np.frombuffer(v.as_py(), dtype=np.float64)
+                          for v in b["vsum"]])
+            out_c = np.unique(cell)
+            sums = np.zeros((len(out_c), V.shape[1]))
+            np.add.at(sums, np.searchsorted(out_c, cell), V)
+            cnt = np.zeros(len(out_c), dtype=np.int64)
+            np.add.at(cnt, np.searchsorted(out_c, cell), n)
+            return pa.table({
+                "cell": pa.array(out_c, type=pa.int64()),
+                "vsum": pa.array([s.tobytes() for s in sums], type=pa.binary()),
+                "n": pa.array(cnt, type=pa.int64()),
+            })
+
+        rows = ds.map_batches(partial, batch_format="pyarrow") \
+            .repartition(num_blocks=min(n_cells, default_num_partitions()),
+                         keys=["cell"], sort=False) \
+            .map_batches(fold, batch_format="pyarrow", batch_size=None) \
+            .take_all()
+        newC = C.copy()
+        for r in sorted(rows, key=lambda r: r["cell"]):
+            mean = np.frombuffer(r["vsum"], dtype=np.float64)[:dim] / r["n"]
+            nrm = np.linalg.norm(mean)
+            if nrm > 0:
+                newC[r["cell"]] = mean / nrm
+        C = newC
+    return C
+
+
 def q_ann_ivf(sf_dir: str, k: int = 5, max_qid: int = 10, n_cells: int = 16,
               n_probe: int = 8):
     """IVF approximate top-k: vectors partition into coarse cells
@@ -2135,16 +2220,10 @@ def q_ann_ivf(sf_dir: str, k: int = 5, max_qid: int = 10, n_cells: int = 16,
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
-    # Coarse centroids from a BOUNDED sample (n_cells*64 rows via
-    # limit()) — never the full matrix on the driver (round 1 loaded
-    # all N vectors, the exact materialization IVF exists to avoid).
-    # Deterministic: limit() takes the first rows in file order.
-    sample = ds.limit(n_cells * 64).take_all()
-    S = np.array([r["embedding"] for r in sample], dtype=np.float64)
-    norms = np.linalg.norm(S, axis=1, keepdims=True)
-    np.divide(S, norms, out=S, where=norms > 0)
-    stride = max(len(S) // n_cells, 1)
-    C = S[::stride][:n_cells]
+    # Coarse centroids: bounded-sample seeds + distributed Lloyd
+    # rounds (never the full matrix on the driver — ≤ n_cells tiny
+    # partial rows per block move, see ivf_centroids)
+    C = ivf_centroids(ds, n_cells)
 
     # query vectors: a bounded filtered read (max_qid rows)
     qrows = sorted((r["vec_id"], r["embedding"])
@@ -2243,12 +2322,9 @@ def q_ann_ivf_partitioned(sf_dir: str, k: int = 5, max_qid: int = 10,
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
-    # centroids + queries: same bounded-sample scheme as q_ann_ivf
-    sample = ds.limit(n_cells * 64).take_all()
-    S = np.array([r["embedding"] for r in sample], dtype=np.float64)
-    norms = np.linalg.norm(S, axis=1, keepdims=True)
-    np.divide(S, norms, out=S, where=norms > 0)
-    C = S[::max(len(S) // n_cells, 1)][:n_cells]
+    # centroids + queries: same seed + Lloyd scheme as q_ann_ivf, so
+    # the parity test compares identical cell geometry
+    C = ivf_centroids(ds, n_cells)
     qrows = sorted((r["vec_id"], r["embedding"])
                    for r in ds.filter(expr=f"vec_id < {max_qid}").take_all())
     qids = np.array([v for v, _ in qrows], dtype=np.int64)

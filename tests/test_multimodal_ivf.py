@@ -35,3 +35,25 @@ def test_ivf_partitioned_matches_inmap_ivf(ray_session):
     # same centroids, same probe sets → identical results; only the
     # storage layout (partitioned parquet + pruned read) differs
     assert base == part
+
+
+def test_ivf_lloyd_recall_gate(ray_session):
+    """Round-3 VERDICT #8: distributed-Lloyd centroids must reach
+    recall@5 >= 0.9 vs brute force at sf0.01 (measured 0.96 at
+    n_probe=12; stride seeds alone measure 0.84 — the Lloyd rounds are
+    worth ~+0.1 at every probe level on the 10x corpus, while at
+    sf0.001's 50 gold pairs the difference is +-1 hit noise)."""
+    from refined_ray.pipelines.queries import q_ann_topk
+    from refined_ray.pipelines.queries_ext import q_ann_ivf
+
+    sf = "/root/testdata/sf0.01"
+    brute: dict[int, set[int]] = {}
+    for r in q_ann_topk(sf).take_all():
+        brute.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ivf: dict[int, set[int]] = {}
+    for r in q_ann_ivf(sf, n_probe=12).take_all():
+        ivf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(brute[q] & ivf.get(q, set())) for q in brute)
+    tot = sum(len(v) for v in brute.values())
+    assert tot >= 50
+    assert hits / tot >= 0.9, f"recall@5 {hits}/{tot}"
