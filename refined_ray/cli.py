@@ -242,6 +242,25 @@ def cmd_ingest_finalize(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Run the HTTP job service (≙ the reference's FastAPI app) until
+    interrupted: ``python -m refined_ray serve --sf-dir D --port P``."""
+    from refined_ray.http_service import serve
+
+    server, svc = serve(args.sf_dir, host=args.host, port=args.port)
+    host, port = server.server_address[:2]
+    print(json.dumps({"serving": f"http://{host}:{port}",
+                      "sf_dir": args.sf_dir}), flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        svc.shutdown()
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="refined_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -265,6 +284,12 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--fatten", type=int, default=1)
     f.add_argument("--exact-verify", action="store_true")
     f.set_defaults(fn=cmd_flagship, needs_ray=True)
+
+    s = sub.add_parser("serve")
+    s.add_argument("--sf-dir", required=True)
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8080)
+    s.set_defaults(fn=cmd_serve, needs_ray=True)
 
     ing = sub.add_parser("ingest").add_subparsers(dest="ingest_cmd", required=True)
     a = ing.add_parser("add-part")
