@@ -44,7 +44,26 @@ HEADLINE = [
     # comparability): the webtext corpus-hygiene family
     "line_dedup",
     "corpus_clean",
+    # appended round 4: the GPU-shaped actor-pool scorer path (same
+    # flagship job as er_clusters with scorer="actor" — VERDICT r3 #7:
+    # the path needs a recorded wall number, not just parity tests)
+    "er_clusters_actor",
 ]
+
+# Single recorded runs of these two swung 16-18% between rounds purely
+# from sandbox ambient load (VERDICT r3 perf section): take the min of
+# 3 runs so the recorded number is the converged one.
+NOISY_3RUN = {"neardup_shingle", "exact_dedup"}
+
+
+def _bench_er_clusters_actor(sf_dir: str):
+    from refined_ray.pipelines.entity_resolution import er_cluster_pages
+
+    return er_cluster_pages(sf_dir, scorer="actor")
+
+
+# bench-only variants (not catalog queries): name -> callable(sf_dir)
+BENCH_EXTRA = {"er_clusters_actor": _bench_er_clusters_actor}
 
 
 def _run_queries(num_cpus: int, names: list[str], sf_dir: str) -> dict:
@@ -58,12 +77,17 @@ def _run_queries(num_cpus: int, names: list[str], sf_dir: str) -> dict:
         ensure_webpages(sf_dir)  # generation is one-time setup, not pipeline time
         timings = {}
         for name in names:
-            t0 = time.perf_counter()
-            res = QUERIES[name](sf_dir)
-            import ray.data as _rd
+            fn = QUERIES.get(name) or BENCH_EXTRA[name]
+            secs = []
+            for _ in range(3 if name in NOISY_3RUN else 1):
+                t0 = time.perf_counter()
+                res = fn(sf_dir)
+                import ray.data as _rd
 
-            n = res.count() if isinstance(res, _rd.Dataset) else len(res)
-            timings[name] = {"sec": round(time.perf_counter() - t0, 3), "rows": int(n)}
+                n = res.count() if isinstance(res, _rd.Dataset) else len(res)
+                secs.append(round(time.perf_counter() - t0, 3))
+            timings[name] = {"sec": min(secs), "rows": int(n),
+                             **({"all_runs": secs} if len(secs) > 1 else {})}
         return timings
     finally:
         ray.shutdown()
