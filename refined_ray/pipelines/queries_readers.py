@@ -354,6 +354,148 @@ WHERE doc_id < (SELECT max(doc_id) FROM documents)
 """
 
 
+def q_el_docs_standard(sf_dir: str):
+    """Per-dataset reader variant #2 (standard format:
+    MSNBC/AQUAINT/ACE2004/CWEB/WIKI — dataset_factory.py:117-185).
+    Stages a ``mentions``/``wiki_name`` JSONL from ``documents`` with
+    every quirk planted: NIL and null wiki_names (doc_id%5∈{0,1} —
+    NIL mentions, no gold row), spaces that must underscore (%2=0),
+    redirected names (%7=0 get an ``_OLD`` suffix resolved by the
+    redirect chain; gold_title keeps the staged name, only the qcode
+    resolves), names missing from the KB (%11=0 — dropped by
+    filter_not_in_kb), and disambiguation-page qcodes (%13=0 —
+    dropped)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from ..sources.benchmarks import read_el_docs_standard
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    t2q: dict[str, str] = {}
+    redirects: dict[str, str] = {}
+    path = os.path.join(_fixture_dir(sf_dir), "el_docs_standard.jsonl")
+    write = not os.path.exists(path)
+    lines = [] if write else None
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        m = TOKEN_RE.search(text.lower())
+        if m is None:
+            mentions = []
+        else:
+            tok = m.group(0)
+            # doc_id baked into the title so every doc's KB entry is
+            # its own (a shared first token must not resolve a
+            # planted not-in-KB doc through another doc's mapping);
+            # the space exercises the underscore rule on every row
+            title = f"{tok[:1].upper()}{tok[1:]} {did}"
+            base = title.replace(" ", "_")
+            if did % 5 == 0:
+                name = "NIL"
+            elif did % 5 == 1:
+                name = None
+            else:
+                name = title + (" OLD" if did % 7 == 0 else "")
+                if did % 7 == 0:
+                    redirects[base + "_OLD"] = base
+                if did % 11 == 0:
+                    pass  # not in KB → dropped by filter_not_in_kb
+                elif did % 13 == 0:
+                    t2q[base] = "QDIS"
+                else:
+                    t2q[base] = f"Q{ord(base[0])}"
+            mentions = [{"start": m.start(), "length": len(tok),
+                         "wiki_name": name}]
+        if write:
+            lines.append(json.dumps(
+                {"doc_id": did, "text": text, "mentions": mentions}))
+    if write:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, path)
+
+    return read_el_docs_standard(path, title_to_qcode=t2q,
+                                 redirects=redirects,
+                                 disambiguation_qcodes=("QDIS",))
+
+
+SQL_EL_DOCS_STANDARD = f"""
+WITH f AS (
+  SELECT doc_id, text, list_extract({_TOKS}, 1) AS tok
+  FROM documents WHERE len({_TOKS}) > 0
+), named AS (
+  SELECT doc_id, text, tok,
+         upper(substr(tok, 1, 1)) || substr(tok, 2)
+           || '_' || CAST(doc_id AS VARCHAR) AS base
+  FROM f
+  WHERE doc_id % 5 NOT IN (0, 1) AND doc_id % 11 != 0 AND doc_id % 13 != 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(strpos(lower(text), tok) - 1 AS BIGINT) AS span_start,
+       CAST(length(tok) AS BIGINT) AS span_ln,
+       substr(text, strpos(lower(text), tok), length(tok)) AS surface,
+       base || CASE WHEN doc_id % 7 = 0 THEN '_OLD' ELSE '' END AS gold_title,
+       'Q' || CAST(ascii(substr(base, 1, 1)) AS VARCHAR) AS gold_qcode
+FROM named
+"""
+
+
+def q_webqsp_docs(sf_dir: str):
+    """Per-dataset reader variant #3 (WebQSP —
+    dataset_factory.py:262-310): ``mentions`` = [start, end) pairs
+    zipped positionally with ``wikidata_id`` qcodes, no title mapping,
+    spans re-sorted by start before emission.  The fixture stages the
+    two spans per doc in REVERSED order so the oracle only matches if
+    the reader's sort fires."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from ..sources.benchmarks import read_webqsp_docs
+
+    path = os.path.join(_fixture_dir(sf_dir), "webqsp_docs.jsonl")
+    if not os.path.exists(path):
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        lines = []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if len(text) < 12:
+                mentions, qcodes = [], []
+            else:
+                third = len(text) // 3
+                # staged out of order: the later span first
+                mentions = [[third, min(third + 6, len(text))], [0, 4]]
+                qcodes = [f"Q{did * 7 % 1000}", f"Q{did % 97}"]
+            lines.append(json.dumps({"doc_id": did, "text": text,
+                                     "mentions": mentions,
+                                     "wikidata_id": qcodes}))
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, path)
+
+    return read_webqsp_docs(path)
+
+
+SQL_WEBQSP_DOCS = """
+WITH f AS (
+  SELECT doc_id, text, length(text) // 3 AS third FROM documents
+  WHERE length(text) >= 12
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS span_start,
+       CAST(4 AS BIGINT) AS span_ln, substr(text, 1, 4) AS surface,
+       'Q' || CAST(doc_id % 97 AS VARCHAR) AS gold_qcode
+FROM f
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), CAST(third AS BIGINT),
+       CAST(least(third + 6, length(text)) - third AS BIGINT),
+       substr(text, third + 1, least(third + 6, length(text)) - third),
+       'Q' || CAST(doc_id * 7 % 1000 AS VARCHAR)
+FROM f
+"""
+
+
 READER_QUERIES = {
     "aida_means": q_aida_means,
     "el_docs": q_el_docs,
@@ -361,6 +503,8 @@ READER_QUERIES = {
     "xml_pages": q_xml_pages,
     "wiki_redirects": q_wiki_redirects,
     "aida_conll": q_aida_conll,
+    "el_docs_standard": q_el_docs_standard,
+    "webqsp_docs": q_webqsp_docs,
 }
 
 READER_ORACLES = {
@@ -370,6 +514,8 @@ READER_ORACLES = {
     "xml_pages": SQL_XML_PAGES,
     "wiki_redirects": SQL_WIKI_REDIRECTS,
     "aida_conll": SQL_AIDA_CONLL,
+    "el_docs_standard": SQL_EL_DOCS_STANDARD,
+    "webqsp_docs": SQL_WEBQSP_DOCS,
 }
 
 # complete the catalog registration for the readers-first import order

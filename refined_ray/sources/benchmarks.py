@@ -157,3 +157,105 @@ def read_el_docs(
         })
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def read_el_docs_standard(
+    path: str,
+    *,
+    title_to_qcode: dict[str, str] | None = None,
+    redirects: dict[str, str] | None = None,
+    disambiguation_qcodes=(),
+    filter_not_in_kb: bool = True,
+):
+    """Standard-format (MSNBC / AQUAINT / ACE2004 / CWEB / WIKI)
+    benchmark JSONL → exploded gold-mention table — the second
+    per-dataset reader variant (≙ dataset_factory.py:117-185, used by
+    get_msnbc_docs/get_aquaint_docs/get_ace2004_docs/get_cweb_docs/
+    get_wiki_docs).
+
+    Differs from the AIDA uri format (``read_el_docs``): mentions live
+    under ``mentions`` with a ``wiki_name`` field; ``None``/"NIL"
+    wiki_names are NIL mentions (no gold row); spaces in the name
+    become underscores BEFORE the redirect→qcode resolution; the
+    emitted gold_title is the underscored name as staged (redirects
+    affect only the qcode, :147-166).  Same output schema as
+    ``read_el_docs``."""
+    import ray
+
+    from .jsonl import read_jsonl
+
+    ds = read_jsonl(path)
+    side_ref = ray.put((dict(title_to_qcode or {}), dict(redirects or {}),
+                        frozenset(disambiguation_qcodes)))
+
+    def explode(b: pa.Table, _ref=side_ref) -> pa.Table:
+        t2q, red, dis = ray.get(_ref)
+        out = {"doc_id": [], "span_start": [], "span_ln": [],
+               "surface": [], "gold_title": [], "gold_qcode": []}
+        for row in b.to_pylist():
+            text = row["text"]
+            for sp in row.get("mentions") or ():
+                title = sp.get("wiki_name")
+                if title is None or title == "NIL":
+                    continue
+                title = title.replace(" ", "_")
+                qcode = t2q.get(red.get(title, title))
+                if filter_not_in_kb and (qcode is None or qcode in dis):
+                    continue
+                if qcode is None:
+                    qcode = "Q0"
+                start, ln = int(sp["start"]), int(sp["length"])
+                out["doc_id"].append(int(row["doc_id"]))
+                out["span_start"].append(start)
+                out["span_ln"].append(ln)
+                out["surface"].append(text[start:start + ln])
+                out["gold_title"].append(title)
+                out["gold_qcode"].append(qcode)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "span_start": pa.array(out["span_start"], type=pa.int64()),
+            "span_ln": pa.array(out["span_ln"], type=pa.int64()),
+            "surface": pa.array(out["surface"], type=pa.string()),
+            "gold_title": pa.array(out["gold_title"], type=pa.string()),
+            "gold_qcode": pa.array(out["gold_qcode"], type=pa.string()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def read_webqsp_docs(path: str):
+    """WebQSP EL benchmark JSONL → gold-mention table — the third
+    per-dataset reader variant (≙ dataset_factory.py:262-310,
+    get_webqsp_docs): ``mentions`` is a list of [start, end) character
+    pairs zipped positionally with ``wikidata_id`` qcodes (no title
+    mapping at all), and spans are re-sorted by start offset before
+    emission (:279-281).  Output: (doc_id, span_start, span_ln,
+    surface, gold_qcode)."""
+    from .jsonl import read_jsonl
+
+    ds = read_jsonl(path)
+
+    def explode(b: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "span_start": [], "span_ln": [],
+               "surface": [], "gold_qcode": []}
+        for row in b.to_pylist():
+            text = row["text"]
+            spans = [(int(m[0]), int(m[1]), q)
+                     for m, q in zip(row.get("mentions") or (),
+                                     row.get("wikidata_id") or ())]
+            spans.sort(key=lambda s: s[0])
+            for start, end, qcode in spans:
+                out["doc_id"].append(int(row["doc_id"]))
+                out["span_start"].append(start)
+                out["span_ln"].append(end - start)
+                out["surface"].append(text[start:end])
+                out["gold_qcode"].append(qcode)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "span_start": pa.array(out["span_start"], type=pa.int64()),
+            "span_ln": pa.array(out["span_ln"], type=pa.int64()),
+            "surface": pa.array(out["surface"], type=pa.string()),
+            "gold_qcode": pa.array(out["gold_qcode"], type=pa.string()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
