@@ -245,3 +245,27 @@ def test_decontaminate_bloom_rejects_bad_budget():
 ])
 def test_redact_pii(text, want):
     assert redact_pii(pa.array([text])).to_pylist() == [want]
+
+
+def test_tree_or_fold_multi_round(ray_session):
+    """Direct gate on the distributed OR tree (bloom's driver-serial
+    fold replacement): 23 single-row partials at fanout 4 need 3
+    repartition+OR rounds; the folded bitset must equal the serial OR."""
+    import numpy as np
+    import ray.data as rd
+
+    from refined_ray.pipelines.queries_webtext import _tree_or_fold
+
+    rng = np.random.default_rng(11)
+    n_words = 64
+    parts = [rng.integers(0, 2**63, n_words, dtype=np.int64).view(np.uint64)
+             for _ in range(23)]
+    ds = rd.from_items([{"words": p.tobytes()} for p in parts])
+    folded_ds = _tree_or_fold(ds, n_words, fanout=4)
+    rows = folded_ds.take_all()
+    assert len(rows) == 1
+    got = np.frombuffer(rows[0]["words"], dtype=np.uint64)
+    want = np.zeros(n_words, dtype=np.uint64)
+    for p in parts:
+        want |= p
+    assert (got == want).all()
