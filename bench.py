@@ -78,15 +78,17 @@ def _run_queries(num_cpus: int, names: list[str], sf_dir: str) -> dict:
         timings = {}
         for name in names:
             fn = QUERIES.get(name) or BENCH_EXTRA[name]
-            secs = []
+            secs, rows = [], []
             for _ in range(3 if name in NOISY_3RUN else 1):
                 t0 = time.perf_counter()
                 res = fn(sf_dir)
                 import ray.data as _rd
 
-                n = res.count() if isinstance(res, _rd.Dataset) else len(res)
+                rows.append(res.count() if isinstance(res, _rd.Dataset) else len(res))
                 secs.append(round(time.perf_counter() - t0, 3))
-            timings[name] = {"sec": min(secs), "rows": int(n),
+            # rows from the SAME run as the recorded min (review finding)
+            best = min(range(len(secs)), key=secs.__getitem__)
+            timings[name] = {"sec": secs[best], "rows": int(rows[best]),
                              **({"all_runs": secs} if len(secs) > 1 else {})}
         return timings
     finally:

@@ -62,18 +62,21 @@ class JobService:
         self.lock = threading.Lock()
         self.queue: Queue = Queue()
         self._pem = None
+        self._pem_lock = threading.Lock()
         self.worker = threading.Thread(target=self._run_loop, daemon=True)
         self.worker.start()
 
     # -- "model" -------------------------------------------------------
     def pem(self):
         """The candidate table, built once (≙ load_model at router
-        creation, refined_api.py:15-20)."""
-        if self._pem is None:
-            from .pipelines.queries import q_pem_table
+        creation, refined_api.py:15-20).  Lock-guarded: concurrent
+        first calls from handler threads must not build it twice."""
+        with self._pem_lock:
+            if self._pem is None:
+                from .pipelines.queries import q_pem_table
 
-            self._pem = q_pem_table(self.sf_dir).materialize()
-        return self._pem
+                self._pem = q_pem_table(self.sf_dir).materialize()
+            return self._pem
 
     # -- job lifecycle -------------------------------------------------
     def create_job(self, header, rows, target_column, top_k, mode,
@@ -108,6 +111,10 @@ class JobService:
         job = self.jobs.get(job_id)
         if job is None:
             return None
+        if job["status"] != "ingesting":
+            # a part after finalize would mutate job["rows"] under the
+            # worker's feet (and silently never be linked)
+            return "conflict"
         with self.lock:
             job["rows"].extend(rows)
             job["ingest"]["received_parts"] += 1
@@ -120,6 +127,11 @@ class JobService:
         job = self.jobs.get(job_id)
         if job is None:
             return None
+        if job["status"] != "ingesting":
+            # double-finalize would run the job twice; finalize after
+            # cancel would resurrect it (review finding — the
+            # reference's unguarded flip has both defects)
+            return "conflict"
         job["status"] = "queued"
         job["ingest"]["completed_at"] = _now()
         job["updated_at"] = _now()
@@ -130,6 +142,10 @@ class JobService:
         job = self.jobs.get(job_id)
         if job is None:
             return None
+        if job["status"] == "done":
+            # cancelling a finished job would strand its results
+            # behind the results_page status check
+            return "conflict"
         job["status"] = "cancelled"
         job["updated_at"] = _now()
         return job
@@ -204,6 +220,8 @@ class JobService:
                 "id": col_coarse, "name": col_coarse,
                 "count": len(koala_rows)}]}},
         }
+        if job["status"] == "cancelled":  # cancel landed mid-build
+            return
         job["status"] = "done"
         job["updated_at"] = _now()
 
@@ -252,7 +270,7 @@ class JobService:
                     "candidate_ranking": ent["candidates"],
                 })
         start = int(cursor) if (cursor and str(cursor).isdigit()) else 0
-        end = start + limit
+        end = start + max(1, limit)  # limit<=0 must still advance the cursor
         page = all_cells[start:end]
         next_cursor = str(end) if end < len(all_cells) else None
         return {"ok": True, "job_id": job_id, "items": page,
@@ -300,6 +318,22 @@ def _make_handler(svc: JobService):
             return json.loads(self.rfile.read(n) or b"{}")
 
         def do_GET(self):
+            try:
+                return self._do_get()
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                return self._send(400, {"detail": f"Bad request: {e}"})
+            except Exception as e:  # never drop the connection
+                return self._send(500, {"detail": f"Internal error: {e}"})
+
+        def do_POST(self):
+            try:
+                return self._do_post()
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                return self._send(400, {"detail": f"Bad request: {e}"})
+            except Exception as e:
+                return self._send(500, {"detail": f"Internal error: {e}"})
+
+        def _do_get(self):
             from urllib.parse import parse_qs, urlparse
 
             u = urlparse(self.path)
@@ -320,7 +354,7 @@ def _make_handler(svc: JobService):
                 return self._send(200, view)
             return self._send(404, {"detail": "Not found"})
 
-        def do_POST(self):
+        def _do_post(self):
             path = self.path
             if path == "/link":
                 body = self._body()
@@ -366,7 +400,11 @@ def _make_handler(svc: JobService):
                 header = job["header"]
                 rows = [dict(zip(header, r["cells"])) if "cells" in r else r
                         for r in body.get("rows") or []]
-                svc.add_part(m.group(1), body.get("part_number", 0), rows)
+                if svc.add_part(m.group(1), body.get("part_number", 0),
+                                rows) == "conflict":
+                    return self._send(409, {
+                        "detail": f"Job not ingesting (status "
+                                  f"{job['status']}); parts rejected"})
                 return self._send(200, {
                     "job_id": m.group(1),
                     "part_number": body.get("part_number", 0),
@@ -376,6 +414,9 @@ def _make_handler(svc: JobService):
                 job = svc.finalize(m.group(1))
                 if job is None:
                     return self._send(404, {"detail": "Job not found"})
+                if job == "conflict":
+                    return self._send(409, {
+                        "detail": "Job is not ingesting; finalize rejected"})
                 return self._send(200, {"job_id": m.group(1),
                                         "status": "queued",
                                         "message": "Processing started"})
@@ -384,6 +425,9 @@ def _make_handler(svc: JobService):
                 job = svc.cancel(m.group(1))
                 if job is None:
                     return self._send(404, {"detail": "Job not found"})
+                if job == "conflict":
+                    return self._send(409, {
+                        "detail": "Job already completed; cancel rejected"})
                 return self._send(200, {"job_id": m.group(1),
                                         "status": "cancelled",
                                         "message": "Job cancelled successfully"})

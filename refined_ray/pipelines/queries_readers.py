@@ -331,7 +331,11 @@ def q_aida_conll(sf_dir: str, sent_tokens: int = 8):
                 f.write("\n")
         os.replace(tmp, path)
 
-    return read_conll_docs(path, bio_only=True, sentence_level=False)
+    ds = read_conll_docs(path, bio_only=True, sentence_level=False)
+    # single-file fixture: the source column is constant — project it
+    # away so the oracle schema stays file-independent
+    return ds.select_columns(["doc_idx", "sent_idx", "tok_idx",
+                              "token", "pos", "dep", "ner"])
 
 
 SQL_AIDA_CONLL = f"""

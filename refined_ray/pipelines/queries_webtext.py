@@ -686,7 +686,10 @@ def _tree_or_fold(partials, n_words: int, fanout: int = 4):
             acc |= np.frombuffer(w.as_py(), dtype=np.uint64)
         return pa.table({"words": pa.array([acc.tobytes()], type=pa.binary())})
 
-    ds = partials
+    # materialize BEFORE the first count(): on a lazy dataset count()
+    # would execute the whole partial-bitset pipeline once and the
+    # first repartition would execute it AGAIN (review finding)
+    ds = partials.materialize()
     cnt = ds.count()
     while cnt > 1:
         ds = ds.repartition(-(-cnt // fanout)).map_batches(

@@ -153,7 +153,9 @@ def entity_coarse_type(vals) -> list[str]:
 
 def koala_table_link(cells, pem, k: int = 3, num_partitions: int = 8):
     """Nest ``link_cells``'s flat top-k into the reference's Koala
-    result rows (job_service.py:181-230): one row per input cell with
+    result rows (job_service.py:181-230): one row per input CELL —
+    candidates group by (row_id, col), so same-row cells in different
+    columns keep separate candidate lists — with
 
       row_id, idRow ("row_<id>"), data (list<string> of the row's cell
       values), idColumn, candidates (list<struct{id, name, score,
@@ -195,6 +197,7 @@ def koala_table_link(cells, pem, k: int = 3, num_partitions: int = 8):
     def nest(b: pa.Table) -> pa.Table:
         empty = pa.table({
             "row_id": pa.array([], type=pa.int64()),
+            "col": pa.array([], type=pa.string()),
             "idRow": pa.array([], type=pa.string()),
             "data": pa.array([], type=pa.list_(pa.string())),
             "idColumn": pa.array([], type=pa.int64()),
@@ -210,18 +213,34 @@ def koala_table_link(cells, pem, k: int = 3, num_partitions: int = 8):
         flatr = b.filter(pc.invert(iscell))
         crow = cellr["row_id"].to_numpy(zero_copy_only=False)
         csurf = np.asarray(cellr["surface"].to_pylist(), dtype=object)
-        corder = np.argsort(crow, kind="stable")
-        crow, csurf = crow[corder], csurf[corder]
+        ccol = np.asarray(cellr["col"].to_pylist(), dtype=object)
         frow = flatr["row_id"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         frank = flatr["rank"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         fent = np.asarray(flatr["entity"].to_pylist(), dtype=object)
         fprob = flatr["prob"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
-        forder = np.lexsort((frank, frow))
-        frow, frank, fent, fprob = (frow[forder], frank[forder],
-                                    fent[forder], fprob[forder])
+        fcol = np.asarray(flatr["col"].to_pylist(), dtype=object)
 
-        lo = np.searchsorted(frow, crow, side="left")
-        hi = np.searchsorted(frow, crow, side="right")
+        # candidates group by CELL = (row_id, col), not row_id alone —
+        # two same-row cells in different columns must not merge.
+        # Composite int key via a per-batch shared col→code mapping.
+        uniq_cols, inv = np.unique(np.concatenate([ccol, fcol]),
+                                   return_inverse=True)
+        K = max(len(uniq_cols), 1)
+        if len(crow) and int(np.abs(crow).max()) > (1 << 62) // K:
+            raise ValueError("row_id × column-count overflows the "
+                             "composite cell key; renumber row_id")
+        ckey = crow * K + inv[:len(ccol)]
+        fkey = frow * K + inv[len(ccol):]
+
+        corder = np.argsort(ckey, kind="stable")
+        crow, csurf, ccol, ckey = (crow[corder], csurf[corder],
+                                   ccol[corder], ckey[corder])
+        forder = np.lexsort((frank, fkey))
+        fkey, fent, fprob = fkey[forder], fent[forder], fprob[forder]
+        frow = fkey  # searchsorted below runs on the composite key
+
+        lo = np.searchsorted(frow, ckey, side="left")
+        hi = np.searchsorted(frow, ckey, side="right")
         n_cand = hi - lo
         has = n_cand > 0
         out_cnt = np.where(has, n_cand, 1)  # NIL cells get a null candidate
@@ -263,11 +282,17 @@ def koala_table_link(cells, pem, k: int = 3, num_partitions: int = 8):
         d_off = np.arange(len(crow) + 1, dtype=np.int32)
         data = pa.ListArray.from_arrays(pa.array(d_off),
                                         pa.array(csurf, type=pa.string()))
+        # idColumn: the integer column index when the col name IS one
+        # (the HTTP facade passes str(target_idx)); other names → 0,
+        # the reference's single-target default
+        id_of = {c: int(c) if str(c).isdigit() else 0 for c in uniq_cols}
+        idcol = np.asarray([id_of[c] for c in ccol], dtype=np.int64)
         return pa.table({
             "row_id": pa.array(crow, type=pa.int64()),
+            "col": pa.array(ccol, type=pa.string()),
             "idRow": pa.array([f"row_{r}" for r in crow], type=pa.string()),
             "data": data,
-            "idColumn": pa.array(np.zeros(len(crow), dtype=np.int64)),
+            "idColumn": pa.array(idcol),
             "candidates": cands,
             "coarse": pa.array(coarse, type=pa.string()),
         })

@@ -81,24 +81,30 @@ def read_conll_docs(path: str, *, bio_only: bool = True,
                     sentence_level: bool = False, lower: bool = False,
                     use_mention_tag: bool = False):
     """``ray.data`` Dataset of exploded token rows from CoNLL file(s):
-    ``(doc_idx:int64, sent_idx:int64, tok_idx:int64, token, pos, dep,
-    ner)`` — ``doc_idx`` is file-local document order (the factory's
-    per-file doc stream)."""
+    ``(source:string, doc_idx:int64, sent_idx:int64, tok_idx:int64,
+    token, pos, dep, ner)`` — ``doc_idx`` is file-local document order
+    (the factory's per-file doc stream), and ``source`` (the file's
+    basename) disambiguates it when a directory of files is read
+    (review finding: bare doc_idx collides across files)."""
+    import os
+
     import pyarrow as pa
     import ray.data as rd
 
-    ds = rd.read_binary_files(path)
+    ds = rd.read_binary_files(path, include_paths=True)
 
     def parse(b: pa.Table) -> pa.Table:
-        cols = {k: [] for k in
-                ("doc_idx", "sent_idx", "tok_idx", "token", "pos", "dep", "ner")}
-        for data in b["bytes"].to_pylist():
+        cols = {k: [] for k in ("source", "doc_idx", "sent_idx", "tok_idx",
+                                "token", "pos", "dep", "ner")}
+        for data, p in zip(b["bytes"].to_pylist(), b["path"].to_pylist()):
+            src = os.path.basename(p)
             f = io.TextIOWrapper(io.BytesIO(data), encoding="utf-8", newline="")
             for d, doc in enumerate(iter_conll_docs(
                     f, bio_only=bio_only, sentence_level=sentence_level,
                     lower=lower, use_mention_tag=use_mention_tag)):
                 for s, sent in enumerate(doc):
                     for t, (tok, pos, dep, ner) in enumerate(sent):
+                        cols["source"].append(src)
                         cols["doc_idx"].append(d)
                         cols["sent_idx"].append(s)
                         cols["tok_idx"].append(t)
@@ -107,6 +113,7 @@ def read_conll_docs(path: str, *, bio_only: bool = True,
                         cols["dep"].append(dep)
                         cols["ner"].append(ner)
         return pa.table({
+            "source": pa.array(cols["source"], type=pa.string()),
             "doc_idx": pa.array(cols["doc_idx"], type=pa.int64()),
             "sent_idx": pa.array(cols["sent_idx"], type=pa.int64()),
             "tok_idx": pa.array(cols["tok_idx"], type=pa.int64()),

@@ -200,3 +200,66 @@ def test_cancel_before_run(server):
     time.sleep(0.5)
     assert svc.jobs[job_id]["result"] is None
     assert svc.jobs[job_id]["status"] == "cancelled"
+
+
+def test_state_guards(server):
+    base, svc = server
+    # cancel then finalize → 409, job stays cancelled (no resurrection)
+    code, resp = _req(base, "/jobs", {
+        "header": ["m"], "link_columns": ["m"], "mode": "multipart",
+        "rows": [],
+    })
+    job_id = resp["job_id"]
+    _req(base, f"/jobs/{job_id}:cancel", {}, method="POST")
+    code, err = _req(base, f"/jobs/{job_id}/finalize", {}, method="POST")
+    assert code == 409
+    assert svc.jobs[job_id]["status"] == "cancelled"
+    # parts after cancel → 409
+    code, err = _req(base, f"/jobs/{job_id}/parts",
+                     {"part_number": 1, "rows": [{"cells": ["x"]}]})
+    assert code == 409
+    # double-finalize → second one 409 (job must not run twice)
+    code, resp = _req(base, "/jobs", {
+        "header": ["m"], "link_columns": ["m"], "mode": "multipart",
+        "rows": [],
+    })
+    jid2 = resp["job_id"]
+    _req(base, f"/jobs/{jid2}/parts",
+         {"part_number": 1, "rows": [{"cells": [_surfaces(1)[0]]}]})
+    code1, _ = _req(base, f"/jobs/{jid2}/finalize", {}, method="POST")
+    code2, _ = _req(base, f"/jobs/{jid2}/finalize", {}, method="POST")
+    assert code1 == 200 and code2 == 409
+    view = _wait_done(base, jid2)
+    # cancel after done → 409, results stay reachable
+    code, _ = _req(base, f"/jobs/{jid2}:cancel", {}, method="POST")
+    assert code == 409
+    code, page = _req(base, f"/jobs/{jid2}/results")
+    assert code == 200 and page["total"] == 1
+
+
+def test_malformed_input_gets_http_error(server):
+    base, _ = server
+    import urllib.request
+
+    # invalid JSON body → 400, not a dropped connection
+    req = urllib.request.Request(base + "/jobs", data=b"not json",
+                                 method="POST",
+                                 headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("expected HTTPError")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+    # non-numeric limit → 400
+    code, resp = _req(base, "/jobs", {
+        "header": ["m"], "link_columns": ["m"],
+        "rows": [{"cells": [_surfaces(1)[0]]}],
+    })
+    job_id = resp["job_id"]
+    _wait_done(base, job_id)
+    code, err = _req(base, f"/jobs/{job_id}/results?limit=abc")
+    assert code == 400
+    # limit=0 clamps to 1: pagination still advances
+    code, page = _req(base, f"/jobs/{job_id}/results?limit=0")
+    assert code == 200 and len(page["items"]) == 1

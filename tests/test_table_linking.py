@@ -90,3 +90,28 @@ def test_koala_nested_shape(ray_session):
     want = min(hist.items(), key=lambda kv: (-kv[1], kv[0]))[0]
     assert rows[1]["col_coarse"] == want
     assert all(r["n_cells"] == 3 for r in rows.values())
+
+
+def test_koala_multi_column_cells_stay_separate(ray_session):
+    """Candidates must group by (row_id, col): two cells sharing a
+    row_id in different columns each keep exactly their own top-k
+    (review finding: row_id-only grouping merged both cells' lists)."""
+    import ray.data as rd
+
+    from refined_ray.pipelines.table_linking import koala_table_link
+
+    cells = pa.table({
+        "row_id": pa.array([7, 7], type=pa.int64()),
+        "col": pa.array(["0", "1"], type=pa.string()),
+        "surface": pa.array(["apple", "banana"], type=pa.string()),
+    })
+    out = koala_table_link(rd.from_arrow(cells), rd.from_arrow(PEM), k=2)
+    rows = {r["col"]: r for r in out.take_all()}
+    assert set(rows) == {"0", "1"}
+    assert [c["id"] for c in rows["0"]["candidates"]] == ["Q1", "Q2"]
+    assert [c["id"] for c in rows["1"]["candidates"]] == ["Q3"]
+    assert rows["0"]["idColumn"] == 0 and rows["1"]["idColumn"] == 1
+    assert rows["0"]["data"] == ["apple"] and rows["1"]["data"] == ["banana"]
+    # each cell's rank-1 is its own match
+    assert rows["0"]["candidates"][0]["is_match"]
+    assert rows["1"]["candidates"][0]["is_match"]
