@@ -29,7 +29,7 @@ from ..functions.normalize import normalize_surface_array
 BROADCAST_MAX_PEM_ROWS = 2_000_000
 
 
-def link_cells(cells, pem, k: int = 3, num_partitions: int = 8):
+def link_cells(cells, pem, k: int = 3, num_partitions: int | None = None):
     """cells: Dataset(row_id:int64, col:string, surface:string);
     pem: Dataset(surface:string, entity:string, cnt:int64, prob:float64)
     → Dataset(row_id, col, surface, rank, entity, prob) with rank 1..k
@@ -41,6 +41,11 @@ def link_cells(cells, pem, k: int = 3, num_partitions: int = 8):
     surface.
     """
     import ray
+
+    from .. import default_num_partitions
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
 
     def add_norm(b: pa.Table) -> pa.Table:
         return b.append_column("norm", normalize_surface_array(b["surface"]))
@@ -151,7 +156,7 @@ def entity_coarse_type(vals) -> list[str]:
             for v in vals]
 
 
-def koala_table_link(cells, pem, k: int = 3, num_partitions: int = 8):
+def koala_table_link(cells, pem, k: int = 3, num_partitions: int | None = None):
     """Nest ``link_cells``'s flat top-k into the reference's Koala
     result rows (job_service.py:181-230): one row per input CELL —
     candidates group by (row_id, col), so same-row cells in different
@@ -176,6 +181,10 @@ def koala_table_link(cells, pem, k: int = 3, num_partitions: int = 8):
     rows vectorized (offsets + ListArray/StructArray builds, no
     per-row Python beyond the md5 contract); the coarse histogram
     crosses to the driver as ≤4 rows per block."""
+    from .. import default_num_partitions
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
     flat = link_cells(cells, pem, k=k, num_partitions=num_partitions)
 
     def tag_cell(b: pa.Table) -> pa.Table:

@@ -136,10 +136,15 @@ def read_redirect_sql(path: str):
                       [("page_id", pa.int64()), ("dest_title", pa.string())])
 
 
-def wiki_redirects(page_path: str, redirect_path: str, num_partitions: int = 8):
+def wiki_redirects(page_path: str, redirect_path: str,
+                   num_partitions: int | None = None):
     """(wiki_title, dest_title) per resolvable ns-0 redirect — the
     reference's redirects.json (process_wiki.py:106-111), with the
     driver dict replaced by a distributed inner hash join on page_id."""
+    from .. import default_num_partitions
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
     pages = read_page_sql(page_path).rename_columns({"title": "wiki_title"})
     red = read_redirect_sql(redirect_path)
     return red.join(pages, join_type="inner", num_partitions=num_partitions,
