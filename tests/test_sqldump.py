@@ -81,3 +81,36 @@ def test_write_sql_dump_too_small_fails_loudly(tmp_path):
     with pytest.raises(ValueError, match="500"):
         write_sql_dump(str(tmp_path / "p.sql.gz"), "page",
                        [page_tuple(1, 0, "OnlyOne")])
+
+
+def test_round_trip_property_titles():
+    """Property test: any title over the dump-safe alphabet (no quotes
+    or backslashes — MySQL would escape those; the reference regex
+    does not unescape) survives write → 500-byte gate → regex parse,
+    including commas, spaces, parens and unicode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    title = st.text(
+        alphabet="abcXYZ09 ,.()-_éß",
+        min_size=1, max_size=30,
+    ).filter(lambda t: t == t.strip() and ",," not in t and
+             not t.startswith(",") and not t.endswith(","))
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(title, min_size=8, max_size=40))
+    def check(titles):
+        import os
+        import tempfile
+
+        rows = [page_tuple(i, 0, t) for i, t in enumerate(titles)]
+        fd, p = tempfile.mkstemp(suffix=".sql.gz")
+        os.close(fd)
+        try:
+            write_sql_dump(p, "page", rows)
+            got = list(iter_page_rows(_byte_lines(open(p, "rb").read())))
+        finally:
+            os.remove(p)
+        assert got == list(enumerate(titles))
+
+    check()
