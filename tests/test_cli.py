@@ -146,3 +146,13 @@ def test_cli_ingest_csv_part_and_schema_guard(tmp_path, capsys):
     pq.write_table(pa.table({"other": [1.5]}), bad)
     assert main(["ingest", "add-part", bad, "--staging", staging, "--table", "pages"]) == 0
     assert main(["ingest", "finalize", "--staging", staging, "--dest", dest]) == 3
+
+
+def test_parser_serve_subcommand():
+    from refined_ray.cli import build_parser, cmd_serve
+
+    args = build_parser().parse_args(
+        ["serve", "--sf-dir", "/tmp/x", "--port", "0"])
+    assert args.fn is cmd_serve and args.needs_ray
+    assert args.sf_dir == "/tmp/x" and args.port == 0
+    assert args.host == "127.0.0.1"
