@@ -2103,6 +2103,9 @@ EXT_ORACLES = {
     "window_sentences": _sql_window_sentences(),
     "corpus_split": SQL_CORPUS_SPLIT,
     "decontaminate": _sql_decontaminate(),
+    # the query fn lives in queries_webtext (forced multi-shard Bloom);
+    # its output equals the exact join, so it shares this oracle
+    "decontaminate_bloom_sharded": _sql_decontaminate(),
     "doc_repetition": _sql_doc_repetition(),
     "table_link": SQL_TABLE_LINK,
     "table_link_koala": SQL_TABLE_LINK_KOALA,

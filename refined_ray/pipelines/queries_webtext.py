@@ -1220,6 +1220,19 @@ JOIN keep k ON k.keep_doc_id = d.doc_id
 """
 
 
+def q_decontaminate_bloom_sharded(sf_dir: str):
+    """The FORCED multi-shard Bloom path as its own catalog row: a
+    256-KiB per-shard budget splits the filter into hash-ranged
+    sub-filters (keyed-repartition build + co-partitioned probe), and
+    at 64 bits/key + 6 hashes the FP rate (~5e-7 per probe, seedless
+    deterministic hashing) makes the output EQUAL the exact join on
+    the test tables — so this row shares ``decontaminate``'s DuckDB
+    oracle and the driver gate exercises the sharded machinery
+    end-to-end, not just pytest."""
+    return q_decontaminate_bloom(sf_dir, bits_per_key=64, n_hashes=6,
+                                 max_filter_bits=1 << 18)
+
+
 WEBTEXT_QUERIES = {
     "pii_redact": q_pii_redact,
     "url_dedup": q_url_dedup,
@@ -1227,6 +1240,7 @@ WEBTEXT_QUERIES = {
     "neardup_keep": q_neardup_keep,
     "token_topk": q_token_topk,
     "decontaminate_bloom": q_decontaminate_bloom,
+    "decontaminate_bloom_sharded": q_decontaminate_bloom_sharded,
     "corpus_clean": q_corpus_clean,
     "token_shards": q_token_shards,
     "url_latest": q_url_latest,
@@ -1237,8 +1251,12 @@ WEBTEXT_QUERIES = {
 }
 
 WEBTEXT_ORACLES = {
-    # decontaminate_bloom: rows-only (one-sided sketch error by design;
-    # the pytest gate checks superset-of-exact + bounded FP rate)
+    # decontaminate_bloom (default params): rows-only — one-sided
+    # sketch error by design; the pytest gate checks superset-of-exact
+    # + bounded FP rate.  decontaminate_bloom_sharded IS oracle-gated
+    # (equals the exact join at 64 bits/key); its SQL registers from
+    # queries_ext's EXT_ORACLES to avoid a module-scope cross import
+    # (the circular-import registration pattern).
     "pii_redact": SQL_PII_REDACT,
     "url_dedup": SQL_URL_DEDUP,
     "line_dedup": SQL_LINE_DEDUP,
