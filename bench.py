@@ -165,10 +165,35 @@ def scaling() -> None:
     }))
 
 
+def stats() -> None:
+    """Run the flagship once and dump Ray Data's per-operator stats —
+    the feedback loop for "wall-time dominated by useful compute"."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    try:
+        from refined_ray.pipelines.entity_resolution import er_cluster_pages
+        from refined_ray.sources.webpages import ensure_webpages
+
+        ensure_webpages(SF_DIR)
+        t0 = time.perf_counter()
+        out = er_cluster_pages(SF_DIR)
+        n = out.count()
+        wall = round(time.perf_counter() - t0, 3)
+        print(out.stats())
+        print(json.dumps({"metric": "er_clusters wall (stats run)",
+                          "value": wall, "rows": int(n), "sf": SF_DIR,
+                          "num_cpus": NUM_CPUS}))
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--scaling-child":
         print(json.dumps(_scaling_child(int(sys.argv[2]))))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         scaling()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--stats":
+        stats()
     else:
         main()

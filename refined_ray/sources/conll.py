@@ -24,6 +24,11 @@ exactly:
   mode a final sentence not followed by a boundary line is dropped
   (:149-161 — no post-loop flush).  Stage files with trailing
   boundary lines when you need everything.
+
+Like the other benchmark-file readers (sources/benchmarks.py), the
+per-token python loop is a CONFORMANCE path over side-table-sized
+eval corpora — corpus-scale token handling lives in the vectorized
+stages.
 """
 
 from __future__ import annotations
