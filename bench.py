@@ -4,6 +4,7 @@
     python bench.py             # full benchmark at $RAY_GRAFT_CPUS (default 32)
     python bench.py --scaling   # same job at N=4 and 4N=16 CPUs in fresh
                                 # processes -> throughput + scaling efficiency
+    python bench.py --stats     # flagship once + per-operator Ray Data stats
 
 This script OWNS its Ray session (the only sanctioned place besides
 tests/conftest.py and the driver)."""

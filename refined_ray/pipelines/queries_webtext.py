@@ -1222,7 +1222,7 @@ JOIN keep k ON k.keep_doc_id = d.doc_id
 
 def q_decontaminate_bloom_sharded(sf_dir: str):
     """The FORCED multi-shard Bloom path as its own catalog row: a
-    256-KiB per-shard budget splits the filter into hash-ranged
+    32-KiB (2^18-bit) per-shard budget splits the filter into hash-ranged
     sub-filters (keyed-repartition build + co-partitioned probe), and
     at 64 bits/key + 6 hashes the FP rate (~5e-7 per probe, seedless
     deterministic hashing) makes the output EQUAL the exact join on

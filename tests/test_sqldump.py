@@ -91,11 +91,14 @@ def test_round_trip_property_titles():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
+    # the ONE dump-unsafe substring is "),(" — the reference splits
+    # rows on it blindly (process_wiki.py:72), so a title containing it
+    # breaks the reference parser too; everything else (commas, spaces,
+    # parens, unicode) must round-trip
     title = st.text(
         alphabet="abcXYZ09 ,.()-_éß",
         min_size=1, max_size=30,
-    ).filter(lambda t: t == t.strip() and ",," not in t and
-             not t.startswith(",") and not t.endswith(","))
+    ).filter(lambda t: t == t.strip() and "),(" not in t)
 
     @settings(max_examples=60, deadline=None)
     @given(st.lists(title, min_size=8, max_size=40))
