@@ -1033,6 +1033,76 @@ def _ext():
     return EXT_QUERIES, EXT_ORACLES
 
 
+def q_pem_injected(sf_dir: str):
+    """PEM with AdditionalEntity injection — the §2.10 extension point
+    (≙ preprocess_all.py:184-224 + generate_pem.py:75-82): each
+    user-supplied entity contributes ONE link count per normalized
+    alias/label to the surface→entity counts BEFORE the P(e|m)
+    normalization, so custom KB entities join the candidate table
+    without rebuilding it.  The injection is a tiny union ahead of the
+    SAME one-exchange pem_from_pairs build (no extra shuffle).
+
+    Fixture entities derive from ``nation``: id ``A<key>`` (the
+    reference's A-prefix convention for additional entities,
+    preprocess_all.py:191), label = n_name, plus a ``The <NAME>``
+    alias that must collapse onto the label's surface through the M1
+    normalize contract (lowercase + "the " strip) — so each (surface,
+    A<key>) pair carries cnt=2 and dilutes P(e|m) for colliding
+    document tokens, exactly like the reference's count bump."""
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    from ..functions.normalize import normalize_surface_array
+    from ..functions.tokenize import tokenize_batch
+    from ..stages.pem import pem_from_pairs
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        sources = b["source"].to_pylist()
+        flat, starts = tokenize_batch(texts)
+        surf, ent = [], []
+        for i, src in enumerate(sources):
+            for t in set(flat[starts[i]:starts[i + 1]]):
+                surf.append(t)
+                ent.append(src)
+        return pa.table({"surface": pa.array(surf, type=pa.string()),
+                         "entity": pa.array(ent, type=pa.string())})
+
+    import os
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    additional = [{"entity_id": f"A{k}", "label": n,
+                   "aliases": [f"The {n}"]}
+                  for k, n in zip(nat["n_nationkey"].to_pylist(),
+                                  nat["n_name"].to_pylist())]
+    inj = inject_entity_pairs(additional)
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow").union(
+        rd.from_arrow(inj))
+    return pem_from_pairs(pairs)
+
+
+def inject_entity_pairs(additional: list[dict]) -> pa.Table:
+    """AdditionalEntity list → (surface, entity) count-pair rows: one
+    row per normalized alias + label (generate_pem.py:77-79 bumps the
+    link count once per surface form)."""
+    from ..functions.normalize import normalize_surface_array
+
+    surf, ent = [], []
+    for a in additional:
+        for sf in list(a.get("aliases") or ()) + [a["label"]]:
+            surf.append(sf)
+            ent.append(a["entity_id"])
+    return pa.table({
+        "surface": normalize_surface_array(pa.array(surf, type=pa.string())),
+        "entity": pa.array(ent, type=pa.string()),
+    })
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "top_customers": q_top_customers,
@@ -1046,6 +1116,7 @@ QUERIES = {
     "doc_langid": q_doc_langid,
     "exact_dedup": q_exact_dedup,
     "pem_table": q_pem_table,
+    "pem_injected": q_pem_injected,
     "mention_phrases": q_mention_phrases,
     "neardup_shingle": q_neardup_shingle,
     "neardup_token": q_neardup_token,
@@ -1078,6 +1149,31 @@ except ImportError as _e:
         raise
 
 
+from ..functions.normalize import NORMALIZE_SQL as _NORM_SQL  # noqa: E402
+
+NORM_NNAME = _NORM_SQL.format(col="n_name")
+
+SQL_PEM_INJECTED = f"""
+WITH toks AS (
+  SELECT source AS entity, unnest(list_distinct({_TOKS})) AS surface FROM documents
+), inj AS (
+  -- each additional entity bumps the count once per surface form:
+  -- label and the 'The <NAME>' alias normalize to the SAME surface
+  SELECT 'A' || n_nationkey AS entity,
+         {NORM_NNAME} AS surface
+  FROM nation
+  UNION ALL
+  SELECT 'A' || n_nationkey, {NORM_NNAME} FROM nation
+), pairs AS (
+  SELECT entity, surface FROM toks
+  UNION ALL SELECT entity, surface FROM inj
+)
+SELECT surface, entity, count(*) AS cnt,
+       count(*) / CAST(sum(count(*)) OVER (PARTITION BY surface) AS DOUBLE) AS prob
+FROM pairs GROUP BY 1, 2
+"""
+
+
 def oracles() -> dict[str, str]:
     return {
         "lineitem_agg": SQL_LINEITEM_AGG,
@@ -1092,6 +1188,7 @@ def oracles() -> dict[str, str]:
         "doc_langid": _sql_doc_langid(),
         "exact_dedup": SQL_EXACT_DEDUP,
         "pem_table": SQL_PEM_TABLE,
+        "pem_injected": SQL_PEM_INJECTED,
         "mention_phrases": SQL_MENTION_PHRASES,
         "neardup_shingle": SQL_NEARDUP_SHINGLE,
         "neardup_token": SQL_NEARDUP_TOKEN,

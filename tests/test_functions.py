@@ -196,3 +196,20 @@ def test_simhash_similar_texts_close():
     d_far = hamming_distance(fps[:1], fps[2:3])[0]
     assert d_near < d_far
     assert d_near <= 16
+
+
+def test_inject_entity_pairs_normalize_collapse():
+    """AdditionalEntity injection (§2.10): label and a 'The <NAME>'
+    alias must collapse onto one normalized surface, yielding one
+    count-pair row per surface form (generate_pem.py:77-79)."""
+    from refined_ray.pipelines.queries import inject_entity_pairs
+
+    t = inject_entity_pairs([
+        {"entity_id": "A7", "label": "BRAZIL", "aliases": ["The BRAZIL"]},
+        {"entity_id": "A8", "label": "St. Lucia's Isle", "aliases": []},
+    ])
+    rows = list(zip(t["surface"].to_pylist(), t["entity"].to_pylist()))
+    # "'s" strips as a unit (before the bare-apostrophe pass — the
+    # M1 contract's replacement order)
+    assert rows == [("brazil", "A7"), ("brazil", "A7"),
+                    ("st lucia isle", "A8")]
