@@ -1049,11 +1049,11 @@ def q_pem_injected(sf_dir: str):
     normalize contract (lowercase + "the " strip) — so each (surface,
     A<key>) pair carries cnt=2 and dilutes P(e|m) for colliding
     document tokens, exactly like the reference's count bump."""
-    import ray.data as rd
+    import os
 
     import pyarrow.parquet as pq
+    import ray.data as rd
 
-    from ..functions.normalize import normalize_surface_array
     from ..functions.tokenize import tokenize_batch
     from ..stages.pem import pem_from_pairs
 
@@ -1070,8 +1070,6 @@ def q_pem_injected(sf_dir: str):
                 ent.append(src)
         return pa.table({"surface": pa.array(surf, type=pa.string()),
                          "entity": pa.array(ent, type=pa.string())})
-
-    import os
 
     nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
                         columns=["n_nationkey", "n_name"])
