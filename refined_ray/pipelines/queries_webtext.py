@@ -1233,6 +1233,411 @@ def q_decontaminate_bloom_sharded(sf_dir: str):
                                  max_filter_bits=1 << 18)
 
 
+# ---------------------------------------------------------------------
+# Per-domain document caps (engine addition; FineWeb/C4 mix-guard)
+# ---------------------------------------------------------------------
+
+_DOMAIN_CAP = 10
+
+
+def q_domain_caps(sf_dir: str, cap: int = _DOMAIN_CAP):
+    """Keep at most ``cap`` docs per canonical HOST, picking the
+    highest-quality ones (n_chars DESC, ties to min doc_id): the guard
+    against any single domain dominating a training mixture.  Hosts
+    come from the same messy-URL synth as ``url_dedup`` so the rank is
+    only right if host canonicalization (lowercase, port stripped) is.
+
+    Scale shape: stateless canon+host projection, ONE host-keyed
+    repartition + the shared lexsort/segment rank pass — hosts are
+    high-cardinality so the hash exchange has no hot key."""
+    from .. import default_num_partitions
+    from ..functions.urls import canonicalize_urls
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def keys(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        canon = canonicalize_urls(_messy_urls(did))
+        host = pc.struct_field(
+            pc.extract_regex(canon, r"^[a-z]+://(?P<host>[^/:?#]+)"), "host")
+        return pa.table({"host": host, "doc_id": b["doc_id"],
+                         "n_chars": b["n_chars"]})
+
+    parted = ds.map_batches(keys, batch_format="pyarrow").repartition(
+        num_blocks=default_num_partitions(), keys=["host"], sort=False)
+
+    def pick(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"host": pa.array([], type=pa.string()),
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "n_chars": pa.array([], type=pa.int64()),
+                             "host_rank": pa.array([], type=pa.int64())})
+        host = b["host"].to_numpy(zero_copy_only=False)
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        nch = b["n_chars"].to_numpy(zero_copy_only=False)
+        order, seg, sizes = _lexsort_segments(host, -nch, did)
+        host, did, nch = host[order], did[order], nch[order]
+        rank = np.arange(len(did), dtype=np.int64) - np.repeat(seg, sizes) + 1
+        keep = rank <= cap
+        return pa.table({"host": pa.array(host[keep], type=pa.string()),
+                         "doc_id": pa.array(did[keep], type=pa.int64()),
+                         "n_chars": pa.array(nch[keep], type=pa.int64()),
+                         "host_rank": pa.array(rank[keep], type=pa.int64())})
+
+    return parted.map_batches(pick, batch_format="pyarrow", batch_size=None)
+
+
+SQL_DOMAIN_CAPS = f"""
+WITH c AS (
+  SELECT doc_id, n_chars,
+         'www.site' || CAST(doc_id % 30 AS VARCHAR) || '.example.com' AS host
+  FROM documents
+),
+r AS (
+  SELECT host, doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY host
+                ORDER BY n_chars DESC, doc_id) AS BIGINT) AS host_rank
+  FROM c
+)
+SELECT host, doc_id, n_chars, host_rank FROM r WHERE host_rank <= {_DOMAIN_CAP}
+"""
+
+
+# ---------------------------------------------------------------------
+# Token-budget mixture selection (engine addition; data-mixing family)
+# ---------------------------------------------------------------------
+
+_MIX_SEED = ":mix1"
+
+
+def _mix_budget(src: str) -> int:
+    """Per-source token budget for the catalog instance — a closed
+    form of the driver tables' ``srcN`` naming so the DuckDB oracle
+    can replay it.  The operator itself treats budgets as config."""
+    return 150 + 40 * (int(src[3:]) % 5)
+
+
+def q_mixture_budget(sf_dir: str):
+    """Deterministic data-mixture selection: within each source, order
+    docs by a portable md5 draw (the ``corpus_split`` hash contract)
+    and keep docs while the source's EXCLUSIVE token prefix-sum is
+    under its budget — the doc that straddles the boundary is kept
+    ("fill then stop"), matching how mixing pipelines hit per-source
+    token targets.
+
+    Scale shape — a GROUPED distributed prefix sum generalizing
+    ``token_shards``: one global sort by (source, draw), then per-block
+    per-source-run sums travel to the driver as metadata (≤ sources+1
+    rows per block), per-block per-source exclusive offsets broadcast
+    back, and each block adds its in-block run-local cumsum.  No data
+    row ever moves twice and no source is pinned to one partition."""
+    import ray
+
+    from .. import scrub_empty_blocks
+    from ..functions.hashing import md5_hex
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        _, starts = tokenize_batch(b["text"].to_pylist())
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        h = md5_hex([f"{d}{_MIX_SEED}" for d in did])
+        return pa.table({"source": b["source"], "doc_id": b["doc_id"],
+                         "n_tokens": pa.array(np.diff(starts), type=pa.int64()),
+                         "h": pa.array([x[:8] for x in h], type=pa.string())})
+
+    schema = pa.schema([("source", pa.string()), ("doc_id", pa.int64()),
+                        ("n_tokens", pa.int64()), ("h", pa.string())])
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow") \
+        .sort(["source", "h", "doc_id"]).materialize()
+    keyed_ds = scrub_empty_blocks(keyed_ds, fallback_schema=schema)
+
+    def block_meta(b: pa.Table) -> pa.Table:
+        empty = pa.table({"first_source": pa.array([], type=pa.string()),
+                          "first_h": pa.array([], type=pa.string()),
+                          "first_doc": pa.array([], type=pa.int64()),
+                          "source": pa.array([], type=pa.string()),
+                          "s": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        src = b["source"].to_numpy(zero_copy_only=False)
+        nt = b["n_tokens"].to_numpy(zero_copy_only=False)
+        seg = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        sums = np.add.reduceat(nt, seg)
+        n = len(seg)
+        return pa.table({
+            "first_source": pa.array([str(src[0])] * n, type=pa.string()),
+            "first_h": pa.array([b["h"][0].as_py()] * n, type=pa.string()),
+            "first_doc": pa.array([b["doc_id"][0].as_py()] * n, type=pa.int64()),
+            "source": pa.array(src[seg], type=pa.string()),
+            "s": pa.array(sums, type=pa.int64()),
+        })
+
+    metas = keyed_ds.map_batches(block_meta, batch_format="pyarrow",
+                                 batch_size=None).take_all()
+    by_block: dict[tuple, list] = {}
+    for r in metas:
+        bk = (r["first_source"], r["first_h"], r["first_doc"])
+        by_block.setdefault(bk, []).append((r["source"], r["s"]))
+    offsets: dict[tuple, dict[str, int]] = {}
+    acc: dict[str, int] = {}
+    for bk in sorted(by_block):
+        offsets[bk] = {}
+        for src, s in by_block[bk]:
+            offsets[bk][src] = acc.get(src, 0)
+            acc[src] = acc.get(src, 0) + s
+    ref = ray.put(offsets)
+
+    def assign(b: pa.Table, _ref=ref) -> pa.Table:
+        empty = pa.table({"source": pa.array([], type=pa.string()),
+                          "doc_id": pa.array([], type=pa.int64()),
+                          "n_tokens": pa.array([], type=pa.int64()),
+                          "cum_before": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        src = b["source"].to_numpy(zero_copy_only=False)
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        nt = b["n_tokens"].to_numpy(zero_copy_only=False)
+        bk = (str(src[0]), b["h"][0].as_py(), int(did[0]))
+        off = ray.get(_ref)[bk]
+        seg = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        sizes = np.diff(np.r_[seg, len(src)])
+        cs = np.cumsum(nt)
+        base = np.repeat(cs[seg] - nt[seg], sizes)
+        excl = (cs - nt - base) + np.repeat(
+            np.array([off[s] for s in src[seg]], dtype=np.int64), sizes)
+        budget = np.repeat(
+            np.array([_mix_budget(s) for s in src[seg]], dtype=np.int64), sizes)
+        keep = excl < budget
+        return pa.table({"source": pa.array(src[keep], type=pa.string()),
+                         "doc_id": pa.array(did[keep], type=pa.int64()),
+                         "n_tokens": pa.array(nt[keep], type=pa.int64()),
+                         "cum_before": pa.array(excl[keep], type=pa.int64())})
+
+    return keyed_ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+SQL_MIXTURE_BUDGET = f"""
+WITH s AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         substr(md5(CAST(doc_id AS VARCHAR) || '{_MIX_SEED}'), 1, 8) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source
+                ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM s
+)
+SELECT source, doc_id, n_tokens, cum_before
+FROM c
+WHERE cum_before < 150 + 40 * (CAST(substr(source, 4) AS BIGINT) % 5)
+"""
+
+
+# ---------------------------------------------------------------------
+# Duplicated-ngram fraction (engine addition; Lee et al. 2022 dedup
+# signal: how much of a doc is boilerplate shared with other docs)
+# ---------------------------------------------------------------------
+
+
+def q_dup_ngram_fraction(sf_dir: str):
+    """Per-doc duplicated-ngram fraction: of a doc's DISTINCT 3-token
+    shingles, the fraction that also occur in at least one other doc
+    (the corpus-level dup signal of "Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022).  Shingles are the same
+    64-bit rolling hashes as the near-dup/decontamination family (the
+    green oracle doubles as a collision check).
+
+    Scale shape: distinct (doc, shingle) explode, ONE shingle-keyed
+    repartition + segment dup flag (a shingle row is distinct per doc,
+    so segment size == distinct-doc count), then a doc-keyed groupby of
+    two int partials — shingle instances never move twice."""
+    from ray.data.aggregate import Count, Sum
+
+    from .. import default_num_partitions
+    from ..functions.minhash import shingle_hashes
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "sh": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        texts = b["text"].to_pylist()
+        flat, starts = tokenize_batch(texts)
+        sh, shs = shingle_hashes(flat, starts, k=3)
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        sets = [np.unique(sh[shs[i]:shs[i + 1]]) for i in range(len(texts))]
+        counts = np.array([len(s) for s in sets], dtype=np.int64)
+        d = np.repeat(did, counts)
+        s = np.concatenate(sets)
+        return pa.table({"doc_id": pa.array(d, type=pa.int64()),
+                         "sh": pa.array(s.view(np.int64), type=pa.int64())})
+
+    parted = ds.map_batches(explode, batch_format="pyarrow").repartition(
+        num_blocks=default_num_partitions(), keys=["sh"], sort=False)
+
+    def flag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "dup": pa.array([], type=pa.int64())})
+        s = b["sh"].to_numpy(zero_copy_only=False)
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        order, seg, sizes = _lexsort_segments(s, d)
+        dup = (np.repeat(sizes, sizes) >= 2).astype(np.int64)
+        return pa.table({"doc_id": pa.array(d[order], type=pa.int64()),
+                         "dup": pa.array(dup, type=pa.int64())})
+
+    counted = parted.map_batches(flag, batch_format="pyarrow", batch_size=None) \
+        .groupby("doc_id", num_partitions=default_num_partitions()) \
+        .aggregate(Sum("dup", alias_name="n_dup"),
+                   Count(alias_name="n_shingles"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        nd = b["n_dup"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = b["n_shingles"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_shingles": pa.array(ns, type=pa.int64()),
+                         "n_dup": pa.array(nd, type=pa.int64()),
+                         "dup_frac": pa.array(nd / ns, type=pa.float64())})
+
+    return counted.map_batches(fin, batch_format="pyarrow")
+
+
+def _sql_dup_ngram_fraction() -> str:
+    from .queries import _sql_shingles
+
+    return f"""
+WITH sh AS ({_sql_shingles()}),
+u AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+d AS (SELECT s, count(*) AS nd FROM u GROUP BY 1)
+SELECT u.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END)
+         / CAST(count(*) AS DOUBLE) AS dup_frac
+FROM u JOIN d ON u.s = d.s
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------
+# Blocking-scheme quality report (ER evaluation: reduction ratio +
+# pair completeness vs the shingle-Jaccard near-dup truth)
+# ---------------------------------------------------------------------
+
+_BQ_BUCKET = 16
+
+
+def q_blocking_quality(sf_dir: str):
+    """Evaluate an ER blocking scheme — block on (lang, n_tokens//16)
+    and report the standard blocking metrics in one row: candidate
+    pair count, reduction ratio vs the all-pairs quadratic, and pair
+    completeness against the corpus's exact shingle-Jaccard near-dup
+    truth (J >= 0.5, the ``neardup_shingle`` output).  The metrics a
+    practitioner checks before committing to a blocking key at scale.
+
+    Scale shape: block sizes via ONE keyed groupby count (the result
+    is metric-sized — bounded by distinct (lang, bucket) — so the
+    driver fold is the er_quality pattern); completeness via two hash
+    joins of the (small, pre-filtered) truth pairs against the block
+    keys.  No all-pairs materialization anywhere."""
+    from ray.data.aggregate import Count
+
+    from .. import default_num_partitions
+    from .queries import q_neardup_shingle
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def keys(b: pa.Table) -> pa.Table:
+        _, starts = tokenize_batch(b["text"].to_pylist())
+        nt = np.diff(starts)
+        return pa.table({"doc_id": b["doc_id"], "lang": b["lang"],
+                         "bucket": pa.array(nt // _BQ_BUCKET, type=pa.int64())})
+
+    nparts = default_num_partitions()
+    keyed = ds.map_batches(keys, batch_format="pyarrow").materialize()
+    sizes = keyed.groupby(["lang", "bucket"], num_partitions=nparts) \
+        .aggregate(Count(alias_name="c")).take_all()
+    n_docs = int(sum(r["c"] for r in sizes))
+    n_blocks = len(sizes)
+    n_cand = int(sum(r["c"] * (r["c"] - 1) // 2 for r in sizes))
+
+    pairs = q_neardup_shingle(sf_dir) \
+        .select_columns(["doc_a", "doc_b"]).materialize()
+    n_true = pairs.count()
+    if n_true == 0:
+        n_cob = 0
+    else:
+        a_side = keyed.rename_columns(
+            {"doc_id": "doc_a", "lang": "lang_a", "bucket": "bucket_a"})
+        b_side = keyed.rename_columns(
+            {"doc_id": "doc_b", "lang": "lang_b", "bucket": "bucket_b"})
+        j = pairs.join(a_side, join_type="inner", num_partitions=nparts,
+                       on=("doc_a",))
+        j = j.join(b_side, join_type="inner", num_partitions=nparts,
+                   on=("doc_b",))
+        n_cob = j.filter(
+            expr="lang_a == lang_b and bucket_a == bucket_b").count()
+
+    all_pairs = n_docs * (n_docs - 1) / 2.0
+    return pa.table({
+        "n_docs": pa.array([n_docs], type=pa.int64()),
+        "n_blocks": pa.array([n_blocks], type=pa.int64()),
+        "n_candidate_pairs": pa.array([n_cand], type=pa.int64()),
+        "reduction_ratio": pa.array([1.0 - n_cand / all_pairs],
+                                    type=pa.float64()),
+        "n_true_pairs": pa.array([n_true], type=pa.int64()),
+        "n_true_coblocked": pa.array([n_cob], type=pa.int64()),
+        "pair_completeness": pa.array(
+            [n_cob / n_true if n_true else 1.0], type=pa.float64()),
+    })
+
+
+def _sql_blocking_quality() -> str:
+    from .queries import SQL_NEARDUP_SHINGLE
+
+    return f"""
+WITH k AS (
+  SELECT doc_id, lang,
+         CAST(len({_TOKS}) // {_BQ_BUCKET} AS BIGINT) AS bucket
+  FROM documents
+),
+b AS (SELECT lang, bucket, count(*) AS c FROM k GROUP BY 1, 2),
+agg AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_cand
+  FROM b
+),
+truth AS (SELECT doc_a, doc_b FROM ({SQL_NEARDUP_SHINGLE})),
+tp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_true,
+         CAST(COALESCE(sum(CASE WHEN ka.lang = kb.lang
+                                 AND ka.bucket = kb.bucket
+                            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cob
+  FROM truth
+  JOIN k ka ON ka.doc_id = truth.doc_a
+  JOIN k kb ON kb.doc_id = truth.doc_b
+)
+SELECT agg.n_docs,
+       agg.n_blocks,
+       agg.n_cand AS n_candidate_pairs,
+       1.0 - agg.n_cand / (agg.n_docs * (agg.n_docs - 1) / 2.0)
+         AS reduction_ratio,
+       tp.n_true AS n_true_pairs,
+       tp.n_cob AS n_true_coblocked,
+       CASE WHEN tp.n_true = 0 THEN 1.0
+            ELSE tp.n_cob / CAST(tp.n_true AS DOUBLE) END
+         AS pair_completeness
+FROM agg, tp
+"""
+
+
 WEBTEXT_QUERIES = {
     "pii_redact": q_pii_redact,
     "url_dedup": q_url_dedup,
@@ -1248,6 +1653,10 @@ WEBTEXT_QUERIES = {
     "doc_compressibility": q_doc_compressibility,
     "value_percentile": q_value_percentile,
     "corpus_weighted_sample": q_corpus_weighted_sample,
+    "domain_caps": q_domain_caps,
+    "mixture_budget": q_mixture_budget,
+    "dup_ngram_fraction": q_dup_ngram_fraction,
+    "blocking_quality": q_blocking_quality,
 }
 
 WEBTEXT_ORACLES = {
@@ -1267,6 +1676,10 @@ WEBTEXT_ORACLES = {
     "url_latest": SQL_URL_LATEST,
     "value_percentile": _sql_value_percentile(),
     "corpus_weighted_sample": SQL_CORPUS_WEIGHTED_SAMPLE,
+    "domain_caps": SQL_DOMAIN_CAPS,
+    "mixture_budget": SQL_MIXTURE_BUDGET,
+    "dup_ngram_fraction": _sql_dup_ngram_fraction(),
+    "blocking_quality": _sql_blocking_quality(),
 }
 
 # complete the catalog registration for the webtext-first import order

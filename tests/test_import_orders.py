@@ -12,8 +12,8 @@ import sys
 
 import pytest
 
-N_QUERIES = 95
-N_ORACLES = 74
+N_QUERIES = 99
+N_ORACLES = 78
 
 _FIRST = ["queries", "queries_ext", "queries_webtext", "queries_readers",
           "entity_resolution", "evaluation", "offline_build", "table_linking"]

@@ -269,3 +269,130 @@ def test_tree_or_fold_multi_round(ray_session):
     for p in parts:
         want |= p
     assert (got == want).all()
+
+
+# ---------------------------------------------------------------------
+# Round-4 additions: domain caps, mixture budget, dup-ngram fraction,
+# blocking quality — independent replays / invariants (the oracle gate
+# covers bit-exactness; these pin the distributed plumbing directly)
+# ---------------------------------------------------------------------
+
+
+def test_domain_caps_dominance(ray_session):
+    """Per host: at most cap rows, contiguous ranks from 1, and the
+    kept set is exactly the top-n_chars docs (ties to min doc_id)."""
+    import pyarrow.parquet as pq
+
+    from refined_ray.pipelines.queries_webtext import _DOMAIN_CAP, q_domain_caps
+
+    sf = "/root/testdata/sf0.01"  # sf0.001 has <cap docs/host (no truncation)
+    got = q_domain_caps(sf).to_pandas()
+    t = pq.read_table(sf + "/documents.parquet",
+                      columns=["doc_id", "n_chars"]).to_pandas()
+    t["host"] = "www.site" + (t["doc_id"] % 30).astype(str) + ".example.com"
+    assert (got.groupby("host").size() > _DOMAIN_CAP).sum() == 0
+    assert len(got) < len(t)  # the cap actually truncated something
+    for host, g in got.groupby("host"):
+        assert sorted(g["host_rank"]) == list(range(1, len(g) + 1))
+        full = t[t["host"] == host].sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True])
+        assert set(g["doc_id"]) == set(full.head(_DOMAIN_CAP)["doc_id"])
+    assert set(got["host"]) == set(t["host"])
+
+
+def test_mixture_budget_independent_replay(ray_session):
+    """Pure-python replay of the grouped prefix sum (hashlib md5 order,
+    fill-then-stop) must equal the distributed result exactly."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from refined_ray.functions.tokenize import tokenize_batch
+    from refined_ray.pipelines.queries_webtext import (
+        _MIX_SEED, _mix_budget, q_mixture_budget)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_mixture_budget(sf).to_pandas() \
+        .sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+    t = pq.read_table(sf + "/documents.parquet",
+                      columns=["doc_id", "source", "text"])
+    _, starts = tokenize_batch(t["text"].to_pylist())
+    nt = np.diff(starts)
+    rows = sorted(
+        (src, hashlib.md5(f"{d}{_MIX_SEED}".encode()).hexdigest()[:8],
+         int(d), int(n))
+        for d, src, n in zip(t["doc_id"].to_pylist(),
+                             t["source"].to_pylist(), nt))
+    want, acc = [], {}
+    for src, _h, d, n in rows:
+        c = acc.get(src, 0)
+        if c < _mix_budget(src):
+            want.append((src, d, n, c))
+        acc[src] = c + n
+    want_df = pd.DataFrame(
+        want, columns=["source", "doc_id", "n_tokens", "cum_before"]) \
+        .sort_values(["source", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want_df, check_dtype=False)
+
+
+def test_dup_ngram_fraction_replay(ray_session):
+    """Direct single-process shingle counting must equal the
+    exchange + segment + groupby pipeline exactly."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from refined_ray.functions.minhash import shingle_hashes
+    from refined_ray.functions.tokenize import tokenize_batch
+    from refined_ray.pipelines.queries_webtext import q_dup_ngram_fraction
+
+    sf = "/root/testdata/sf0.001"
+    got = q_dup_ngram_fraction(sf).to_pandas().set_index("doc_id").sort_index()
+    t = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"])
+    flat, starts = tokenize_batch(t["text"].to_pylist())
+    sh, shs = shingle_hashes(flat, starts, k=3)
+    sets = {int(d): np.unique(sh[shs[i]:shs[i + 1]])
+            for i, d in enumerate(t["doc_id"].to_pylist())}
+    cnt = Counter()
+    for s in sets.values():
+        cnt.update(s.tolist())
+    assert len(got) == len(sets)
+    for d, s in sets.items():
+        nd = sum(1 for x in s.tolist() if cnt[x] >= 2)
+        assert got.loc[d, "n_shingles"] == len(s)
+        assert got.loc[d, "n_dup"] == nd
+        assert got.loc[d, "dup_frac"] == nd / len(s)
+
+
+def test_blocking_quality_invariants(ray_session):
+    """Single-row metric invariants + candidate count replay."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from refined_ray.functions.tokenize import tokenize_batch
+    from refined_ray.pipelines.queries_webtext import (
+        _BQ_BUCKET, q_blocking_quality)
+
+    sf = "/root/testdata/sf0.001"
+    r = q_blocking_quality(sf).to_pandas().iloc[0]
+    t = pq.read_table(sf + "/documents.parquet",
+                      columns=["doc_id", "lang", "text"])
+    _, starts = tokenize_batch(t["text"].to_pylist())
+    nt = np.diff(starts)
+    blocks = Counter(
+        (lang, int(n) // _BQ_BUCKET)
+        for lang, n in zip(t["lang"].to_pylist(), nt))
+    assert r["n_docs"] == t.num_rows
+    assert r["n_blocks"] == len(blocks)
+    assert r["n_candidate_pairs"] == sum(c * (c - 1) // 2
+                                         for c in blocks.values())
+    assert 0.0 <= r["reduction_ratio"] <= 1.0
+    assert 0 <= r["n_true_coblocked"] <= r["n_true_pairs"]
+    if r["n_true_pairs"]:
+        assert r["pair_completeness"] == r["n_true_coblocked"] / r["n_true_pairs"]
