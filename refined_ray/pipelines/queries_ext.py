@@ -862,11 +862,31 @@ def q_corpus_shuffle(sf_dir: str):
     unique) gives the driver per-block start offsets, and every block
     tags its own positions in parallel — the round-2 serial
     ``concurrency=1`` counter stage is gone (verdict item #6; same
-    per-block offset trick as stages/index.py zip_with_index)."""
+    per-block offset trick as stages/index.py zip_with_index).
+
+    The permutation is a HASH-SORT shuffle (portable md5 draw per
+    doc_id, the ``corpus_split`` hash contract, then one global sort):
+    ``random_shuffle(seed=...)`` is only reproducible for a fixed
+    input block structure, which Ray does not guarantee (dynamic block
+    splitting varies with load — observed as a cross-run order flake),
+    while the hash draw is reproducible across runs AND cluster
+    sizes — the property a training-corpus shuffle actually needs.
+    Same all-to-all cost as random_shuffle."""
     import ray
 
+    from ..functions.hashing import md5_hex
+
     ds = _read(sf_dir, "documents", ["doc_id"])
-    shuffled = ds.random_shuffle(seed=42).materialize()
+
+    def draw(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        h = md5_hex([f"{d}:shuf42" for d in did])
+        return pa.table({"doc_id": b["doc_id"],
+                         "draw": pa.array([x[:16] for x in h],
+                                          type=pa.string())})
+
+    shuffled = ds.map_batches(draw, batch_format="pyarrow") \
+        .sort(["draw", "doc_id"]).materialize()
 
     def block_meta(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
