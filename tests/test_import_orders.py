@@ -12,7 +12,7 @@ import sys
 
 import pytest
 
-N_QUERIES = 99
+N_QUERIES = 100
 N_ORACLES = 78
 
 _FIRST = ["queries", "queries_ext", "queries_webtext", "queries_readers",
