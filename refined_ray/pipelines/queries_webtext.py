@@ -1638,6 +1638,142 @@ FROM agg, tp
 """
 
 
+# ---------------------------------------------------------------------
+# Fuzzy cross-corpus decontamination (engine addition;
+# RefinedWeb/FineWeb near-dup decontamination family)
+# ---------------------------------------------------------------------
+
+_FD_MOD, _FD_REM = 10, 7
+_FD_THRESHOLD = 0.5
+_FD_BANDS = 64
+
+
+def q_fuzzy_decontaminate(sf_dir: str, threshold: float = _FD_THRESHOLD,
+                          num_bands: int = _FD_BANDS,
+                          max_test_bytes: int = 256 << 20):
+    """Fuzzy (MinHash-LSH) cross-corpus decontamination: flag TRAIN
+    docs whose 3-shingle Jaccard vs ANY benchmark ("test") doc reaches
+    ``threshold``, reporting the best match (max Jaccard, ties to the
+    lowest test id).  The test split is the deterministic
+    ``doc_id % 10 == 7`` slice — a stand-in benchmark suite, which is
+    SMALL next to the train corpus by nature.  The exact n-gram path
+    (``decontaminate``) and the Bloom sketch path catch verbatim
+    overlap; this is the near-duplicate decontamination that survives
+    paraphrase-level edits.
+
+    Scale shape — the asymmetric-broadcast twin of the symmetric
+    ``neardup_shingle`` (which needs two keyed exchanges): the
+    benchmark side is collected ONCE — its band buckets and exact
+    shingle-hash sets broadcast via ``ray.put``, byte-counted with a
+    loud over-budget failure — and the train corpus streams through
+    ONE signing map pass with NO shuffle: a vectorized ``np.isin``
+    over each block's (rows × num_bands) band matrix prunes to
+    colliding docs, and exact set-Jaccard runs only on those hits.
+    Recall per the LSH bound in ``_neardup_pairs`` (< 1e-8 missed
+    pairs at J ≥ 0.5 with 64 bands × 2 rows); the verify is exact
+    integer math, so the result equals the all-pairs SQL oracle."""
+    import ray
+
+    from ..functions.minhash import band_keys
+    from .queries import _doc_sign
+
+    payload = _doc_sign(sf_dir, shingle_k=3).materialize()
+
+    def only_test(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(did % _FD_MOD == _FD_REM))
+
+    test_rows = payload.map_batches(
+        only_test, batch_format="pyarrow").take_all()
+    test_ids = np.array([r["doc_id"] for r in test_rows], dtype=np.int64)
+    test_sets = [np.frombuffer(r["set"], dtype="<u8") for r in test_rows]
+    side_bytes = sum(len(r["set"]) + len(r["sig"]) for r in test_rows)
+    if side_bytes > max_test_bytes:
+        raise ValueError(
+            f"benchmark side is {side_bytes} bytes > budget {max_test_bytes}; "
+            "shard the test split (run per benchmark suite) or fall back to "
+            "the symmetric keyed-exchange path (_neardup_pairs)")
+    if len(test_rows):
+        tsig = np.frombuffer(
+            b"".join(r["sig"] for r in test_rows),
+            dtype="<u8").reshape(len(test_rows), -1)
+        tbands = band_keys(tsig, num_bands)
+        buckets: dict[int, list[int]] = {}
+        for i in range(len(test_rows)):
+            for bk in tbands[i]:
+                buckets.setdefault(int(bk), []).append(i)
+        all_keys = np.unique(tbands)
+    else:
+        buckets, all_keys = {}, np.array([], dtype="<u8")
+    ref = ray.put((test_ids, test_sets, buckets, all_keys))
+
+    def probe(b: pa.Table, _ref=ref) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "matched_test_id": pa.array([], type=pa.int64()),
+                          "jaccard": pa.array([], type=pa.float64())})
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(did % _FD_MOD != _FD_REM))
+        if b.num_rows == 0:
+            return empty
+        t_ids, t_sets, bkt, keys = ray.get(_ref)
+        if not len(t_ids):
+            return empty
+        n = b.num_rows
+        sig = np.frombuffer(b"".join(b["sig"].to_pylist()),
+                            dtype="<u8").reshape(n, -1)
+        bands = band_keys(sig, num_bands)
+        hit_mask = np.isin(bands, keys)
+        out_d, out_t, out_j = [], [], []
+        for i in np.flatnonzero(hit_mask.any(axis=1)):
+            cands = sorted({c for bk in bands[i][hit_mask[i]]
+                            for c in bkt.get(int(bk), ())})
+            S = np.frombuffer(b["set"][i].as_py(), dtype="<u8")
+            best_j, best_t = -1.0, -1
+            for c in cands:
+                inter = len(np.intersect1d(S, t_sets[c], assume_unique=True))
+                union = len(S) + len(t_sets[c]) - inter
+                j = inter / union if union else 0.0
+                if j > best_j or (j == best_j and t_ids[c] < best_t):
+                    best_j, best_t = j, int(t_ids[c])
+            if best_j >= threshold:
+                out_d.append(int(b["doc_id"][i].as_py()))
+                out_t.append(best_t)
+                out_j.append(best_j)
+        return pa.table({"doc_id": pa.array(out_d, type=pa.int64()),
+                         "matched_test_id": pa.array(out_t, type=pa.int64()),
+                         "jaccard": pa.array(out_j, type=pa.float64())})
+
+    return payload.map_batches(probe, batch_format="pyarrow")
+
+
+def _sql_fuzzy_decontaminate() -> str:
+    from .queries import _sql_shingles
+
+    return f"""
+WITH sh AS ({_sql_shingles()}),
+u AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+c AS (SELECT doc_id, len(shingles) AS n FROM sh),
+p AS (
+  SELECT x.doc_id AS train_id, y.doc_id AS test_id, count(*) AS inter
+  FROM u x JOIN u y ON x.s = y.s
+  WHERE x.doc_id % {_FD_MOD} != {_FD_REM}
+    AND y.doc_id % {_FD_MOD} = {_FD_REM}
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT train_id, test_id,
+         inter / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard,
+         row_number() OVER (PARTITION BY train_id
+           ORDER BY inter / CAST(ca.n + cb.n - inter AS DOUBLE) DESC,
+                    test_id) AS rn
+  FROM p JOIN c ca ON ca.doc_id = train_id JOIN c cb ON cb.doc_id = test_id
+  WHERE inter / CAST(ca.n + cb.n - inter AS DOUBLE) >= {_FD_THRESHOLD}
+)
+SELECT train_id AS doc_id, test_id AS matched_test_id, jaccard
+FROM j WHERE rn = 1
+"""
+
+
 WEBTEXT_QUERIES = {
     "pii_redact": q_pii_redact,
     "url_dedup": q_url_dedup,
@@ -1657,6 +1793,7 @@ WEBTEXT_QUERIES = {
     "mixture_budget": q_mixture_budget,
     "dup_ngram_fraction": q_dup_ngram_fraction,
     "blocking_quality": q_blocking_quality,
+    "fuzzy_decontaminate": q_fuzzy_decontaminate,
 }
 
 WEBTEXT_ORACLES = {
@@ -1680,6 +1817,7 @@ WEBTEXT_ORACLES = {
     "mixture_budget": SQL_MIXTURE_BUDGET,
     "dup_ngram_fraction": _sql_dup_ngram_fraction(),
     "blocking_quality": _sql_blocking_quality(),
+    "fuzzy_decontaminate": _sql_fuzzy_decontaminate(),
 }
 
 # complete the catalog registration for the webtext-first import order

@@ -396,3 +396,27 @@ def test_blocking_quality_invariants(ray_session):
     assert 0 <= r["n_true_coblocked"] <= r["n_true_pairs"]
     if r["n_true_pairs"]:
         assert r["pair_completeness"] == r["n_true_coblocked"] / r["n_true_pairs"]
+
+
+def test_fuzzy_decontaminate_invariants_and_budget(ray_session):
+    """Split-membership, threshold, best-match-uniqueness invariants
+    at sf0.001 (the oracle gate covers bit-exactness), plus the loud
+    over-budget failure when the benchmark side exceeds its byte cap."""
+    import numpy as np
+    import pytest
+
+    from refined_ray.pipelines.queries_webtext import (
+        _FD_MOD, _FD_REM, _FD_THRESHOLD, q_fuzzy_decontaminate)
+
+    sf = "/root/testdata/sf0.001"
+    out = q_fuzzy_decontaminate(sf).to_pandas()
+    assert len(out) > 0
+    assert (out.doc_id % _FD_MOD != _FD_REM).all()
+    assert (out.matched_test_id % _FD_MOD == _FD_REM).all()
+    assert (out.jaccard >= _FD_THRESHOLD).all()
+    assert (out.jaccard <= 1.0).all()
+    assert out.doc_id.is_unique
+    assert (np.sort(out.doc_id.unique()) == np.sort(out.doc_id.values)).all()
+
+    with pytest.raises(ValueError, match="benchmark side"):
+        q_fuzzy_decontaminate(sf, max_test_bytes=16)
