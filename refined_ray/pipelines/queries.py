@@ -997,6 +997,61 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def q_semantic_dedup(sf_dir: str, threshold: float = 0.45):
+    """SemDeDup-style semantic deduplication over the embedding
+    column: vectors within cosine ``threshold`` of each other collapse
+    to one keeper per connected component (keeper = min vec_id).
+    Output is corpus-shaped — every vec_id with its component label
+    and an int keep flag — so the surviving corpus is ``keep = 1``.
+
+    Composition, all existing machinery: exact chunked-matmul pairs
+    (``q_embedding_pairs`` — bounded per-task memory, nothing on the
+    driver) → distributed connected components (counted
+    driver/pointer-jumping dispatch in stages/clustering).  At 100 TB
+    swap the pair stage for the LSH-banded one
+    (``q_embedding_neardup_lsh``) — the downstream is unchanged."""
+    from .. import default_num_partitions
+    from ..stages.clustering import connected_components
+
+    pairs = q_embedding_pairs(sf_dir, threshold=threshold)
+    edges = pairs.select_columns(["vec_a", "vec_b"]) \
+                 .rename_columns({"vec_a": "a", "vec_b": "b"})
+    vertices = _read(sf_dir, "embeddings", ["vec_id"]) \
+        .rename_columns({"vec_id": "page_id"})
+    labels = connected_components(vertices, edges,
+                                  num_partitions=default_num_partitions())
+
+    def finish(b: pa.Table) -> pa.Table:
+        vid = b["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        comp = b["component"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(vid, type=pa.int64()),
+            "cluster_vec_id": pa.array(comp, type=pa.int64()),
+            "keep": pa.array((vid == comp).astype(np.int64), type=pa.int64()),
+        })
+
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH RECURSIVE e AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.45
+),
+sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+reach(v, u) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.v, s.b FROM reach r JOIN sym s ON r.u = s.a
+)
+SELECT v AS vec_id, min(u) AS cluster_vec_id,
+       CAST(v = min(u) AS BIGINT) AS keep
+FROM reach GROUP BY 1
+"""
+
+
 # =====================================================================
 # Flagship web-page ER (rows-only: synthetic pages not in oracle views)
 # =====================================================================
@@ -1121,6 +1176,7 @@ QUERIES = {
     "doc_clusters": q_doc_clusters,
     "ann_topk": q_ann_topk,
     "embedding_pairs": q_embedding_pairs,
+    "semantic_dedup": q_semantic_dedup,
     "er_clusters": q_er_clusters,
     "doc_fingerprints": q_doc_fingerprints,
 }
@@ -1193,6 +1249,7 @@ def oracles() -> dict[str, str]:
         "doc_clusters": SQL_DOC_CLUSTERS,
         "ann_topk": SQL_ANN_TOPK,
         "embedding_pairs": SQL_EMBEDDING_PAIRS,
+        "semantic_dedup": SQL_SEMANTIC_DEDUP,
         # er_clusters, doc_fingerprints: rows-only (non-SQL-expressible)
         **_ext()[1],
     }

@@ -12,8 +12,8 @@ import sys
 
 import pytest
 
-N_QUERIES = 101
-N_ORACLES = 79
+N_QUERIES = 102
+N_ORACLES = 80
 
 _FIRST = ["queries", "queries_ext", "queries_webtext", "queries_readers",
           "entity_resolution", "evaluation", "offline_build", "table_linking"]

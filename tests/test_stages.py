@@ -271,3 +271,20 @@ def test_scrub_empty_blocks(ray_session):
     out = scrub_empty_blocks(all_empty, fallback_schema=ab)
     assert out.count() == 0
     assert out.schema().base_schema.equals(ab)
+
+
+def test_semantic_dedup_keeper_invariants(ray_session):
+    """Every cluster keeps exactly its min vec_id; keep flag matches;
+    flagged pairs always share a cluster (oracle gate covers
+    bit-exactness vs the recursive-CTE SQL)."""
+    from refined_ray.pipelines.queries import q_embedding_pairs, q_semantic_dedup
+
+    sf = "/root/testdata/sf0.001"
+    out = q_semantic_dedup(sf).to_pandas()
+    assert len(out) == 500
+    g = out.groupby("cluster_vec_id")["vec_id"]
+    assert (g.min() == g.min().index).all()
+    assert (out.keep == (out.vec_id == out.cluster_vec_id).astype(int)).all()
+    label = dict(zip(out.vec_id, out.cluster_vec_id))
+    for r in q_embedding_pairs(sf).take_all():
+        assert label[r["vec_a"]] == label[r["vec_b"]]
