@@ -1639,6 +1639,155 @@ FROM agg, tp
 
 
 # ---------------------------------------------------------------------
+# Host-graph PageRank (engine addition; crawl-frontier / URL-filter
+# host-reputation family)
+# ---------------------------------------------------------------------
+
+_PR_MOD = 30          # host id = doc_id % 30 (the url_dedup host synth)
+_PR_DAMPING = 0.85
+_PR_ITERS = 3
+
+
+def q_host_pagerank(sf_dir: str, n_iters: int = _PR_ITERS,
+                    damping: float = _PR_DAMPING,
+                    max_rank_bytes: int = 512 << 20):
+    """Host-level PageRank over a deterministic link multigraph (one
+    edge per document: ``doc_id % 30 → (doc_id·7 + 3) % 30``) — the
+    host-reputation signal crawl-frontier schedulers and URL filters
+    rank by.  Fixed ``n_iters`` power iterations so the DuckDB oracle
+    can replay them as unrolled CTEs; rank rounded to 6 digits on both
+    sides.
+
+    Scale shape: the EDGES never sit on the driver — they stream once
+    into a materialized (src, dst) dataset; per iteration the rank
+    vector broadcasts via ``ray.put`` (byte-counted: host-level rank
+    state is millions-of-hosts sized, loud failure past the budget
+    with the keyed-join fallback named), each block emits per-dst
+    partial contribution sums (≤ distinct-dst rows per block), ONE
+    small keyed fold reduces them, and ≤ n_hosts tiny rows cross to
+    the driver for the update — the ``ivf_centroids`` loop pattern
+    with scalar payloads.  Deterministic: order-independent sums,
+    host-sorted updates."""
+    import ray
+
+    from .. import default_num_partitions
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(did % _PR_MOD, type=pa.int64()),
+            "dst": pa.array((did * 7 + 3) % _PR_MOD, type=pa.int64()),
+        })
+
+    e = ds.map_batches(edges, batch_format="pyarrow").materialize()
+
+    # out-degree (multigraph: multiplicity counts) + node set, via one
+    # per-block partial + tiny fold — ≤ n_hosts rows ever move
+    def deg_partial(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy(zero_copy_only=False)
+        dst = b["dst"].to_numpy(zero_copy_only=False)
+        s, c = np.unique(src, return_counts=True)
+        d = np.unique(dst)
+        return pa.table({
+            "v": pa.array(np.concatenate([s, d]), type=pa.int64()),
+            "d": pa.array(np.concatenate([c, np.zeros(len(d), dtype=np.int64)]),
+                          type=pa.int64()),
+        })
+
+    rows = e.map_batches(deg_partial, batch_format="pyarrow").take_all()
+    vs = np.array([r["v"] for r in rows], dtype=np.int64)
+    cs = np.array([r["d"] for r in rows], dtype=np.int64)
+    nodes = np.unique(vs)
+    deg = np.zeros(len(nodes), dtype=np.int64)
+    np.add.at(deg, np.searchsorted(nodes, vs), cs)
+    n = len(nodes)
+
+    rank = np.full(n, 1.0 / n)
+    for _ in range(n_iters):
+        if nodes.nbytes + rank.nbytes + deg.nbytes > max_rank_bytes:
+            raise ValueError(
+                f"rank state {nodes.nbytes + rank.nbytes + deg.nbytes} bytes "
+                f"> budget {max_rank_bytes}; fall back to a keyed-join "
+                "iteration (rank dataset joined to edges on src, grouped "
+                "by dst) instead of the broadcast")
+        ref = ray.put((nodes, rank, deg))
+
+        def contrib(b: pa.Table, _ref=ref) -> pa.Table:
+            empty = pa.table({"dst": pa.array([], type=pa.int64()),
+                              "s": pa.array([], type=pa.float64())})
+            if b.num_rows == 0:
+                return empty
+            nd, rk, dg = ray.get(_ref)
+            src = b["src"].to_numpy(zero_copy_only=False)
+            dst = b["dst"].to_numpy(zero_copy_only=False)
+            w = rk[np.searchsorted(nd, src)] / dg[np.searchsorted(nd, src)]
+            out_d = np.unique(dst)
+            s = np.zeros(len(out_d))
+            np.add.at(s, np.searchsorted(out_d, dst), w)
+            return pa.table({"dst": pa.array(out_d, type=pa.int64()),
+                             "s": pa.array(s, type=pa.float64())})
+
+        def fold(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"dst": pa.array([], type=pa.int64()),
+                                 "s": pa.array([], type=pa.float64())})
+            dst = b["dst"].to_numpy(zero_copy_only=False)
+            s = b["s"].to_numpy(zero_copy_only=False)
+            out_d = np.unique(dst)
+            acc = np.zeros(len(out_d))
+            np.add.at(acc, np.searchsorted(out_d, dst), s)
+            return pa.table({"dst": pa.array(out_d, type=pa.int64()),
+                             "s": pa.array(acc, type=pa.float64())})
+
+        got = e.map_batches(contrib, batch_format="pyarrow") \
+            .repartition(num_blocks=min(n, default_num_partitions()),
+                         keys=["dst"], sort=False) \
+            .map_batches(fold, batch_format="pyarrow", batch_size=None) \
+            .take_all()
+        new = np.full(n, (1.0 - damping) / n)
+        for r in got:
+            new[np.searchsorted(nodes, r["dst"])] += damping * r["s"]
+        rank = new
+
+    from .queries import _canon_round
+
+    return_table = pa.table({
+        "host_id": pa.array(nodes, type=pa.int64()),
+        "rank": _canon_round(pa.array(rank, type=pa.float64()), 6),
+    })
+    import ray.data as rd
+
+    return rd.from_arrow(return_table)
+
+
+def _sql_host_pagerank() -> str:
+    from .queries import _sql_round
+
+    n_expr = "(SELECT cnt FROM n)"
+    body = f"SELECT v, 1.0 / {n_expr} AS r FROM nodes"
+    for i in range(_PR_ITERS):
+        body = f"""
+SELECT nodes.v,
+       {1.0 - _PR_DAMPING} / {n_expr}
+       + {_PR_DAMPING} * COALESCE(SUM(prev.r / deg.d), 0) AS r
+FROM nodes
+LEFT JOIN e ON e.dst = nodes.v
+LEFT JOIN ({body}) prev ON prev.v = e.src
+LEFT JOIN deg ON deg.src = e.src
+GROUP BY nodes.v"""
+    return f"""
+WITH e AS (SELECT doc_id % {_PR_MOD} AS src,
+                  (doc_id * 7 + 3) % {_PR_MOD} AS dst FROM documents),
+nodes AS (SELECT DISTINCT src AS v FROM e UNION SELECT DISTINCT dst FROM e),
+n AS (SELECT COUNT(*) AS cnt FROM nodes),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1)
+SELECT v AS host_id, {_sql_round('r', 6)} AS rank FROM ({body}) final
+"""
+
+
+# ---------------------------------------------------------------------
 # Fuzzy cross-corpus decontamination (engine addition;
 # RefinedWeb/FineWeb near-dup decontamination family)
 # ---------------------------------------------------------------------
@@ -1794,6 +1943,7 @@ WEBTEXT_QUERIES = {
     "dup_ngram_fraction": q_dup_ngram_fraction,
     "blocking_quality": q_blocking_quality,
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
+    "host_pagerank": q_host_pagerank,
 }
 
 WEBTEXT_ORACLES = {
@@ -1818,6 +1968,7 @@ WEBTEXT_ORACLES = {
     "dup_ngram_fraction": _sql_dup_ngram_fraction(),
     "blocking_quality": _sql_blocking_quality(),
     "fuzzy_decontaminate": _sql_fuzzy_decontaminate(),
+    "host_pagerank": _sql_host_pagerank(),
 }
 
 # complete the catalog registration for the webtext-first import order

@@ -12,8 +12,8 @@ import sys
 
 import pytest
 
-N_QUERIES = 102
-N_ORACLES = 80
+N_QUERIES = 103
+N_ORACLES = 81
 
 _FIRST = ["queries", "queries_ext", "queries_webtext", "queries_readers",
           "entity_resolution", "evaluation", "offline_build", "table_linking"]

@@ -420,3 +420,18 @@ def test_fuzzy_decontaminate_invariants_and_budget(ray_session):
 
     with pytest.raises(ValueError, match="benchmark side"):
         q_fuzzy_decontaminate(sf, max_test_bytes=16)
+
+
+def test_host_pagerank_distribution_invariants(ray_session):
+    """Ranks form a probability distribution (sum 1 within rounding),
+    every host positive, repeat runs identical (the oracle gate covers
+    bit-exactness vs the unrolled-CTE SQL)."""
+    from refined_ray.pipelines.queries_webtext import _PR_MOD, q_host_pagerank
+
+    sf = "/root/testdata/sf0.001"
+    out = q_host_pagerank(sf).to_pandas().sort_values("host_id")
+    assert len(out) == _PR_MOD
+    assert (out["rank"] > 0).all()
+    assert abs(out["rank"].sum() - 1.0) < 1e-4
+    out2 = q_host_pagerank(sf).to_pandas().sort_values("host_id")
+    assert (out["rank"].values == out2["rank"].values).all()
