@@ -784,7 +784,8 @@ def _load_query_matrix(sf_dir: str, max_qid: int):
     t = t.filter(mask)
     qids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     Q = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    norms = np.linalg.norm(Q, axis=1, keepdims=True)
+    np.divide(Q, norms, out=Q, where=norms > 0)  # all-zero vector stays zero, not NaN
     return qids, Q
 
 

@@ -2230,6 +2230,22 @@ def ivf_centroids(ds, n_cells: int, n_iters: int = 2):
     return C
 
 
+def _query_vectors(ds, max_qid: int):
+    """Bounded filtered read of the query vectors (``vec_id < max_qid``),
+    sorted by vec_id and L2-normalized with a zero-norm guard (an
+    all-zero embedding stays all-zero instead of going NaN through the
+    whole scoring chain).  Shared by the IVF / IVF-partitioned / PQ
+    paths so the guard lives in exactly one place."""
+    qrows = sorted((r["vec_id"], r["embedding"])
+                   for r in ds.filter(expr=f"vec_id < {max_qid}").take_all())
+    qids = np.array([v for v, _ in qrows], dtype=np.int64)
+    Q = np.array([e for _, e in qrows], dtype=np.float64)
+    if Q.size:
+        norms = np.linalg.norm(Q, axis=1, keepdims=True)
+        np.divide(Q, norms, out=Q, where=norms > 0)
+    return qids, Q
+
+
 def q_ann_ivf(sf_dir: str, k: int = 5, max_qid: int = 10, n_cells: int = 16,
               n_probe: int = 8):
     """IVF approximate top-k: vectors partition into coarse cells
@@ -2252,11 +2268,7 @@ def q_ann_ivf(sf_dir: str, k: int = 5, max_qid: int = 10, n_cells: int = 16,
     C = ivf_centroids(ds, n_cells)
 
     # query vectors: a bounded filtered read (max_qid rows)
-    qrows = sorted((r["vec_id"], r["embedding"])
-                   for r in ds.filter(expr=f"vec_id < {max_qid}").take_all())
-    qids = np.array([v for v, _ in qrows], dtype=np.int64)
-    Q = np.array([e for _, e in qrows], dtype=np.float64)
-    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    qids, Q = _query_vectors(ds, max_qid)
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]  # (q, n_probe)
     ref = ray.put((qids, Q, probe, C))
 
@@ -2351,11 +2363,7 @@ def q_ann_ivf_partitioned(sf_dir: str, k: int = 5, max_qid: int = 10,
     # centroids + queries: same seed + Lloyd scheme as q_ann_ivf, so
     # the parity test compares identical cell geometry
     C = ivf_centroids(ds, n_cells)
-    qrows = sorted((r["vec_id"], r["embedding"])
-                   for r in ds.filter(expr=f"vec_id < {max_qid}").take_all())
-    qids = np.array([v for v, _ in qrows], dtype=np.int64)
-    Q = np.array([e for _, e in qrows], dtype=np.float64)
-    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    qids, Q = _query_vectors(ds, max_qid)
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
     ref = ray.put((qids, Q, probe, C))
 
@@ -2463,6 +2471,10 @@ def pq_codebooks(ds, m_sub: int, ks: int, n_iters: int = 2):
 
     from .. import default_num_partitions
 
+    if ks > 256:
+        # codes are stored uint8 downstream (the whole point of PQ);
+        # a larger ks would silently wrap code values — fail loudly
+        raise ValueError(f"ks {ks} > 256 cannot be stored as uint8 codes")
     sample = ds.limit(ks * 64).take_all()
     S = np.array([r["embedding"] for r in sample], dtype=np.float64)
     norms = np.linalg.norm(S, axis=1, keepdims=True)
@@ -2513,8 +2525,12 @@ def pq_codebooks(ds, m_sub: int, ks: int, n_iters: int = 2):
             .map_batches(_vsum_fold, batch_format="pyarrow", batch_size=None) \
             .take_all()
         newB = B.copy()
+        # decode with the ACTUAL codebook width K (= B.shape[1]) — the
+        # seed sample may yield fewer than ks centroids, and partial()
+        # keys cells as m*K+code, not m*ks+code
+        K = B.shape[1]
         for r in rows:
-            m, c = divmod(r["cell"], ks)
+            m, c = divmod(r["cell"], K)
             newB[m, c] = np.frombuffer(r["vsum"], dtype=np.float64)[:sub] / r["n"]
         B = newB
     return B
@@ -2547,11 +2563,7 @@ def q_ann_pq(sf_dir: str, k: int = 5, max_qid: int = 10, m_sub: int = 16,
     B = pq_codebooks(ds, m_sub, ks)
     sub = B.shape[2]
 
-    qrows = sorted((r["vec_id"], r["embedding"])
-                   for r in ds.filter(expr=f"vec_id < {max_qid}").take_all())
-    qids = np.array([v for v, _ in qrows], dtype=np.int64)
-    Q = np.array([e for _, e in qrows], dtype=np.float64)
-    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    qids, Q = _query_vectors(ds, max_qid)
     # per-query ADC lookup tables: (nq, m_sub, ks) partial dot products
     LUT = np.stack([Q[:, m * sub:(m + 1) * sub] @ B[m].T
                     for m in range(B.shape[0])], axis=1)

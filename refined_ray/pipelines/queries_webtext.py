@@ -1696,7 +1696,28 @@ def q_host_pagerank(sf_dir: str, n_iters: int = _PR_ITERS,
                           type=pa.int64()),
         })
 
-    rows = e.map_batches(deg_partial, batch_format="pyarrow").take_all()
+    # fold the per-block partials by host key BEFORE the driver collect
+    # — without this, take_all would concentrate up to
+    # 2 × distinct-hosts rows PER BLOCK on the driver; after the fold
+    # exactly one row per distinct host crosses, the same bound the
+    # per-iteration rank budget below is sized for
+    def deg_fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"v": pa.array([], type=pa.int64()),
+                             "d": pa.array([], type=pa.int64())})
+        v = b["v"].to_numpy(zero_copy_only=False)
+        d = b["d"].to_numpy(zero_copy_only=False)
+        out_v = np.unique(v)
+        acc = np.zeros(len(out_v), dtype=np.int64)
+        np.add.at(acc, np.searchsorted(out_v, v), d)
+        return pa.table({"v": pa.array(out_v, type=pa.int64()),
+                         "d": pa.array(acc, type=pa.int64())})
+
+    rows = e.map_batches(deg_partial, batch_format="pyarrow") \
+        .repartition(num_blocks=default_num_partitions(),
+                     keys=["v"], sort=False) \
+        .map_batches(deg_fold, batch_format="pyarrow", batch_size=None) \
+        .take_all()
     vs = np.array([r["v"] for r in rows], dtype=np.int64)
     cs = np.array([r["d"] for r in rows], dtype=np.int64)
     nodes = np.unique(vs)
@@ -1832,16 +1853,31 @@ def q_fuzzy_decontaminate(sf_dir: str, threshold: float = _FD_THRESHOLD,
         did = b["doc_id"].to_numpy(zero_copy_only=False)
         return b.filter(pa.array(did % _FD_MOD == _FD_REM))
 
-    test_rows = payload.map_batches(
-        only_test, batch_format="pyarrow").take_all()
-    test_ids = np.array([r["doc_id"] for r in test_rows], dtype=np.int64)
-    test_sets = [np.frombuffer(r["set"], dtype="<u8") for r in test_rows]
-    side_bytes = sum(len(r["set"]) + len(r["sig"]) for r in test_rows)
+    test_ds = payload.map_batches(only_test, batch_format="pyarrow")
+
+    # budget check BEFORE the collect — one tiny int row per block
+    # crosses to the driver, so an over-budget benchmark side fails
+    # loudly instead of OOMing the driver inside take_all (payload is
+    # materialized, so this extra metadata scan re-reads object-store
+    # blocks, not parquet)
+    def bytes_partial(b: pa.Table) -> pa.Table:
+        n = 0
+        if b.num_rows:
+            n = int(pc.sum(pc.binary_length(b["set"])).as_py() or 0) \
+                + int(pc.sum(pc.binary_length(b["sig"])).as_py() or 0)
+        return pa.table({"bytes": pa.array([n], type=pa.int64())})
+
+    side_bytes = sum(r["bytes"] for r in test_ds.map_batches(
+        bytes_partial, batch_format="pyarrow").take_all())
     if side_bytes > max_test_bytes:
         raise ValueError(
             f"benchmark side is {side_bytes} bytes > budget {max_test_bytes}; "
             "shard the test split (run per benchmark suite) or fall back to "
             "the symmetric keyed-exchange path (_neardup_pairs)")
+
+    test_rows = test_ds.take_all()
+    test_ids = np.array([r["doc_id"] for r in test_rows], dtype=np.int64)
+    test_sets = [np.frombuffer(r["set"], dtype="<u8") for r in test_rows]
     if len(test_rows):
         tsig = np.frombuffer(
             b"".join(r["sig"] for r in test_rows),
