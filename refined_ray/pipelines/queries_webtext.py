@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.tokenize import tokenize_batch
-from .queries import _read, _TOKS
+from .queries import _canon_round, _read, _TOKS
 
 
 def _lexsort_segments(primary: np.ndarray, *tiebreaks: np.ndarray):
@@ -1959,6 +1959,287 @@ FROM j WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------
+# DSIR importance resampling (engine addition; Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling")
+# ---------------------------------------------------------------------
+
+_DSIR_B = 4096          # hashed-feature buckets = 16^3 (3 hex chars of md5)
+_DSIR_K = 50            # resampled corpus size
+_DSIR_TARGET_LANG = "en"  # the "target domain" docs defining p_target
+
+
+def _dsir_buckets(col):
+    """Per-token-instance hashed-feature bucket + per-doc offsets.
+
+    The bucket is the first 3 hex chars of md5(token) — the same
+    PORTABLE md5 contract as corpus_split (hashlib == DuckDB md5
+    byte-for-byte), so a SQL oracle replays the feature hash exactly.
+    md5 runs over the VOCABULARY only (dictionary-encode first);
+    instances gather the result."""
+    import hashlib
+
+    from ..functions.tokenize import tokenize_hash_arrow
+
+    _h, starts, toks = tokenize_hash_arrow(col)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    enc = pc.dictionary_encode(toks)
+    vocab = enc.dictionary.to_pylist()
+    vb = np.array([hashlib.md5(t.encode()).hexdigest()[:3] for t in vocab],
+                  dtype="U3")
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    return vb[idx], starts
+
+
+def q_dsir_select(sf_dir: str, k: int = _DSIR_K):
+    """DSIR-style data selection: score every document by its summed
+    hashed-unigram log-likelihood ratio between a target distribution
+    (docs with ``lang == 'en'``, standing in for the curated target
+    corpus) and the raw-corpus distribution, then Gumbel-top-k
+    resample — sampling without replacement with probability
+    proportional to the importance weight, made
+    deterministic by deriving each doc's uniform from a fixed integer
+    hash of its id so a SQL oracle replays the draw bit-exactly.
+
+    Both distributions are additively smoothed over the _DSIR_B md5
+    feature buckets: lr(b) = ln((t_b+1)/(T+B)) - ln((r_b+1)/(R+B)).
+
+    Scale shape (the DSIR paper's own layout): pass 1 reduces each
+    block to a <=B-row partial histogram before ONE tiny groupby (bucket
+    counts move, token instances never); the B-row log-ratio table
+    broadcasts via ray.put; pass 2 scores map-side with searchsorted
+    gathers (zero shuffle); the final top-k keeps k rows per block
+    before a k-row global sort.  Nothing instance-sized ever leaves a
+    worker."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def bucket_counts(b: pa.Table) -> pa.Table:
+        empty = pa.table({"b": pa.array([], type=pa.string()),
+                          "r": pa.array([], type=pa.int64()),
+                          "t": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        binst, starts = _dsir_buckets(b["text"])
+        if len(binst) == 0:
+            return empty
+        is_t = pc.equal(b["lang"], _DSIR_TARGET_LANG).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(np.arange(b.num_rows), np.diff(starts))
+        order, seg, sizes = _lexsort_segments(binst)
+        return pa.table({
+            "b": pa.array(binst[order][seg], type=pa.string()),
+            "r": pa.array(sizes, type=pa.int64()),
+            "t": pa.array(np.add.reduceat(is_t[doc_of][order], seg),
+                          type=pa.int64()),
+        })
+
+    cnts = docs.map_batches(bucket_counts, batch_format="pyarrow") \
+               .groupby("b").aggregate(Sum("r", alias_name="r"),
+                                       Sum("t", alias_name="t"))
+    # bounded collect: the histogram has <= _DSIR_B rows by construction
+    blks = [blk for blk in ray.get(cnts.to_arrow_refs()) if blk.num_rows]
+    ct = pa.concat_tables(blks) if blks else pa.table(
+        {"b": pa.array([], type=pa.string()),
+         "r": pa.array([], type=pa.int64()),
+         "t": pa.array([], type=pa.int64())})
+    bk = np.asarray(ct["b"].to_pylist(), dtype="U3")
+    r = ct["r"].to_numpy(zero_copy_only=False).astype(np.float64)
+    t = ct["t"].to_numpy(zero_copy_only=False).astype(np.float64)
+    R, T = r.sum(), t.sum()
+    lr = np.log((t + 1) / (T + _DSIR_B)) - np.log((r + 1) / (R + _DSIR_B))
+    order = np.argsort(bk)
+    ref = ray.put((bk[order], lr[order]))
+
+    def score(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "dsir_w": pa.array([], type=pa.float64()),
+                          "skey": pa.array([], type=pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        bks, lrs = ray.get(ref)
+        binst, starts = _dsir_buckets(b["text"])
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(starts)
+        keep = lens > 0  # token-free docs have no feature mass (SQL join drops them)
+        if not keep.any():
+            return empty
+        inst_lr = lrs[np.searchsorted(bks, binst)]
+        w = np.add.reduceat(inst_lr, starts[:-1][keep])
+        u = ((ids[keep] * 2654435761) % 2**32 + 1) / float(2**32 + 1)
+        skey = w - np.log(-np.log(u))
+        out = pa.table({
+            "doc_id": pa.array(ids[keep], type=pa.int64()),
+            "dsir_w": _canon_round(list(w), 6),
+            "skey": _canon_round(list(skey), 6),
+        })
+        # partial top-k: at most k rows leave any block
+        sk = out["skey"].to_numpy(zero_copy_only=False)
+        top = np.lexsort((ids[keep], -sk))[:k]
+        return out.take(pa.array(np.sort(top)))
+
+    scored = docs.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["skey", "doc_id"], descending=[True, False]).limit(k)
+
+
+SQL_DSIR_SELECT = f"""
+WITH inst AS (
+  SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents
+), feat AS (
+  SELECT doc_id, lang, substr(md5(tok), 1, 3) AS b FROM inst
+), cnts AS (
+  SELECT b, count(*) AS r,
+         count(*) FILTER (WHERE lang = '{_DSIR_TARGET_LANG}') AS t
+  FROM feat GROUP BY b
+), tot AS (
+  SELECT CAST(sum(r) AS DOUBLE) AS rr, CAST(sum(t) AS DOUBLE) AS tt FROM cnts
+), lr AS (
+  SELECT b, ln((t + 1) / (tt + {_DSIR_B})) - ln((r + 1) / (rr + {_DSIR_B})) AS lr
+  FROM cnts, tot
+), w AS (
+  SELECT f.doc_id, sum(l.lr) AS w
+  FROM feat f JOIN lr l USING (b) GROUP BY f.doc_id
+), keyed AS (
+  SELECT doc_id, w,
+         w - ln(-ln(((doc_id * 2654435761) % 4294967296 + 1) / 4294967297.0)) AS skey
+  FROM w
+)
+SELECT doc_id, {{w6}} AS dsir_w, {{s6}} AS skey
+FROM keyed ORDER BY {{s6}} DESC, doc_id LIMIT {_DSIR_K}
+"""
+
+
+def _sql_dsir_select() -> str:
+    from .queries import _sql_round
+
+    return SQL_DSIR_SELECT.format(w6=_sql_round("w", 6),
+                                  s6=_sql_round("skey", 6))
+
+
+# ---------------------------------------------------------------------
+# Within-document duplicate-line removal (engine addition; the
+# map-only self-dedup that Gopher/FineWeb run before the GLOBAL C4
+# line dedup — q_line_dedup is the shuffle form, this is the
+# shuffle-FREE form)
+# ---------------------------------------------------------------------
+
+
+def q_selfdup_lines(sf_dir: str):
+    """Drop repeated lines WITHIN each document (keep the first
+    occurrence in line order) and re-join the survivors — boilerplate
+    self-repetition trim.  Lines are the same 10-token windows as
+    q_line_dedup, plus a planted self-duplicate (docs with
+    ``doc_id % 3 == 0`` repeat their own first line at the end) so the
+    trim provably fires.  Output per doc: total/kept line counts and
+    the cleaned text.
+
+    Scale shape: ZERO shuffle — every step is doc-local, so this is a
+    single stateless ``map_batches`` projection that streams at read
+    bandwidth no matter the corpus size (contrast q_line_dedup, whose
+    corpus-wide semantics force one keyed exchange).  Line build is
+    the shared Arrow ``binary_join`` ListArray kernel; the dedup is
+    one lexsort + neighbor mask per batch."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def trim(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "n_lines": pa.array([], type=pa.int64()),
+                          "n_kept": pa.array([], type=pa.int64()),
+                          "clean": pa.array([], type=pa.string())})
+        if b.num_rows == 0:
+            return empty
+        texts = b["text"].to_pylist()
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, starts = tokenize_batch(texts)
+        lens = np.diff(starts)
+        n_lines = -(-lens // _LINE_TOKENS)  # ceil; 0 for token-free docs
+        doc_rep = np.repeat(np.arange(len(ids), dtype=np.int64), n_lines)
+        lidx = np.arange(n_lines.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(n_lines) - n_lines, n_lines)
+        line_starts = np.repeat(starts[:-1], n_lines) + lidx * _LINE_TOKENS
+        if starts[-1] >= 2**31:  # int32 list offsets: fail loudly, not wrap
+            raise ValueError(
+                f"batch has {starts[-1]} flat tokens (>= 2^31); lower "
+                f"batch_size so ListArray int32 offsets cannot overflow")
+        offsets = np.append(line_starts, starts[-1]).astype(np.int32)
+        la = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                      pa.array(flat, type=pa.string()))
+        line = pc.binary_join(la, " ").to_numpy(zero_copy_only=False)
+
+        # plant: docs with doc_id % 3 == 0 (and >=1 line) repeat their
+        # own first line after the last
+        first_pos = np.flatnonzero(lidx == 0)
+        pm = ids[doc_rep[first_pos]] % 3 == 0
+        doci = np.r_[doc_rep, doc_rep[first_pos][pm]]
+        li = np.r_[lidx, n_lines[doc_rep[first_pos][pm]]]
+        ln_ = np.r_[line, line[first_pos][pm]]
+
+        # within-doc first occurrence per distinct line
+        order = np.lexsort((li, ln_, doci))
+        d_s, l_s = doci[order], ln_[order]
+        new_seg = np.r_[True, (d_s[1:] != d_s[:-1]) | (l_s[1:] != l_s[:-1])]
+        keep_idx = order[new_seg]
+        k_doc, k_li, k_line = doci[keep_idx], li[keep_idx], ln_[keep_idx]
+        o2 = np.lexsort((k_li, k_doc))
+        k_doc, k_line = k_doc[o2], k_line[o2]
+
+        kept_per_doc = np.bincount(k_doc, minlength=len(ids))
+        k_offs = np.r_[0, np.cumsum(kept_per_doc)].astype(np.int32)
+        kla = pa.ListArray.from_arrays(
+            pa.array(k_offs, type=pa.int32()),
+            pa.array(k_line.tolist(), type=pa.string()))
+        clean = pc.binary_join(kla, " ")
+
+        m = n_lines > 0  # token-free docs have no lines (SQL drops them)
+        tot = n_lines + ((ids % 3 == 0) & m)
+        return pa.table({
+            "doc_id": pa.array(ids[m], type=pa.int64()),
+            "n_lines": pa.array(tot[m], type=pa.int64()),
+            "n_kept": pa.array(kept_per_doc[m], type=pa.int64()),
+            "clean": clean.filter(pa.array(m)),
+        })
+
+    return docs.map_batches(trim, batch_format="pyarrow")
+
+
+SQL_SELFDUP_LINES = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok,
+         unnest(range(1, len({_TOKS}) + 1)) AS ord
+  FROM documents
+),
+content AS (
+  SELECT doc_id, CAST((ord - 1) // {_LINE_TOKENS} AS BIGINT) AS line_idx,
+         string_agg(tok, ' ' ORDER BY ord) AS line
+  FROM t GROUP BY doc_id, (ord - 1) // {_LINE_TOKENS}
+),
+nl AS (SELECT doc_id, count(*) AS n_raw FROM content GROUP BY doc_id),
+plant AS (
+  SELECT c.doc_id, nl.n_raw AS line_idx, c.line
+  FROM content c JOIN nl USING (doc_id)
+  WHERE c.line_idx = 0 AND c.doc_id % 3 = 0
+),
+lines AS (SELECT * FROM content UNION ALL SELECT * FROM plant),
+ranked AS (
+  SELECT doc_id, line_idx, line,
+         row_number() OVER (PARTITION BY doc_id, line ORDER BY line_idx) AS rn
+  FROM lines
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(line, ' ' ORDER BY line_idx) AS clean
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CAST(nl.n_raw + CASE WHEN a.doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_lines,
+       a.n_kept, a.clean
+FROM agg a JOIN nl USING (doc_id)
+"""
+
+
 WEBTEXT_QUERIES = {
     "pii_redact": q_pii_redact,
     "url_dedup": q_url_dedup,
@@ -1980,6 +2261,8 @@ WEBTEXT_QUERIES = {
     "blocking_quality": q_blocking_quality,
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
     "host_pagerank": q_host_pagerank,
+    "dsir_select": q_dsir_select,
+    "selfdup_lines": q_selfdup_lines,
 }
 
 WEBTEXT_ORACLES = {
@@ -2005,6 +2288,8 @@ WEBTEXT_ORACLES = {
     "blocking_quality": _sql_blocking_quality(),
     "fuzzy_decontaminate": _sql_fuzzy_decontaminate(),
     "host_pagerank": _sql_host_pagerank(),
+    "dsir_select": _sql_dsir_select(),
+    "selfdup_lines": SQL_SELFDUP_LINES,
 }
 
 # complete the catalog registration for the webtext-first import order

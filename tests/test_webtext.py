@@ -435,3 +435,86 @@ def test_host_pagerank_distribution_invariants(ray_session):
     assert abs(out["rank"].sum() - 1.0) < 1e-4
     out2 = q_host_pagerank(sf).to_pandas().sort_values("host_id")
     assert (out["rank"].values == out2["rank"].values).all()
+
+
+def test_dsir_select_prefers_target_vocabulary(ray_session, tmp_path):
+    """DSIR on a planted corpus: 'en' (target) docs draw from vocab A,
+    most others from a disjoint vocab B, and a few non-target docs are
+    written in vocab A ("target-like raw text").  The importance
+    weights must separate the vocabularies by tens of nats — far past
+    the Gumbel noise — so the resampled set is (a) dominated by
+    vocab-A docs and (b) includes target-like docs that are NOT
+    labeled 'en' (DSIR selects by distribution, not by label)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from refined_ray.pipelines.queries_webtext import _DSIR_K, q_dsir_select
+
+    rng = np.random.default_rng(11)
+    voc_a = [f"alpha{i}" for i in range(40)]
+    voc_b = [f"zeta{i}" for i in range(40)]
+    rows = []
+    for d in range(200):
+        if d < 40:          # target docs: vocab A, lang en
+            voc, lang = voc_a, "en"
+        elif d < 60:        # target-LIKE raw docs: vocab A, lang xx
+            voc, lang = voc_a, "xx"
+        else:               # bulk raw: vocab B
+            voc, lang = voc_b, "xx"
+        rows.append((d, " ".join(rng.choice(voc, size=60)), lang))
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                  "text": pa.array([r[1] for r in rows]),
+                  "lang": pa.array([r[2] for r in rows])})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = q_dsir_select(str(tmp_path)).to_pandas()
+    assert len(got) == _DSIR_K and got.doc_id.is_unique
+    picked_a = (got.doc_id < 60).mean()
+    assert picked_a >= 0.9, f"vocab-A fraction {picked_a}"
+    # unlabeled target-like docs are selected too
+    assert ((got.doc_id >= 40) & (got.doc_id < 60)).any()
+    # vocab-A docs carry strictly larger weights than any vocab-B doc picked
+    wa = got[got.doc_id < 60].dsir_w
+    wb = got[got.doc_id >= 60].dsir_w
+    if len(wb):
+        assert wa.min() > wb.max() + 5.0
+
+
+def test_selfdup_lines_pure_python_replay(ray_session):
+    """Exact replay of the within-doc line dedup: 10-token windows,
+    planted self-duplicate for doc_id % 3 == 0, first-occurrence keep,
+    order-preserving rejoin."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from refined_ray.functions.tokenize import tokenize_batch
+    from refined_ray.pipelines.queries_webtext import (
+        _LINE_TOKENS, q_selfdup_lines)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_selfdup_lines(sf).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+
+    t = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"])
+    want = []
+    for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks, _ = tokenize_batch([txt])
+        lines = [" ".join(toks[i:i + _LINE_TOKENS])
+                 for i in range(0, len(toks), _LINE_TOKENS)]
+        if not lines:
+            continue
+        if d % 3 == 0:
+            lines.append(lines[0])
+        seen, kept = set(), []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        want.append((d, len(lines), len(kept), " ".join(kept)))
+    want_df = pd.DataFrame(
+        want, columns=["doc_id", "n_lines", "n_kept", "clean"])
+    pd.testing.assert_frame_equal(got, want_df, check_dtype=False)
+    # the plant guarantees at least one trim fired
+    assert (got.n_kept < got.n_lines).any()
