@@ -500,6 +500,81 @@ FROM f
 """
 
 
+# ---------------------------------------------------------------------
+# WET (Common-Crawl extracted-text) shard reader — engine addition:
+# the webtext tier's native source format
+# ---------------------------------------------------------------------
+
+
+def q_wet_records(sf_dir: str, docs_per_shard: int = 200):
+    """Stage ``documents`` as sharded .warc.wet.gz files (per-record
+    gzip members, the Common-Crawl layout), then stream them back
+    through the ``read_binary_files`` + per-shard WARC record scanner.
+
+    Planted decoys the scanner must SKIP via its type gate AND its
+    Content-Length payload math: the leading ``warcinfo`` record per
+    shard, plus (every 50th doc) a ``request`` record and a
+    ``metadata`` record whose payload embeds a complete fake
+    ``WARC/1.0 … WARC-Type: conversion`` block with blank lines — a
+    parser that resynchronizes on markers instead of counting payload
+    bytes emits the fake record and fails the oracle."""
+    import pyarrow.parquet as pq
+
+    from ..sources.wet import read_wet_files, write_wet_shard
+
+    d = os.path.join(_fixture_dir(sf_dir), "wetdump")
+    done = os.path.join(d, "_STAGED")
+    if not os.path.exists(done):
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+
+        fake = ("leading text\r\n\r\nWARC/1.0\r\n"
+                "WARC-Type: conversion\r\n"
+                "WARC-Target-URI: http://decoy.example.com/NOT-A-RECORD\r\n"
+                "Content-Length: 4\r\n\r\nBOOM\r\n\r\n trailing text")
+
+        def records(lo: int, hi: int):
+            for did, text in zip(ids[lo:hi], texts[lo:hi]):
+                yield {
+                    "url": (f"http://www.site{did % 30}.example.com"
+                            f"/doc/{did}"),
+                    "date": f"2024-03-{did % 28 + 1:02d}T00:00:00Z",
+                    "text": text,
+                }
+                if did % 50 == 0:
+                    yield {"type": "request", "url": "http://decoy/req",
+                           "text": "GET / HTTP/1.1"}
+                    yield {"type": "metadata", "url": "http://decoy/meta",
+                           "text": fake}
+
+        for s, lo in enumerate(range(0, len(ids), docs_per_shard)):
+            write_wet_shard(records(lo, lo + docs_per_shard),
+                            os.path.join(d, f"shard-{s:05d}.warc.wet.gz"))
+        with open(done, "w") as f:
+            f.write("ok")
+
+    # the _STAGED marker is not gzip and holds no WARC version line —
+    # route the reader at the shards only (the scanner fails LOUDLY on
+    # non-WARC bytes by contract)
+    shards = [os.path.join(d, f) for f in sorted(os.listdir(d))
+              if f.endswith(".warc.wet.gz")]
+    return read_wet_files(shards)
+
+
+SQL_WET_RECORDS = """
+SELECT 'http://www.site' || CAST(doc_id % 30 AS VARCHAR) || '.example.com/doc/'
+         || CAST(doc_id AS VARCHAR) AS url,
+       '2024-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         || 'T00:00:00Z' AS warc_date,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       text
+FROM documents
+"""
+
+
 READER_QUERIES = {
     "aida_means": q_aida_means,
     "el_docs": q_el_docs,
@@ -509,6 +584,7 @@ READER_QUERIES = {
     "aida_conll": q_aida_conll,
     "el_docs_standard": q_el_docs_standard,
     "webqsp_docs": q_webqsp_docs,
+    "wet_records": q_wet_records,
 }
 
 READER_ORACLES = {
@@ -520,6 +596,7 @@ READER_ORACLES = {
     "aida_conll": SQL_AIDA_CONLL,
     "el_docs_standard": SQL_EL_DOCS_STANDARD,
     "webqsp_docs": SQL_WEBQSP_DOCS,
+    "wet_records": SQL_WET_RECORDS,
 }
 
 # complete the catalog registration for the readers-first import order

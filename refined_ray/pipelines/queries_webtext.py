@@ -2120,6 +2120,67 @@ def _sql_dsir_select() -> str:
 
 
 # ---------------------------------------------------------------------
+# Leakage-safe host-level split (engine addition; group-split family)
+# ---------------------------------------------------------------------
+
+
+def q_host_split(sf_dir: str):
+    """Train/val/test assignment by HOST, not by document: every page
+    of a site lands in the same split, so near-duplicate pages (mirror
+    boilerplate, templated content) can never straddle the train/test
+    boundary — the leakage guard corpus_split (per-doc md5) cannot
+    give.  Buckets and thresholds are the same portable md5 contract
+    as corpus_split, applied to the canonical host string.
+
+    Scale shape: stateless projection (host synth → md5 bucket →
+    threshold compare), zero shuffle; md5 runs once per UNIQUE host in
+    the batch (dictionary-encode first), documents gather."""
+    import hashlib
+
+    from .queries_ext import SPLIT_TRAIN_MAX, SPLIT_VAL_MAX
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        host = pc.binary_join_element_wise(
+            "www.site", pa.array((did % 30).astype(str)), ".example.com", "")
+        enc = pc.dictionary_encode(host)
+        hb = np.array([hashlib.md5(h.encode()).hexdigest()[:2]
+                       for h in enc.dictionary.to_pylist()], dtype="U2")
+        bucket = hb[enc.indices.to_numpy(zero_copy_only=False)]
+        split = np.where(bucket < SPLIT_TRAIN_MAX, "train",
+                         np.where(bucket < SPLIT_VAL_MAX, "val", "test"))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "host": host,
+            "bucket": pa.array(bucket.tolist(), type=pa.string()),
+            "split": pa.array(split.tolist(), type=pa.string()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _sql_host_split() -> str:
+    from .queries_ext import SPLIT_TRAIN_MAX, SPLIT_VAL_MAX
+
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         'www.site' || CAST(doc_id % 30 AS VARCHAR) || '.example.com' AS host
+  FROM documents
+), b AS (
+  SELECT doc_id, host, substr(md5(host), 1, 2) AS bucket FROM h
+)
+SELECT doc_id, host, bucket,
+       CASE WHEN bucket < '{SPLIT_TRAIN_MAX}' THEN 'train'
+            WHEN bucket < '{SPLIT_VAL_MAX}' THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------
 # Within-document duplicate-line removal (engine addition; the
 # map-only self-dedup that Gopher/FineWeb run before the GLOBAL C4
 # line dedup — q_line_dedup is the shuffle form, this is the
@@ -2263,6 +2324,7 @@ WEBTEXT_QUERIES = {
     "host_pagerank": q_host_pagerank,
     "dsir_select": q_dsir_select,
     "selfdup_lines": q_selfdup_lines,
+    "host_split": q_host_split,
 }
 
 WEBTEXT_ORACLES = {
@@ -2290,6 +2352,7 @@ WEBTEXT_ORACLES = {
     "host_pagerank": _sql_host_pagerank(),
     "dsir_select": _sql_dsir_select(),
     "selfdup_lines": SQL_SELFDUP_LINES,
+    "host_split": _sql_host_split(),
 }
 
 # complete the catalog registration for the webtext-first import order
