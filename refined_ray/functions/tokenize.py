@@ -50,21 +50,17 @@ def flat_tokens_arrow(arr):
     return flat.filter(pc.greater(pc.utf8_length(flat), 0))
 
 
-def tokenize_hash_arrow(arr, hasher=None) -> tuple[np.ndarray, np.ndarray, "object"]:
-    """Arrow-native tokenize + hash for the signing hot path.
+def tokenize_arrow_offsets(arr) -> tuple["object", np.ndarray]:
+    """Arrow-native tokenize with per-doc offsets — the tokenize-only
+    half of ``tokenize_hash_arrow`` for callers that need doc structure
+    but not the engine hash (they usually dictionary-encode the result
+    themselves, so running the hash here would waste a vocab pass).
 
-    Input: pyarrow string array (or chunked).  Returns
-    (tok_h:uint64 flat token hashes, starts:int64 doc offsets,
-    tokens:list<string> arrow ListArray of the kept tokens per doc).
-
-    Tokenization runs entirely in C++ (utf8_lower + split_pattern_regex)
-    and hashing reads the Arrow values buffer directly with ~max_len
-    vectorized numpy passes — no per-token python objects.  The hash is
-    an FNV-1a over the first 24 bytes mixed with the token length, then
-    splitmix64-finalized; it differs from ``hash_str_array`` by design
-    (both are engine-internal: only within-pipeline consistency
-    matters).
-    """
+    Input: pyarrow string array (or chunked).  Returns (tokens: flat
+    arrow string array of kept tokens, starts:int64 doc offsets) with
+    doc i's tokens at ``tokens[starts[i]:starts[i+1]]``.  Tokenization
+    runs entirely in C++ (utf8_lower + split_pattern_regex); empty
+    edge tokens from the split are dropped."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -89,8 +85,30 @@ def tokenize_hash_arrow(arr, hasher=None) -> tuple[np.ndarray, np.ndarray, "obje
         dropped_pos = np.nonzero(~keep)[0]
         doc_of = np.searchsorted(list_offs, dropped_pos, side="right") - 1
         np.add.at(drop_per_doc, doc_of, 1)
+        flat = flat.filter(pa.array(keep))
     starts = np.zeros(len(doc_counts) + 1, dtype=np.int64)
     np.cumsum(doc_counts - drop_per_doc, out=starts[1:])
+    return flat, starts
+
+
+def tokenize_hash_arrow(arr, hasher=None) -> tuple[np.ndarray, np.ndarray, "object"]:
+    """Arrow-native tokenize + hash for the signing hot path.
+
+    Input: pyarrow string array (or chunked).  Returns
+    (tok_h:uint64 flat token hashes, starts:int64 doc offsets,
+    tokens:list<string> arrow ListArray of the kept tokens per doc).
+
+    Tokenization runs entirely in C++ (``tokenize_arrow_offsets``)
+    and hashing reads the Arrow values buffer directly with ~max_len
+    vectorized numpy passes — no per-token python objects.  The hash is
+    an FNV-1a over the first 24 bytes mixed with the token length, then
+    splitmix64-finalized; it differs from ``hash_str_array`` by design
+    (both are engine-internal: only within-pipeline consistency
+    matters).
+    """
+    import pyarrow.compute as pc
+
+    kept_tokens, starts = tokenize_arrow_offsets(arr)
 
     # Hash the VOCABULARY, not every instance: dictionary-encode is one
     # C++ hash-table pass over the token stream, after which the FNV
@@ -98,13 +116,11 @@ def tokenize_hash_arrow(arr, hasher=None) -> tuple[np.ndarray, np.ndarray, "obje
     # result (measured 10× over hashing all 8M instances per block —
     # the token stream's DRAM traffic was the signing stage's largest
     # cost and the main single-node scaling limiter).
-    enc = pc.dictionary_encode(flat)
+    enc = pc.dictionary_encode(kept_tokens)
     dic = enc.dictionary
     vocab_h = _fnv_hash_strview(dic) if hasher is None else hasher(dic)
     idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-    tok_h = vocab_h[idx[keep]]
-
-    kept_tokens = flat.filter(pa.array(keep)) if (~keep).any() else flat
+    tok_h = vocab_h[idx]
     return tok_h, starts, kept_tokens
 
 

@@ -1979,11 +1979,9 @@ def _dsir_buckets(col):
     instances gather the result."""
     import hashlib
 
-    from ..functions.tokenize import tokenize_hash_arrow
+    from ..functions.tokenize import tokenize_arrow_offsets
 
-    _h, starts, toks = tokenize_hash_arrow(col)
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
+    toks, starts = tokenize_arrow_offsets(col)
     enc = pc.dictionary_encode(toks)
     vocab = enc.dictionary.to_pylist()
     vb = np.array([hashlib.md5(t.encode()).hexdigest()[:3] for t in vocab],
@@ -1993,6 +1991,9 @@ def _dsir_buckets(col):
 
 
 def q_dsir_select(sf_dir: str, k: int = _DSIR_K):
+    # k defaults to _DSIR_K, which is FROZEN into the registered oracle
+    # SQL (LIMIT clause) — the catalog gate only covers the default;
+    # change both together (the TFIDF_K convention).
     """DSIR-style data selection: score every document by its summed
     hashed-unigram log-likelihood ratio between a target distribution
     (docs with ``lang == 'en'``, standing in for the curated target

@@ -81,7 +81,14 @@ def _open_stream(data: bytes) -> io.BufferedIOBase:
 
 def parse_wet_shard(data: bytes) -> Iterator[dict]:
     """bytes of one .wet(.gz) shard → conversion-record dicts:
-    ``{url, warc_date, n_bytes:int, text:str}``."""
+    ``{url, warc_date, n_bytes:int, text:str}``.
+
+    Payload text decodes with ``errors="replace"``: real Common-Crawl
+    conversion payloads carry occasional mojibake from mis-declared
+    charsets, and one bad byte must not kill a 150 MB shard task.
+    Valid UTF-8 round-trips byte-identically; ``n_bytes`` is taken
+    from the RAW payload either way.  The loud-failure contract is
+    for STRUCTURAL corruption (version line, truncated payload)."""
     with _open_stream(data) as f:
         for rec in iter_wet_records(f):
             if rec["type"].lower() != "conversion":
@@ -90,37 +97,46 @@ def parse_wet_shard(data: bytes) -> Iterator[dict]:
                 "url": rec["headers"].get("warc-target-uri", ""),
                 "warc_date": rec["headers"].get("warc-date", ""),
                 "n_bytes": len(rec["payload"]),
-                "text": rec["payload"].decode("utf-8"),
+                "text": rec["payload"].decode("utf-8", "replace"),
             }
 
 
-def read_wet_files(path: str):
-    """``ray.data`` Dataset of extracted-text records from a WET file
-    or shard directory: (url, warc_date, n_bytes:int64,
-    text:large_string).
+def read_wet_files(path: "str | list[str]", *, records_per_block: int = 2000):
+    """``ray.data`` Dataset of extracted-text records from a WET file,
+    shard directory, or explicit shard list: (url, warc_date,
+    n_bytes:int64, text:large_string).
 
     One input file = one parse task (shards are the parallelism unit;
     Common-Crawl WET shards are ~150 MB gzipped, which is exactly the
-    task granularity the streaming executor wants)."""
+    task granularity the streaming executor wants).  The parser YIELDS
+    a block every ``records_per_block`` records, so a task's live set
+    is the compressed shard + one block — never the whole decompressed
+    shard — and downstream stages start before the shard finishes."""
     import pyarrow as pa
     import ray.data as rd
 
     ds = rd.read_binary_files(path)
 
-    def parse(b: pa.Table) -> pa.Table:
-        out = {"url": [], "warc_date": [], "n_bytes": [], "text": []}
+    def _block(rows: list[dict]) -> pa.Table:
+        return pa.table({
+            "url": pa.array([r["url"] for r in rows], type=pa.string()),
+            "warc_date": pa.array([r["warc_date"] for r in rows],
+                                  type=pa.string()),
+            "n_bytes": pa.array([r["n_bytes"] for r in rows],
+                                type=pa.int64()),
+            "text": pa.array([r["text"] for r in rows],
+                             type=pa.large_string()),
+        })
+
+    def parse(b: pa.Table) -> Iterator[pa.Table]:
+        rows: list[dict] = []
         for data in b["bytes"].to_pylist():
             for r in parse_wet_shard(data):
-                out["url"].append(r["url"])
-                out["warc_date"].append(r["warc_date"])
-                out["n_bytes"].append(r["n_bytes"])
-                out["text"].append(r["text"])
-        return pa.table({
-            "url": pa.array(out["url"], type=pa.string()),
-            "warc_date": pa.array(out["warc_date"], type=pa.string()),
-            "n_bytes": pa.array(out["n_bytes"], type=pa.int64()),
-            "text": pa.array(out["text"], type=pa.large_string()),
-        })
+                rows.append(r)
+                if len(rows) >= records_per_block:
+                    yield _block(rows)
+                    rows = []
+        yield _block(rows)
 
     # batch_size=None: one task parses whole files (read_binary_files
     # makes one block per file, keeping tasks shard-granular)

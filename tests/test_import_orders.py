@@ -12,8 +12,8 @@ import sys
 
 import pytest
 
-N_QUERIES = 103
-N_ORACLES = 81
+N_QUERIES = 107
+N_ORACLES = 85
 
 _FIRST = ["queries", "queries_ext", "queries_webtext", "queries_readers",
           "entity_resolution", "evaluation", "offline_build", "table_linking"]

@@ -518,3 +518,13 @@ def test_selfdup_lines_pure_python_replay(ray_session):
     pd.testing.assert_frame_equal(got, want_df, check_dtype=False)
     # the plant guarantees at least one trim fired
     assert (got.n_kept < got.n_lines).any()
+
+
+def test_host_split_is_leakage_safe(ray_session):
+    """Every doc of a host lands in the same split, and all three
+    splits are populated at sf0.01 (30 hosts)."""
+    from refined_ray.pipelines.queries_webtext import q_host_split
+
+    out = q_host_split("/root/testdata/sf0.01").to_pandas()
+    assert (out.groupby("host")["split"].nunique() == 1).all()
+    assert set(out["split"].unique()) == {"train", "val", "test"}

@@ -93,11 +93,15 @@ def test_multi_member_gzip_stream_concatenates():
     assert [r["text"] for r in got] == ["one", "two"]
 
 
-def test_host_split_is_leakage_safe(ray_session):
-    """Every doc of a host lands in the same split, and all three
-    splits are populated at sf0.01 (30 hosts)."""
-    from refined_ray.pipelines.queries_webtext import q_host_split
-
-    out = q_host_split("/root/testdata/sf0.01").to_pandas()
-    assert (out.groupby("host")["split"].nunique() == 1).all()
-    assert set(out["split"].unique()) == {"train", "val", "test"}
+def test_mojibake_payload_does_not_kill_the_shard():
+    """One invalid UTF-8 byte in a record must not abort the task:
+    mojibake decodes with replacement; n_bytes stays the RAW octet
+    count; neighbouring valid records are untouched."""
+    raw = (_record_bytes("conversion",
+                         {"WARC-Target-URI": "http://m/bad"}, b"a\xffb")
+           + _record_bytes("conversion",
+                           {"WARC-Target-URI": "http://m/ok"}, b"fine"))
+    got = list(parse_wet_shard(raw))
+    assert [r["url"] for r in got] == ["http://m/bad", "http://m/ok"]
+    assert got[0]["text"] == "a�b" and got[0]["n_bytes"] == 3
+    assert got[1]["text"] == "fine"
