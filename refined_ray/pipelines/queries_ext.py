@@ -3641,6 +3641,84 @@ EXT_QUERIES["token_quantiles"] = q_token_quantiles
 EXT_ORACLES["token_quantiles"] = SQL_TOKEN_QUANTILES
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style corpus quality bucketing (engine addition —
+    Wenzek et al. 2020 split Common Crawl into head/middle/tail by
+    LM-perplexity terciles and train on the head): every document gets
+    a ``head`` / ``middle`` / ``tail`` label by exact terciles of its
+    unigram-LM score (q_doc_lm_score; low score = stereotyped
+    boilerplate ≈ CCNet's low perplexity ⇒ head).
+
+    Scale shape: the lm scoring is the existing broadcast-attach
+    pipeline; bucketing adds ONE distributed sort on (lm_score,
+    doc_id) + the token_quantiles block-offset trick — one metadata
+    row per block to the driver, tercile RANKS broadcast back, labels
+    assigned per block by pure rank arithmetic.  No driver
+    materialization, no approximation, deterministic ties (doc_id)."""
+    from .. import scrub_empty_blocks
+
+    scored = scrub_empty_blocks(
+        q_doc_lm_score(sf_dir).sort(["lm_score", "doc_id"]).materialize())
+    n = scored.count()
+    r1 = int(np.floor((n - 1) / 3.0))
+    r2 = int(np.floor(2 * (n - 1) / 3.0))
+
+    def block_meta(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"fs": pa.array([], type=pa.float64()),
+                             "fd": pa.array([], type=pa.int64()),
+                             "rows": pa.array([], type=pa.int64())})
+        return pa.table({"fs": pa.array([b["lm_score"][0].as_py()],
+                                        type=pa.float64()),
+                         "fd": pa.array([b["doc_id"][0].as_py()],
+                                        type=pa.int64()),
+                         "rows": pa.array([b.num_rows], type=pa.int64())})
+
+    meta = sorted((r["fs"], r["fd"], r["rows"]) for r in
+                  scored.map_batches(block_meta, batch_format="pyarrow",
+                                     batch_size=None).take_all())
+    offsets, acc = {}, 0
+    for fs, fd, rows in meta:
+        offsets[(fs, fd)] = acc
+        acc += rows
+
+    def assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "lm_score": pa.array([], type=pa.float64()),
+                             "bucket": pa.array([], type=pa.string())})
+        base = offsets[(b["lm_score"][0].as_py(), b["doc_id"][0].as_py())]
+        r = base + np.arange(b.num_rows, dtype=np.int64)
+        bucket = np.where(r <= r1, "head",
+                          np.where(r <= r2, "middle", "tail"))
+        return pa.table({"doc_id": b["doc_id"],
+                         "lm_score": b["lm_score"],
+                         "bucket": pa.array(bucket.tolist(),
+                                            type=pa.string())})
+
+    return scored.map_batches(assign, batch_format="pyarrow",
+                              batch_size=None)
+
+
+SQL_CCNET_BUCKETS = f"""
+WITH lm AS ({SQL_DOC_LM_SCORE}),
+s AS (
+  SELECT doc_id, lm_score,
+         row_number() OVER (ORDER BY lm_score, doc_id) - 1 AS r,
+         count(*) OVER () AS n
+  FROM lm
+)
+SELECT doc_id, lm_score,
+       CASE WHEN r <= CAST(floor((n - 1) / 3.0) AS BIGINT) THEN 'head'
+            WHEN r <= CAST(floor(2 * (n - 1) / 3.0) AS BIGINT) THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM s
+"""
+
+EXT_QUERIES["ccnet_buckets"] = q_ccnet_buckets
+EXT_ORACLES["ccnet_buckets"] = SQL_CCNET_BUCKETS
+
+
 def q_value_quantiles_by_type(sf_dir: str):
     """Per-group EXACT quantiles (engine addition — completes the
     order-statistics family: `token_quantiles` is global, this is

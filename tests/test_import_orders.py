@@ -12,8 +12,8 @@ import sys
 
 import pytest
 
-N_QUERIES = 107
-N_ORACLES = 85
+N_QUERIES = 108
+N_ORACLES = 86
 
 _FIRST = ["queries", "queries_ext", "queries_webtext", "queries_readers",
           "entity_resolution", "evaluation", "offline_build", "table_linking"]

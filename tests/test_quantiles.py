@@ -35,3 +35,20 @@ def test_token_quantiles_matches_oracle(ray_session):
     assert (mine.n_tokens.values == theirs.n_tokens.values).all()
     # quantile values are non-decreasing in q (order-statistics sanity)
     assert (mine.n_tokens.diff().dropna() >= 0).all()
+
+
+def test_ccnet_buckets_terciles(ray_session):
+    """Bucket sizes are exact terciles (rank-based, deterministic
+    ties) and the head holds the LOWEST lm scores."""
+    from refined_ray.pipelines.queries_ext import q_ccnet_buckets
+
+    out = q_ccnet_buckets("/root/testdata/sf0.001").to_pandas()
+    n = len(out)
+    sizes = out["bucket"].value_counts()
+    assert abs(sizes["head"] - n / 3) <= 1
+    assert abs(sizes["tail"] - n / 3) <= 1
+    assert sizes.sum() == n
+    assert out[out.bucket == "head"].lm_score.max() <= \
+        out[out.bucket == "middle"].lm_score.min() + 1e-12
+    assert out[out.bucket == "middle"].lm_score.max() <= \
+        out[out.bucket == "tail"].lm_score.min() + 1e-12
