@@ -1,9 +1,11 @@
 """Webtext corpus-hygiene catalog queries (engine additions): PII
 redaction, canonical-URL dedup + latest-crawl selection, C4-style
-global line dedup, near-dup canonical-document selection, exact and
-sketch heavy hitters, Bloom-filter decontamination, token-budget
-shard packing, per-group percentile rank, the deflate compressibility
-signal, and the composed ``corpus_clean`` training-data-prep pipeline.
+global line dedup, within-doc duplicate-line trim, near-dup
+canonical-document selection, exact and sketch heavy hitters,
+Bloom-filter decontamination, token-budget shard packing, per-group
+percentile rank, the deflate compressibility signal, DSIR importance
+resampling, leakage-safe host-level splits, and the composed
+``corpus_clean`` training-data-prep pipeline.
 
 These are the operators a Common-Crawl-scale training-data pipeline
 runs between crawling and training (CCNet / C4 / Gopher lineage).
