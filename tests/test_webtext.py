@@ -528,3 +528,43 @@ def test_host_split_is_leakage_safe(ray_session):
     out = q_host_split("/root/testdata/sf0.01").to_pandas()
     assert (out.groupby("host")["split"].nunique() == 1).all()
     assert set(out["split"].unique()) == {"train", "val", "test"}
+
+
+def test_dsir_select_block_structure_invariance(ray_session, tmp_path):
+    """The DSIR result must not depend on how the corpus is blocked:
+    the per-block partial histogram + partial top-k must give the
+    same 50 rows over a many-row-group file as over one block.  Docs
+    with empty and punctuation-only text exercise the token-free-doc
+    drop path across block boundaries."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from refined_ray.pipelines.queries_webtext import q_dsir_select
+
+    rng = np.random.default_rng(5)
+    voc = [f"w{i}" for i in range(300)]
+    texts = []
+    for d in range(1500):
+        if d % 97 == 0:
+            texts.append("")          # token-free
+        elif d % 89 == 0:
+            texts.append("?!. ,;")    # punctuation-only -> token-free
+        else:
+            texts.append(" ".join(rng.choice(voc, size=30)))
+    langs = ["en" if d % 4 == 0 else "xx" for d in range(1500)]
+    t = pa.table({"doc_id": pa.array(range(1500), type=pa.int64()),
+                  "text": pa.array(texts), "lang": pa.array(langs)})
+
+    d1 = tmp_path / "one"
+    d2 = tmp_path / "many"
+    d1.mkdir()
+    d2.mkdir()
+    pq.write_table(t, d1 / "documents.parquet")
+    pq.write_table(t, d2 / "documents.parquet", row_group_size=111)
+
+    a = q_dsir_select(str(d1)).to_pandas().reset_index(drop=True)
+    b = q_dsir_select(str(d2)).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 50 and a.doc_id.is_unique
