@@ -3556,13 +3556,36 @@ EXT_QUERIES["clicks_daily"] = q_clicks_daily
 EXT_ORACLES["clicks_daily"] = SQL_CLICKS_DAILY
 
 
+def _block_offsets(sorted_ds, key_cols: list) -> dict:
+    """Global row offset per block of a SORTED dataset, keyed by the
+    block's first-row key tuple (unique because the sort key ends in a
+    unique column — the stages/index.py block-identity trick): ONE
+    metadata row per block to the driver, nothing else.  Shared by
+    token_quantiles / ccnet_buckets; the caller looks its block up as
+    ``offsets[tuple(b[c][0].as_py() for c in key_cols)]``."""
+    def block_meta(b: pa.Table) -> pa.Table:
+        take = min(1, b.num_rows)
+        cols = {f"k{i}": b[c].slice(0, take) for i, c in enumerate(key_cols)}
+        cols["rows"] = pa.array([b.num_rows][:take], type=pa.int64())
+        return pa.table(cols)
+
+    meta = sorted(
+        tuple(r[f"k{i}"] for i in range(len(key_cols))) + (r["rows"],)
+        for r in sorted_ds.map_batches(block_meta, batch_format="pyarrow",
+                                       batch_size=None).take_all())
+    offsets, acc = {}, 0
+    for *key, rows in meta:
+        offsets[tuple(key)] = acc
+        acc += rows
+    return offsets
+
+
 def q_token_quantiles(sf_dir: str):
     """EXACT distributed quantiles of per-doc token counts (engine
     addition — global order statistics with no driver materialization
     and no approximation): distributed sort on (n_tokens, doc_id),
     ONE metadata row per block gives each block its global offset
-    (doc_id makes the first-row key unique, the same block-identity
-    trick as stages/index.py), and each block emits only the rows
+    (``_block_offsets``), and each block emits only the rows
     whose global rank hits a quantile target — the driver never sees
     more than one meta row per block plus the five result rows."""
     QS = (0.25, 0.5, 0.75, 0.9, 0.99)
@@ -3581,23 +3604,7 @@ def q_token_quantiles(sf_dir: str):
         docs.map_batches(counts, batch_format="pyarrow")
             .sort(["n_tokens", "doc_id"]).materialize())
     n = snt.count()
-
-    def block_meta(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"fn": pa.array([], type=pa.int64()),
-                             "fd": pa.array([], type=pa.int64()),
-                             "rows": pa.array([], type=pa.int64())})
-        return pa.table({"fn": pa.array([b["n_tokens"][0].as_py()], type=pa.int64()),
-                         "fd": pa.array([b["doc_id"][0].as_py()], type=pa.int64()),
-                         "rows": pa.array([b.num_rows], type=pa.int64())})
-
-    meta = sorted((r["fn"], r["fd"], r["rows"]) for r in
-                  snt.map_batches(block_meta, batch_format="pyarrow",
-                                  batch_size=None).take_all())
-    offsets, acc = {}, 0
-    for fn, fd, rows in meta:
-        offsets[(fn, fd)] = acc
-        acc += rows
+    offsets = _block_offsets(snt, ["n_tokens", "doc_id"])
     rank_to_qs: dict[int, list[float]] = {}
     for q in QS:
         rank_to_qs.setdefault(int(np.floor(q * (n - 1))), []).append(q)
@@ -3662,25 +3669,7 @@ def q_ccnet_buckets(sf_dir: str):
     n = scored.count()
     r1 = int(np.floor((n - 1) / 3.0))
     r2 = int(np.floor(2 * (n - 1) / 3.0))
-
-    def block_meta(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"fs": pa.array([], type=pa.float64()),
-                             "fd": pa.array([], type=pa.int64()),
-                             "rows": pa.array([], type=pa.int64())})
-        return pa.table({"fs": pa.array([b["lm_score"][0].as_py()],
-                                        type=pa.float64()),
-                         "fd": pa.array([b["doc_id"][0].as_py()],
-                                        type=pa.int64()),
-                         "rows": pa.array([b.num_rows], type=pa.int64())})
-
-    meta = sorted((r["fs"], r["fd"], r["rows"]) for r in
-                  scored.map_batches(block_meta, batch_format="pyarrow",
-                                     batch_size=None).take_all())
-    offsets, acc = {}, 0
-    for fs, fd, rows in meta:
-        offsets[(fs, fd)] = acc
-        acc += rows
+    offsets = _block_offsets(scored, ["lm_score", "doc_id"])
 
     def assign(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:

@@ -130,13 +130,18 @@ def read_wet_files(path: "str | list[str]", *, records_per_block: int = 2000):
 
     def parse(b: pa.Table) -> Iterator[pa.Table]:
         rows: list[dict] = []
+        flushed = False
         for data in b["bytes"].to_pylist():
             for r in parse_wet_shard(data):
                 rows.append(r)
                 if len(rows) >= records_per_block:
                     yield _block(rows)
-                    rows = []
-        yield _block(rows)
+                    rows, flushed = [], True
+        if rows or not flushed:
+            # the schema-pinning empty yield only when NOTHING was
+            # emitted (stray empty blocks are a Ray 2.49 hazard —
+            # cf. scrub_empty_blocks)
+            yield _block(rows)
 
     # batch_size=None: one task parses whole files (read_binary_files
     # makes one block per file, keeping tasks shard-granular)
