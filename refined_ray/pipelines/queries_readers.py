@@ -14,7 +14,9 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.tokenize import TOKEN_RE
 from .queries import _read, _TOKS
@@ -564,6 +566,66 @@ def q_wet_records(sf_dir: str, docs_per_shard: int = 200):
     return read_wet_files(shards)
 
 
+def q_wet_ingest(sf_dir: str):
+    """End-to-end crawl-native ingest: corpus-hygiene stats computed
+    DIRECTLY off the WET shards in the same streaming pass that parses
+    them — no intermediate parquet copy of the corpus.  Per record:
+    doc id (parsed back out of the URL), raw byte length, token count
+    and distinct-token count (the inputs to the dedup/quality gates).
+
+    Scale shape: read_binary_files → per-shard WARC scan → ONE
+    stateless map; zero shuffle, so the whole ingest runs at
+    decompress bandwidth regardless of corpus size.  The distinct
+    count is one dictionary-encode + (doc, code) lexsort/neighbor-mask
+    per batch — no per-doc Python."""
+    from ..functions.tokenize import tokenize_arrow_offsets
+
+    ds = q_wet_records(sf_dir)
+
+    def stats(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "url": pa.array([], type=pa.string()),
+                          "n_bytes": pa.array([], type=pa.int64()),
+                          "n_tokens": pa.array([], type=pa.int64()),
+                          "n_unique": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        did = pc.cast(pc.struct_field(
+            pc.extract_regex(b["url"], r"/doc/(?P<id>\d+)$"), "id"),
+            pa.int64())
+        toks, starts = tokenize_arrow_offsets(
+            pc.cast(b["text"], pa.string()))
+        enc = pc.dictionary_encode(toks)
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(starts)
+        doc_of = np.repeat(np.arange(b.num_rows, dtype=np.int64), lens)
+        order = np.lexsort((idx, doc_of))
+        d_s, i_s = doc_of[order], idx[order]
+        first = np.r_[True, (d_s[1:] != d_s[:-1]) | (i_s[1:] != i_s[:-1])]
+        n_unique = np.bincount(d_s[first], minlength=b.num_rows) \
+            if len(d_s) else np.zeros(b.num_rows, dtype=np.int64)
+        return pa.table({
+            "doc_id": did,
+            "url": b["url"],
+            "n_bytes": b["n_bytes"],
+            "n_tokens": pa.array(lens, type=pa.int64()),
+            "n_unique": pa.array(n_unique, type=pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+SQL_WET_INGEST = """
+SELECT doc_id,
+       'http://www.site' || CAST(doc_id % 30 AS VARCHAR) || '.example.com/doc/'
+         || CAST(doc_id AS VARCHAR) AS url,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_unique
+FROM documents
+"""
+
+
 SQL_WET_RECORDS = """
 SELECT 'http://www.site' || CAST(doc_id % 30 AS VARCHAR) || '.example.com/doc/'
          || CAST(doc_id AS VARCHAR) AS url,
@@ -585,6 +647,7 @@ READER_QUERIES = {
     "el_docs_standard": q_el_docs_standard,
     "webqsp_docs": q_webqsp_docs,
     "wet_records": q_wet_records,
+    "wet_ingest": q_wet_ingest,
 }
 
 READER_ORACLES = {
@@ -597,6 +660,7 @@ READER_ORACLES = {
     "el_docs_standard": SQL_EL_DOCS_STANDARD,
     "webqsp_docs": SQL_WEBQSP_DOCS,
     "wet_records": SQL_WET_RECORDS,
+    "wet_ingest": SQL_WET_INGEST,
 }
 
 # complete the catalog registration for the readers-first import order
