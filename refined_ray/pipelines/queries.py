@@ -998,23 +998,47 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
-def q_semantic_dedup(sf_dir: str, threshold: float = 0.45):
+# above this vector count the exact O(N^2) chunked-matmul pair stage
+# stops being the right default (at 1e5 vectors it is ~5e9 dot
+# products; past that the banded-LSH stage wins) — same counted-budget
+# dispatch pattern as clustering.DRIVER_UNION_FIND_MAX_EDGES and the
+# broadcast-vs-join byte budget in entity_resolution.
+EXACT_PAIRS_MAX_VECTORS = 100_000
+
+
+def q_semantic_dedup(sf_dir: str, threshold: float = 0.45,
+                     pair_stage: str = "auto",
+                     exact_max_vectors: int = EXACT_PAIRS_MAX_VECTORS):
     """SemDeDup-style semantic deduplication over the embedding
     column: vectors within cosine ``threshold`` of each other collapse
     to one keeper per connected component (keeper = min vec_id).
     Output is corpus-shaped — every vec_id with its component label
     and an int keep flag — so the surviving corpus is ``keep = 1``.
 
-    Composition, all existing machinery: exact chunked-matmul pairs
+    Composition, all existing machinery: pairs → distributed connected
+    components (counted driver/pointer-jumping dispatch in
+    stages/clustering).  The pair stage is DISPATCHED BY A COUNT, not
+    assumed: ``pair_stage="auto"`` counts the vectors (parquet
+    metadata, no scan) and uses the exact chunked-matmul plan
     (``q_embedding_pairs`` — bounded per-task memory, nothing on the
-    driver) → distributed connected components (counted
-    driver/pointer-jumping dispatch in stages/clustering).  At 100 TB
-    swap the pair stage for the LSH-banded one
-    (``q_embedding_neardup_lsh``) — the downstream is unchanged."""
+    driver) up to ``exact_max_vectors``, and the sub-quadratic
+    banded-LSH plan (``q_embedding_neardup_lsh``, exact-cosine
+    verified) above it — the downstream is unchanged either way.
+    ``pair_stage="exact"``/``"lsh"`` force a side (parity-tested)."""
     from .. import default_num_partitions
     from ..stages.clustering import connected_components
 
-    pairs = q_embedding_pairs(sf_dir, threshold=threshold)
+    if pair_stage == "auto":
+        n_vecs = _read(sf_dir, "embeddings", ["vec_id"]).count()
+        pair_stage = "exact" if n_vecs <= exact_max_vectors else "lsh"
+    if pair_stage == "exact":
+        pairs = q_embedding_pairs(sf_dir, threshold=threshold)
+    elif pair_stage == "lsh":
+        from .queries_ext import q_embedding_neardup_lsh
+
+        pairs = q_embedding_neardup_lsh(sf_dir, threshold=threshold)
+    else:
+        raise ValueError(f"pair_stage must be auto/exact/lsh, got {pair_stage!r}")
     edges = pairs.select_columns(["vec_a", "vec_b"]) \
                  .rename_columns({"vec_a": "a", "vec_b": "b"})
     vertices = _read(sf_dir, "embeddings", ["vec_id"]) \

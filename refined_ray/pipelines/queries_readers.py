@@ -526,10 +526,19 @@ def q_wet_records(sf_dir: str, docs_per_shard: int = 200):
 
     d = os.path.join(_fixture_dir(sf_dir), "wetdump")
     done = os.path.join(d, "_STAGED")
+    # the marker records the staging layout (docs_per_shard + doc
+    # count); a call with a DIFFERENT layout restages rather than
+    # silently reusing stale shard boundaries / decoy placement
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    stamp = f"docs_per_shard={docs_per_shard} n_docs={t.num_rows}"
+    if os.path.exists(done):
+        with open(done) as f:
+            if f.read() != stamp:
+                import shutil
+                shutil.rmtree(d)
     if not os.path.exists(done):
         os.makedirs(d, exist_ok=True)
-        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                          columns=["doc_id", "text"])
         ids = t["doc_id"].to_pylist()
         texts = t["text"].to_pylist()
 
@@ -556,7 +565,7 @@ def q_wet_records(sf_dir: str, docs_per_shard: int = 200):
             write_wet_shard(records(lo, lo + docs_per_shard),
                             os.path.join(d, f"shard-{s:05d}.warc.wet.gz"))
         with open(done, "w") as f:
-            f.write("ok")
+            f.write(stamp)
 
     # the _STAGED marker is not gzip and holds no WARC version line —
     # route the reader at the shards only (the scanner fails LOUDLY on

@@ -2029,7 +2029,10 @@ def q_dsir_select(sf_dir: str, k: int = _DSIR_K):
         binst, starts = _dsir_buckets(b["text"])
         if len(binst) == 0:
             return empty
-        is_t = pc.equal(b["lang"], _DSIR_TARGET_LANG).to_numpy(
+        # fill_null(False): null lang counts as non-target, matching
+        # the SQL FILTER semantics (and .astype chokes on None entries)
+        is_t = pc.fill_null(
+            pc.equal(b["lang"], _DSIR_TARGET_LANG), False).to_numpy(
             zero_copy_only=False).astype(np.int64)
         doc_of = np.repeat(np.arange(b.num_rows), np.diff(starts))
         order, seg, sizes = _lexsort_segments(binst)
@@ -2107,7 +2110,7 @@ WITH inst AS (
   FROM feat f JOIN lr l USING (b) GROUP BY f.doc_id
 ), keyed AS (
   SELECT doc_id, w,
-         w - ln(-ln(((doc_id * 2654435761) % 4294967296 + 1) / 4294967297.0)) AS skey
+         w - ln(-ln(((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 + 1) / 4294967297.0)) AS skey
   FROM w
 )
 SELECT doc_id, {{w6}} AS dsir_w, {{s6}} AS skey

@@ -60,7 +60,14 @@ def iter_wet_records(raw: io.BufferedIOBase) -> Iterator[dict]:
                 k, v = h.split(b":", 1)
                 headers[k.strip().lower().decode("latin-1")] = \
                     v.strip().decode("utf-8", "replace")
-        n = int(headers.get("content-length", "0"))
+        if "content-length" not in headers:
+            # WARC/1.0 makes Content-Length mandatory; defaulting to 0
+            # would make the parser read the real payload as the NEXT
+            # record (silent fabrication) — fail loudly instead.
+            raise ValueError(
+                "WARC record missing mandatory Content-Length header — "
+                f"headers: {sorted(headers)!r}")
+        n = int(headers["content-length"])
         payload = raw.read(n)
         if len(payload) != n:
             raise ValueError(
@@ -153,6 +160,13 @@ def _record_bytes(rtype: str, headers: dict[str, str], payload: bytes) -> bytes:
     out.write(b"WARC/1.0\r\n")
     out.write(f"WARC-Type: {rtype}\r\n".encode())
     for k, v in headers.items():
+        if "\r" in v or "\n" in v or "\r" in k or "\n" in k:
+            # CR/LF in a header value breaks WARC framing (header
+            # injection) — the reader would reject or misparse the
+            # shard; reject at write time instead.
+            raise ValueError(
+                f"WARC header {k!r} contains CR/LF — refusing to write "
+                "a malformed shard")
         out.write(f"{k}: {v}\r\n".encode())
     out.write(f"Content-Length: {len(payload)}\r\n".encode())
     out.write(b"\r\n")

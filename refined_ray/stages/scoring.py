@@ -72,7 +72,13 @@ def _score_features(out_base: pa.Table, sig_a, sig_b, emb_a, emb_b,
     O(len²) Jaro-Winkler/Levenshtein stage.  The resulting edge set
     (score ≥ τ) is IDENTICAL to scoring every pair fully; for decided
     pairs the emitted ``score`` is the stage-1 lower bound and
-    jw_sim/lev_sim are NaN."""
+    jw_sim/lev_sim are NaN.
+
+    CONTRACT: string similarities run over the first 16 chars of each
+    head only (the cap below) — jw_sim/lev_sim are NOT uncapped-string
+    values.  Both scorer variants (broadcast and actor) share this
+    semantics (parity-tested); a future model swap must either keep the
+    cap or re-derive weights/threshold against uncapped similarities."""
     est_j = (sig_a == sig_b).mean(axis=1)
     cos = np.einsum("ij,ij->i", emb_a, emb_b).astype(np.float64)
     cosc = np.clip(cos, 0.0, 1.0)

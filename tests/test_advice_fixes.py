@@ -234,3 +234,78 @@ def test_ann_ivf_respects_k(ray_session):
 
     per_q = collections.Counter(r["query_id"] for r in out.take_all())
     assert per_q and max(per_q.values()) == 8
+
+
+# ------------------------------------------------------------------
+# Round-4 ADVICE regressions
+# ------------------------------------------------------------------
+
+
+def test_wet_missing_content_length_fails_loudly():
+    """ADVICE r4 #1: a record without Content-Length must raise, not
+    default to a 0-byte payload and misparse the real payload as the
+    next record."""
+    import io
+
+    from refined_ray.sources.wet import iter_wet_records
+
+    raw = (b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+           b"WARC-Target-URI: http://x\r\n\r\n"
+           b"WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 2\r\n\r\n"
+           b"hi\r\n\r\n")
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(iter_wet_records(io.BufferedReader(io.BytesIO(raw))))
+
+
+def test_wet_writer_rejects_crlf_header_injection(tmp_path):
+    """ADVICE r4 #4: CR/LF in url/date values breaks WARC framing;
+    the writer must refuse rather than emit a shard the reader
+    rejects or misparses."""
+    from refined_ray.sources.wet import write_wet_shard
+
+    bad = [{"url": "http://x/\r\nWARC-Type: conversion", "text": "t"}]
+    with pytest.raises(ValueError, match="CR/LF"):
+        write_wet_shard(bad, str(tmp_path / "s.warc.wet.gz"))
+    bad2 = [{"url": "http://x", "date": "2024\n-01-01", "text": "t"}]
+    with pytest.raises(ValueError, match="CR/LF"):
+        write_wet_shard(bad2, str(tmp_path / "s2.warc.wet.gz"))
+
+
+def test_dsir_bucket_counts_null_lang(ray_session, tmp_path):
+    """ADVICE r4 #2: null lang values must count as non-target (SQL
+    FILTER semantics), not crash the int64 conversion."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from refined_ray.pipelines.queries_webtext import q_dsir_select
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["alpha beta", "alpha gamma", "beta delta"]),
+        "lang": pa.array(["en", None, "de"]),
+    }), os.path.join(sf, "documents.parquet"))
+    out = q_dsir_select(sf).to_pandas()
+    assert len(out) > 0  # no TypeError; null lang treated as non-target
+
+
+def test_wet_records_restages_on_layout_change(ray_session):
+    """ADVICE r4 #5: a q_wet_records call with a different
+    docs_per_shard must restage the fixture, not silently reuse the
+    stale shard layout."""
+    import os
+
+    from refined_ray.pipelines.queries_readers import _fixture_dir, q_wet_records
+
+    sf = "/root/testdata/sf0.001"
+    n1 = q_wet_records(sf, docs_per_shard=200).count()
+    d = os.path.join(_fixture_dir(sf), "wetdump")
+    shards_200 = sorted(f for f in os.listdir(d) if f.endswith(".gz"))
+    n2 = q_wet_records(sf, docs_per_shard=50).count()
+    shards_50 = sorted(f for f in os.listdir(d) if f.endswith(".gz"))
+    assert n1 == n2  # same records either way
+    assert len(shards_50) > len(shards_200)  # actually restaged
+    # restore the default layout for other tests/queries
+    q_wet_records(sf, docs_per_shard=200)

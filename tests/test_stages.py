@@ -288,3 +288,31 @@ def test_semantic_dedup_keeper_invariants(ray_session):
     label = dict(zip(out.vec_id, out.cluster_vec_id))
     for r in q_embedding_pairs(sf).take_all():
         assert label[r["vec_a"]] == label[r["vec_b"]]
+
+
+def test_semantic_dedup_pair_stage_dispatch(ray_session):
+    """The counted pair-stage dispatch: forced-LSH output is
+    IDENTICAL to the exact-matmul output (the catalog LSH geometry is
+    recall-exhaustive at threshold 0.45), auto below the budget picks
+    exact, auto above the budget picks lsh, and a bogus stage fails
+    loudly."""
+    import pytest
+
+    from refined_ray.pipelines.queries import q_semantic_dedup
+
+    sf = "/root/testdata/sf0.001"
+    exact = q_semantic_dedup(sf, pair_stage="exact").to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    lsh = q_semantic_dedup(sf, pair_stage="lsh").to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert exact.equals(lsh)
+    # auto dispatch is count-driven: 500 vectors <= budget -> exact;
+    # force the budget below the count -> lsh.  Both must match.
+    auto_small = q_semantic_dedup(sf).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    auto_forced_lsh = q_semantic_dedup(sf, exact_max_vectors=10).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert exact.equals(auto_small)
+    assert exact.equals(auto_forced_lsh)
+    with pytest.raises(ValueError, match="pair_stage"):
+        q_semantic_dedup(sf, pair_stage="bogus")
