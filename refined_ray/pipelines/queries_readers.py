@@ -508,6 +508,255 @@ FROM f
 # ---------------------------------------------------------------------
 
 
+def _stage_el_eval_fixture(sf_dir: str):
+    """Stage the EL-benchmark fixture: a standard-format mentions JSONL
+    (read back through ``read_el_docs_standard``) plus the
+    title→qcode / redirect side tables, all derived deterministically
+    from ``documents``.
+
+    Gold labels are derived from the corpus PEM's own candidate
+    ranking, with every evaluation class planted:
+    - default: gold = the surface's top-1 candidate (tp when the
+      confidence gate fires, fn below the threshold);
+    - ``doc_id % 11 == 0``: wiki_name not in the KB → the reader's
+      ``filter_not_in_kb`` drops the span (doc contributes only
+      predictions → EL false positives);
+    - ``doc_id % 17 == 0``: an in-KB qcode that is never a candidate
+      → guaranteed fn + a gold-recall miss;
+    - ``doc_id % 9 == 0``: gold = the rank-2 candidate (in-candidates
+      disagreement → fn, + fp when the top-1 prediction fires);
+    - ``doc_id % 7 == 0``: the staged name carries an ``_OLD`` suffix
+      resolved through the redirect chain (J2);
+    - ``doc_id % 5 == 0`` (with a second distinct token): an extra
+      NIL mention — the md_spans / filter_nil material.
+
+    Returns (path, title_to_qcode, redirects); the dicts are rebuilt
+    on every call (the ``q_el_docs_standard`` precedent), only the
+    JSONL write is cached."""
+    import collections
+    import json
+
+    import pyarrow.parquet as pq
+
+    from ..functions.tokenize import tokenize
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text", "source"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    sources = t["source"].to_pylist()
+
+    # corpus PEM (doc-distinct token, source) counts — must rank
+    # identically to q_pem_table: (cnt desc, entity asc)
+    cnt: collections.Counter = collections.Counter()
+    doc_toks: list[list[str]] = []
+    for text, src in zip(texts, sources):
+        toks = list(dict.fromkeys(tokenize(text)))
+        doc_toks.append(toks)
+        for tok in toks:
+            cnt[(tok, src)] += 1
+    by_surface: dict[str, list] = {}
+    for (tok, src), c in cnt.items():
+        by_surface.setdefault(tok, []).append((-c, src))
+    ranked = {tok: [src for _, src in sorted(v)]
+              for tok, v in by_surface.items()}
+
+    t2q = {f"Ent_{src}": src for src in set(sources)}
+    redirects: dict[str, str] = {}
+    path = os.path.join(_fixture_dir(sf_dir), "el_eval.jsonl")
+    write = not os.path.exists(path)
+    lines = [] if write else None
+    for did, text, toks in zip(ids, texts, doc_toks):
+        mentions = []
+        if toks:
+            t1 = toks[0]
+            cands = ranked[t1]
+            if did % 11 == 0:
+                name = f"Unknown {did}"        # not in KB → span dropped
+            elif did % 17 == 0:
+                name = f"Missing {did}"        # in KB, never a candidate
+                t2q[f"Missing_{did}"] = f"XMISS{did}"
+            elif did % 9 == 0:
+                e = cands[1] if len(cands) > 1 else cands[0]
+                name = f"Ent {e}"              # rank-2 disagreement
+            elif did % 7 == 0:
+                name = f"Ent {cands[0]} OLD"   # redirect chain
+                redirects[f"Ent_{cands[0]}_OLD"] = f"Ent_{cands[0]}"
+            else:
+                name = f"Ent {cands[0]}"       # agrees with top-1
+            mentions.append({"start": text.lower().find(t1),
+                             "length": len(t1), "wiki_name": name})
+            if did % 5 == 0:
+                t2 = next((x for x in toks if x != t1), None)
+                if t2 is not None:
+                    mentions.append({"start": text.lower().find(t2),
+                                     "length": len(t2),
+                                     "wiki_name": "NIL"})
+        if write:
+            lines.append(json.dumps(
+                {"doc_id": did, "text": text, "mentions": mentions}))
+    if write:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, path)
+    return path, t2q, redirects
+
+
+def q_el_eval(sf_dir: str):
+    """THE reference headline workflow (replicate_results.py:1-14 →
+    eval_all): read an EL benchmark through the S6 reader, attach PEM
+    candidates, predict top-1 with a confidence gate, and emit one
+    span-level Metrics row per (dataset, mode) — EL with the NIL
+    filter, ED over gold spans — with P/R/F1, MD P/R/F1, accuracy and
+    gold-candidate recall exactly as metrics.py:57-84 computes them.
+
+    Every tp/fp/fn is replayed bit-exactly by the SQL oracle: the
+    detector, the PEM ranking, the md5-uniform confidence, the span
+    keys and the 1e-8 metric arithmetic are all SQL-expressible (see
+    pipelines/el_benchmark.py)."""
+    from ..sources.benchmarks import read_el_docs_standard
+    from .el_benchmark import evaluate_benchmarks
+    from .queries import q_pem_table
+
+    path, t2q, redirects = _stage_el_eval_fixture(sf_dir)
+    mentions = read_el_docs_standard(
+        path, title_to_qcode=t2q, redirects=redirects, include_nil=True)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pem = q_pem_table(sf_dir)
+    return evaluate_benchmarks(mentions, docs, pem)
+
+
+def _sql_el_eval() -> str:
+    from ..functions.tokenize import STOPWORDS
+    from .queries import _sql_round
+
+    stop = "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+    r6 = {name: _sql_round(expr, 6) for name, expr in {
+        "precision": "p", "recall": "r",
+        "f1": "(2.0 * p * r) / (p + r + 1e-8)",
+        "accuracy": "1.0 * tp / (num_gold_spans + 1e-8)",
+        "gold_recall": "1.0 * gold_in_cand / (num_gold_spans + 1e-8)",
+        "f1_md": "(2.0 * p_md * r_md) / (p_md + r_md + 1e-8)",
+    }.items()}
+    return f"""
+WITH pemsrc AS (
+  SELECT source AS entity, unnest(list_distinct({_TOKS})) AS surface
+  FROM documents
+), pem AS (
+  SELECT surface, entity, count(*) AS cnt FROM pemsrc GROUP BY 1, 2
+), ranked AS (
+  SELECT surface, entity,
+         row_number() OVER (PARTITION BY surface
+                            ORDER BY cnt DESC, entity) AS rnk,
+         ('0x' || substr(md5(surface || '|' || entity), 1, 8))::UBIGINT
+           / 4294967296.0 AS conf
+  FROM pem
+), docs AS (
+  SELECT doc_id, text,
+         CASE doc_id % 3 WHEN 0 THEN 'AIDA' WHEN 1 THEN 'MSNBC'
+              ELSE 'WIKI' END AS dataset,
+         {_TOKS} AS toks
+  FROM documents
+), t1 AS (
+  SELECT doc_id, dataset, text, list_extract(toks, 1) AS tok,
+         list_filter(toks, x -> x <> list_extract(toks, 1))[1] AS tok2
+  FROM docs WHERE len(toks) > 0
+), gold AS (
+  SELECT d.doc_id, d.dataset, d.tok AS surface_lc,
+         strpos(lower(d.text), d.tok) - 1 AS span_start,
+         substr(d.text, strpos(lower(d.text), d.tok),
+                length(d.tok)) AS surface,
+         CASE WHEN d.doc_id % 17 = 0
+                THEN 'XMISS' || CAST(d.doc_id AS VARCHAR)
+              WHEN d.doc_id % 9 = 0 THEN coalesce(r2.entity, r1.entity)
+              ELSE r1.entity END AS gold_qcode
+  FROM t1 d
+  JOIN ranked r1 ON r1.surface = d.tok AND r1.rnk = 1
+  LEFT JOIN ranked r2 ON r2.surface = d.tok AND r2.rnk = 2
+  WHERE d.doc_id % 11 != 0
+), nil AS (
+  SELECT doc_id, dataset,
+         strpos(lower(text), tok2) - 1 AS span_start,
+         substr(text, strpos(lower(text), tok2), length(tok2)) AS surface
+  FROM t1 WHERE doc_id % 5 = 0 AND tok2 IS NOT NULL
+), dtok AS (
+  SELECT DISTINCT doc_id, dataset, tok FROM (
+    SELECT doc_id, dataset, unnest(toks) AS tok FROM docs)
+  WHERE length(tok) >= 4 AND tok NOT IN {stop}
+), det AS (
+  SELECT d.doc_id, d.dataset, d.tok AS surface_lc,
+         strpos(lower(x.text), d.tok) - 1 AS span_start,
+         substr(x.text, strpos(lower(x.text), d.tok),
+                length(d.tok)) AS surface
+  FROM dtok d JOIN documents x USING (doc_id)
+), elpred AS (
+  SELECT p.* FROM (
+    SELECT det.*, r.entity AS pred
+    FROM det JOIN ranked r ON r.surface = det.surface_lc AND r.rnk = 1
+    WHERE r.conf >= 0.15) p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM nil n WHERE n.doc_id = p.doc_id
+      AND n.span_start = p.span_start AND n.surface = p.surface)
+), edpred AS (
+  SELECT g.dataset, g.gold_qcode, r.entity AS pred
+  FROM gold g JOIN ranked r ON r.surface = g.surface_lc AND r.rnk = 1
+  WHERE r.conf >= 0.15
+), spine AS (
+  SELECT unnest(['AIDA', 'MSNBC', 'WIKI']) AS dataset
+), base AS (
+  SELECT s.dataset,
+    (SELECT count(*) FROM docs d WHERE d.dataset = s.dataset)
+      AS num_docs,
+    (SELECT count(*) FROM gold g WHERE g.dataset = s.dataset)
+      AS n_gold,
+    (SELECT count(*) FROM nil n WHERE n.dataset = s.dataset) AS n_nil,
+    (SELECT count(*) FROM gold g JOIN ranked r
+       ON r.surface = g.surface_lc AND r.entity = g.gold_qcode
+       AND r.rnk <= 3 WHERE g.dataset = s.dataset) AS in_cand,
+    (SELECT count(*) FROM det d WHERE d.dataset = s.dataset) AS n_det,
+    (SELECT count(*) FROM elpred p WHERE p.dataset = s.dataset)
+      AS el_npred,
+    (SELECT count(*) FROM elpred p JOIN gold g
+       ON g.doc_id = p.doc_id AND g.span_start = p.span_start
+       AND g.surface = p.surface AND g.gold_qcode = p.pred
+       WHERE p.dataset = s.dataset) AS el_tp,
+    (SELECT count(*) FROM det d JOIN (
+        SELECT doc_id, span_start, surface FROM gold
+        UNION ALL SELECT doc_id, span_start, surface FROM nil) m
+       ON m.doc_id = d.doc_id AND m.span_start = d.span_start
+       AND m.surface = d.surface WHERE d.dataset = s.dataset)
+      AS el_tp_md,
+    (SELECT count(*) FROM edpred p WHERE p.dataset = s.dataset)
+      AS ed_npred,
+    (SELECT count(*) FROM edpred p WHERE p.pred = p.gold_qcode
+       AND p.dataset = s.dataset) AS ed_tp
+  FROM spine s
+), modes AS (
+  SELECT dataset, 'EL' AS mode, num_docs, n_gold AS num_gold_spans,
+         in_cand AS gold_in_cand, el_tp AS tp, el_npred - el_tp AS fp,
+         n_gold - el_tp AS fn, el_tp_md AS tp_md,
+         n_det - el_tp_md AS fp_md,
+         (n_gold + n_nil) - el_tp_md AS fn_md
+  FROM base
+  UNION ALL
+  SELECT dataset, 'ED', num_docs, n_gold, in_cand, ed_tp,
+         ed_npred - ed_tp, n_gold - ed_tp, n_gold, 0, n_nil
+  FROM base
+)
+SELECT dataset, mode, num_docs, num_gold_spans, gold_in_cand,
+       tp, fp, fn, tp_md, fp_md, fn_md,
+       {r6["precision"]} AS precision, {r6["recall"]} AS recall,
+       {r6["f1"]} AS f1, {r6["accuracy"]} AS accuracy,
+       {r6["gold_recall"]} AS gold_recall, {r6["f1_md"]} AS f1_md
+FROM (
+  SELECT *, tp / (tp + fp + 1e-8) AS p, tp / (tp + fn + 1e-8) AS r,
+         tp_md / (tp_md + fp_md + 1e-8) AS p_md,
+         tp_md / (tp_md + fn_md + 1e-8) AS r_md
+  FROM modes)
+"""
+
+
 def q_wet_records(sf_dir: str, docs_per_shard: int = 200):
     """Stage ``documents`` as sharded .warc.wet.gz files (per-record
     gzip members, the Common-Crawl layout), then stream them back
@@ -657,6 +906,7 @@ READER_QUERIES = {
     "webqsp_docs": q_webqsp_docs,
     "wet_records": q_wet_records,
     "wet_ingest": q_wet_ingest,
+    "el_eval": q_el_eval,
 }
 
 READER_ORACLES = {
@@ -670,6 +920,7 @@ READER_ORACLES = {
     "webqsp_docs": SQL_WEBQSP_DOCS,
     "wet_records": SQL_WET_RECORDS,
     "wet_ingest": SQL_WET_INGEST,
+    "el_eval": _sql_el_eval(),
 }
 
 # complete the catalog registration for the readers-first import order

@@ -166,6 +166,7 @@ def read_el_docs_standard(
     redirects: dict[str, str] | None = None,
     disambiguation_qcodes=(),
     filter_not_in_kb: bool = True,
+    include_nil: bool = False,
 ):
     """Standard-format (MSNBC / AQUAINT / ACE2004 / CWEB / WIKI)
     benchmark JSONL → exploded gold-mention table — the second
@@ -179,7 +180,13 @@ def read_el_docs_standard(
     become underscores BEFORE the redirect→qcode resolution; the
     emitted gold_title is the underscored name as staged (redirects
     affect only the qcode, :147-166).  Same output schema as
-    ``read_el_docs``."""
+    ``read_el_docs``.
+
+    ``include_nil`` keeps the NIL mentions as rows with NULL
+    gold_title/gold_qcode — the evaluation harness needs them for the
+    ``md_spans`` set and the NIL prediction filter (the reference notes
+    at evaluation.py:84-92 that 'the data reader must not filter them
+    out for this argument to work')."""
     import ray
 
     from .jsonl import read_jsonl
@@ -192,11 +199,22 @@ def read_el_docs_standard(
         t2q, red, dis = ray.get(_ref)
         out = {"doc_id": [], "span_start": [], "span_ln": [],
                "surface": [], "gold_title": [], "gold_qcode": []}
+
+        def emit(row, sp, title, qcode):
+            start, ln = int(sp["start"]), int(sp["length"])
+            out["doc_id"].append(int(row["doc_id"]))
+            out["span_start"].append(start)
+            out["span_ln"].append(ln)
+            out["surface"].append(row["text"][start:start + ln])
+            out["gold_title"].append(title)
+            out["gold_qcode"].append(qcode)
+
         for row in b.to_pylist():
-            text = row["text"]
             for sp in row.get("mentions") or ():
                 title = sp.get("wiki_name")
                 if title is None or title == "NIL":
+                    if include_nil:
+                        emit(row, sp, None, None)
                     continue
                 title = title.replace(" ", "_")
                 qcode = t2q.get(red.get(title, title))
@@ -204,13 +222,7 @@ def read_el_docs_standard(
                     continue
                 if qcode is None:
                     qcode = "Q0"
-                start, ln = int(sp["start"]), int(sp["length"])
-                out["doc_id"].append(int(row["doc_id"]))
-                out["span_start"].append(start)
-                out["span_ln"].append(ln)
-                out["surface"].append(text[start:start + ln])
-                out["gold_title"].append(title)
-                out["gold_qcode"].append(qcode)
+                emit(row, sp, title, qcode)
         return pa.table({
             "doc_id": pa.array(out["doc_id"], type=pa.int64()),
             "span_start": pa.array(out["span_start"], type=pa.int64()),
