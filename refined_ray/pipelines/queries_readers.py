@@ -238,6 +238,104 @@ SELECT doc_id, 'Doc ' || doc_id AS title, text FROM documents
 """
 
 
+def q_wiki_clean(sf_dir: str, pages_per_shard: int = 200):
+    """S2/M3 composition: the wikitext markup cleaner
+    (functions/wikitext.py ≙ wiki_extractor.py:606-838) run over a
+    staged XML dump, end-to-end through the streamed reader.
+
+    Each page's wikitext plants one instance of every high-frequency
+    construct AROUND the doc text — bold title, piped + namespaced
+    internal links, nested ``{{template}}``, HTML comment, section
+    header, wikitable, ``<ref>``, external link, ``__NOTOC__``,
+    list/indent lines, math/code placeholders, entities, two category
+    links — so the oracle (pure string concatenation over
+    ``documents``) only matches if every transform fired exactly.
+    Every 50th doc also plants a ``{{disambiguation}}`` decoy page the
+    page filter must drop.  The cleaner's behavior set is additionally
+    golden-gated byte-identical against the reference extractor in
+    ``tests/test_wikitext.py``."""
+    import pyarrow.parquet as pq
+
+    from ..functions.wikitext import clean_wiki_pages
+    from ..sources.xmldump import read_xml_pages, write_xml_shard
+
+    d = os.path.join(_fixture_dir(sf_dir), "wikiclean")
+    done = os.path.join(d, "_STAGED")
+    if not os.path.exists(done):
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+
+        def wikitext_for(did: int, text: str) -> str:
+            return (
+                f"'''Doc {did}''' is about [[Corpus (data)|data]]s and "
+                f"[[w:Doc {did}|self]].{{{{Infobox|id={did}|x={{{{nested|y}}}}}}}}\n"
+                "<!-- hidden comment -->\n"
+                "== Overview ==\n"
+                '{| class="wikitable"\n|-\n| a || b\n|}\n'
+                f"{text} and <ref>cite {did}</ref> a "
+                f"[http://example.org/d/{did} site {did}] link.__NOTOC__\n"
+                "* dropped bullet\n: dropped indent\n"
+                f"Math <math>x_{did}</math> and code <code>f({did})</code> end.\n"
+                "&amp; entity &#65; test.\n"
+                f"[[Category:Bucket{did % 5}]]\n"
+                f"[[Category:All docs|{did}]]\n")
+
+        def pages(lo: int, hi: int):
+            for did, text in zip(ids[lo:hi], texts[lo:hi]):
+                yield {"page_id": did, "title": f"Doc {did}",
+                       "revid": did + 1, "text": wikitext_for(did, text)}
+                if did % 50 == 0:
+                    yield {"page_id": did + 30_000_000,
+                           "title": f"Doc {did} (disambig)",
+                           "text": "{{disambiguation}}\nmust be filtered.\n"}
+
+        for s, lo in enumerate(range(0, len(ids), pages_per_shard)):
+            write_xml_shard(pages(lo, lo + pages_per_shard),
+                            os.path.join(d, f"shard-{s:05d}.xml.bz2"),
+                            compression="bz2")
+        with open(done, "w") as f:
+            f.write("ok")
+
+    # unescape_entities=False: the cleaner's input contract is the
+    # once-escaped dump form (it unescapes mid-pipeline where the
+    # reference does — see functions/wikitext.py module docstring)
+    ds = clean_wiki_pages(
+        read_xml_pages(d, unescape_entities=False, ns_filter="0"))
+
+    def project(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        cats = _pc.binary_join(b["categories"].cast(pa.list_(pa.string())),
+                               "|")
+        return pa.table({
+            "doc_id": b["page_id"],
+            "title": b["title"].cast(pa.string()),
+            "clean_text": b["clean_text"].cast(pa.string()),
+            "categories": cats,
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+SQL_WIKI_CLEAN = """
+SELECT doc_id,
+       'Doc ' || doc_id AS title,
+       'Doc ' || doc_id || chr(10) || chr(10)
+         || 'Doc ' || doc_id
+         || ' is about <a href="Corpus%20%28data%29">data</a>s and '
+         || '<a href="w%3ADoc%20' || doc_id || '">self</a>.'
+         || chr(10) || chr(10)
+         || text || ' and a <a href="http%3A//example.org/d/' || doc_id
+         || '">site ' || doc_id || '</a> link.' || chr(10)
+         || 'Math formula_1 and code codice_1 end.' || chr(10)
+         || '& entity A test.' || chr(10) AS clean_text,
+       'Bucket' || (doc_id % 5) || '|All docs' AS categories
+FROM documents
+"""
+
+
 def q_wiki_redirects(sf_dir: str):
     """S3 original form: stage ``page.sql.gz`` / ``redirect.sql.gz``
     in the enwiki dump format (multi-row ``INSERT INTO ... VALUES``
@@ -901,6 +999,7 @@ READER_QUERIES = {
     "collated_windows": q_collated_windows,
     "xml_pages": q_xml_pages,
     "wiki_redirects": q_wiki_redirects,
+    "wiki_clean": q_wiki_clean,
     "aida_conll": q_aida_conll,
     "el_docs_standard": q_el_docs_standard,
     "webqsp_docs": q_webqsp_docs,
@@ -915,6 +1014,7 @@ READER_ORACLES = {
     "collated_windows": SQL_COLLATED_WINDOWS,
     "xml_pages": SQL_XML_PAGES,
     "wiki_redirects": SQL_WIKI_REDIRECTS,
+    "wiki_clean": SQL_WIKI_CLEAN,
     "aida_conll": SQL_AIDA_CONLL,
     "el_docs_standard": SQL_EL_DOCS_STANDARD,
     "webqsp_docs": SQL_WEBQSP_DOCS,

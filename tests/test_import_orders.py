@@ -12,8 +12,8 @@ import sys
 
 import pytest
 
-N_QUERIES = 110
-N_ORACLES = 88
+N_QUERIES = 111
+N_ORACLES = 89
 
 _FIRST = ["queries", "queries_ext", "queries_webtext", "queries_readers",
           "entity_resolution", "evaluation", "offline_build", "table_linking"]
