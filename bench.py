@@ -49,12 +49,19 @@ HEADLINE = [
     # flagship job as er_clusters with scorer="actor" — VERDICT r3 #7:
     # the path needs a recorded wall number, not just parity tests)
     "er_clusters_actor",
+    # appended round 5 (VERDICT r4 #7): the flagship with the counted
+    # CC dispatch FORCED to the distributed label-propagation path
+    # (driver_max_edges=0) — the code path a 100-TB edge set takes —
+    # so it carries a recorded wall + regression trail
+    "er_clusters_distcc",
 ]
 
-# Single recorded runs of these two swung 16-18% between rounds purely
-# from sandbox ambient load (VERDICT r3 perf section): take the min of
-# 3 runs so the recorded number is the converged one.
-NOISY_3RUN = {"neardup_shingle", "exact_dedup"}
+# Single recorded runs of these swung 16-18% between rounds purely
+# from sandbox ambient load (VERDICT r3 perf section; corpus_clean
+# added after its 17.5 s r4 single-run reading vs 12-14 s re-timed —
+# VERDICT r4 Wrong #1): take the min of 3 runs so the recorded number
+# is the converged one.
+NOISY_3RUN = {"neardup_shingle", "exact_dedup", "corpus_clean"}
 
 
 def _bench_er_clusters_actor(sf_dir: str):
@@ -63,8 +70,15 @@ def _bench_er_clusters_actor(sf_dir: str):
     return er_cluster_pages(sf_dir, scorer="actor")
 
 
+def _bench_er_clusters_distcc(sf_dir: str):
+    from refined_ray.pipelines.entity_resolution import er_cluster_pages
+
+    return er_cluster_pages(sf_dir, cc_driver_max_edges=0)
+
+
 # bench-only variants (not catalog queries): name -> callable(sf_dir)
-BENCH_EXTRA = {"er_clusters_actor": _bench_er_clusters_actor}
+BENCH_EXTRA = {"er_clusters_actor": _bench_er_clusters_actor,
+               "er_clusters_distcc": _bench_er_clusters_distcc}
 
 
 def _run_queries(num_cpus: int, names: list[str], sf_dir: str) -> dict:

@@ -84,6 +84,7 @@ def er_cluster_pages(
     exact_verify: bool = False,
     scorer: str = "auto",
     scorer_kwargs: dict | None = None,
+    cc_driver_max_edges: int | None = None,
 ):
     """Full pipeline → Dataset(url, cluster_id).
 
@@ -91,6 +92,12 @@ def er_cluster_pages(
     component — deterministic across runs and partitionings.  The url
     rides through the clustering stage as a pass-through column, so no
     re-attachment join is needed.
+
+    ``cc_driver_max_edges``: override for the clustering stage's
+    counted driver-vs-distributed dispatch (clustering.py:134-136);
+    pass 0 to force the fully distributed label-propagation path
+    (bench.py's ``er_clusters_distcc`` row uses this so the 100-TB
+    code path carries a recorded wall time, not just parity tests).
 
     For a resumable run with per-stage checkpoints, use
     ``er_cluster_pages_checkpointed``.
@@ -106,8 +113,10 @@ def er_cluster_pages(
     )
 
     vertices = payload.select_columns(["page_id", "url"])
+    cc_kwargs = ({} if cc_driver_max_edges is None
+                 else {"driver_max_edges": cc_driver_max_edges})
     labeled = connected_components(vertices, edges.select_columns(["a", "b"]),
-                                   num_partitions=num_partitions)
+                                   num_partitions=num_partitions, **cc_kwargs)
     return labeled.select_columns(["url", "component"]).rename_columns(
         {"component": "cluster_id"})
 

@@ -166,6 +166,19 @@ def test_flagship_pipeline_f1_is_one(ray_session):
     assert f1 >= 0.99, (tp, fp, fn)
 
 
+def test_flagship_distcc_matches_driver_path(ray_session):
+    """cc_driver_max_edges=0 forces the distributed label-propagation
+    path through the FULL flagship (the bench.py er_clusters_distcc
+    row); cluster labels must equal the driver union-find's."""
+    from refined_ray.pipelines.entity_resolution import er_cluster_pages
+
+    base = er_cluster_pages(SF_SMALL).to_pandas()
+    dist = er_cluster_pages(SF_SMALL, cc_driver_max_edges=0).to_pandas()
+    b = dict(zip(base.url, base.cluster_id))
+    d = dict(zip(dist.url, dist.cluster_id))
+    assert b == d
+
+
 def test_ann_ivf_recall_vs_bruteforce(ray_session):
     """IVF with n_probe=4/16 cells must recover most brute-force
     neighbors (approximate op: recall gate, not equality)."""
