@@ -247,7 +247,8 @@ def cmd_serve(args) -> int:
     interrupted: ``python -m refined_ray serve --sf-dir D --port P``."""
     from refined_ray.http_service import serve
 
-    server, svc = serve(args.sf_dir, host=args.host, port=args.port)
+    server, svc = serve(args.sf_dir, host=args.host, port=args.port,
+                        api_key=args.api_key)
     host, port = server.server_address[:2]
     print(json.dumps({"serving": f"http://{host}:{port}",
                       "sf_dir": args.sf_dir}), flush=True)
@@ -289,6 +290,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--sf-dir", required=True)
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8080)
+    s.add_argument("--api-key", default=None,
+                   help="require X-API-Key on every request "
+                        "(default: $REFINED_RAY_API_KEY, unset = no auth)")
     s.set_defaults(fn=cmd_serve, needs_ray=True)
 
     ing = sub.add_parser("ingest").add_subparsers(dest="ingest_cmd", required=True)

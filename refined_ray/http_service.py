@@ -23,6 +23,16 @@ Endpoints (JSON in/out):
   (job_service.py:249-310): 400 until the job is done, ``next_cursor``
   null on the last page.
 
+Auth (≙ api/app/utility/security.py get_api_key + the
+test_apikey.py contract): when the service is constructed with an
+``api_key`` (or ``$REFINED_RAY_API_KEY`` is set), EVERY endpoint
+requires the ``X-API-Key`` header — missing key → 403 "API key
+missing", wrong key → 403 "Could not validate credentials" (the
+reference's two distinct details).  The comparison is
+constant-time.  ``api_key=None`` with the env var unset disables the
+gate (the reference's settings carry a key unconditionally; the
+engine keeps an explicit off switch for embedded/test use).
+
 The "model loaded once at router creation" (refined_api.py:15-20)
 maps to the PEM candidate table: built ONCE from the service's staged
 corpus directory at startup and reused by every job.  Each job's rows
@@ -55,9 +65,14 @@ class JobService:
     """In-memory job table + single worker thread (the reference keeps
     JOBS as a process-local dict too, job_service.py:14)."""
 
-    def __init__(self, sf_dir: str, top_k_default: int = 3):
+    def __init__(self, sf_dir: str, top_k_default: int = 3,
+                 api_key: str | None = None):
+        import os
+
         self.sf_dir = sf_dir
         self.top_k_default = top_k_default
+        self.api_key = (api_key if api_key is not None
+                        else os.environ.get("REFINED_RAY_API_KEY") or None)
         self.jobs: dict[str, dict[str, Any]] = {}
         self.lock = threading.Lock()
         self.queue: Queue = Queue()
@@ -317,7 +332,25 @@ def _make_handler(svc: JobService):
             n = int(self.headers.get("Content-Length") or 0)
             return json.loads(self.rfile.read(n) or b"{}")
 
+        def _auth_error(self):
+            """403 payload when the key gate fails, else None
+            (≙ security.py get_api_key: the no-key and wrong-key
+            branches carry distinct details, both 403)."""
+            if svc.api_key is None:
+                return None
+            import hmac
+
+            provided = self.headers.get("X-API-Key")
+            if not provided:
+                return {"detail": "API key missing"}
+            if not hmac.compare_digest(provided, svc.api_key):
+                return {"detail": "Could not validate credentials"}
+            return None
+
         def do_GET(self):
+            err = self._auth_error()
+            if err:
+                return self._send(403, err)
             try:
                 return self._do_get()
             except (ValueError, KeyError, json.JSONDecodeError) as e:
@@ -326,6 +359,9 @@ def _make_handler(svc: JobService):
                 return self._send(500, {"detail": f"Internal error: {e}"})
 
         def do_POST(self):
+            err = self._auth_error()
+            if err:
+                return self._send(403, err)
             try:
                 return self._do_post()
             except (ValueError, KeyError, json.JSONDecodeError) as e:
@@ -436,10 +472,12 @@ def _make_handler(svc: JobService):
     return Handler
 
 
-def serve(sf_dir: str, host: str = "127.0.0.1", port: int = 0):
+def serve(sf_dir: str, host: str = "127.0.0.1", port: int = 0,
+          api_key: str | None = None):
     """Start the job service; returns (server, service).  Call
     ``server.serve_forever()`` (or run it on a thread) and
-    ``server.shutdown()`` + ``service.shutdown()`` to stop."""
-    svc = JobService(sf_dir)
+    ``server.shutdown()`` + ``service.shutdown()`` to stop.
+    ``api_key`` (or $REFINED_RAY_API_KEY) turns on the X-API-Key gate."""
+    svc = JobService(sf_dir, api_key=api_key)
     server = ThreadingHTTPServer((host, port), _make_handler(svc))
     return server, svc

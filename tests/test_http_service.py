@@ -263,3 +263,83 @@ def test_malformed_input_gets_http_error(server):
     # limit=0 clamps to 1: pagination still advances
     code, page = _req(base, f"/jobs/{job_id}/results?limit=0")
     assert code == 200 and len(page["items"]) == 1
+
+
+# -- API-key auth (≙ api/tests/test_apikey.py + security.py) ----------
+
+
+def _req_key(base, path, key=None, payload=None):
+    data = json.dumps(payload).encode() if payload is not None else None
+    headers = {"Content-Type": "application/json"}
+    if key is not None:
+        headers["X-API-Key"] = key
+    req = urllib.request.Request(
+        base + path, data=data, method="POST" if data else "GET",
+        headers=headers)
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def auth_server(ray_session):
+    from refined_ray.http_service import serve
+
+    srv, svc = serve(SF, port=0, api_key="CORRECT_API_KEY")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    host, port = srv.server_address[:2]
+    yield f"http://{host}:{port}"
+    srv.shutdown()
+    svc.shutdown()
+
+
+def test_apikey_missing_forbidden(auth_server):
+    # the reference's test #1: no key → 403 "API key missing"
+    code, body = _req_key(auth_server, "/jobs/nonexistent")
+    assert code == 403 and body["detail"] == "API key missing"
+    # POST routes gated too (before any body parse)
+    code, body = _req_key(auth_server, "/link", payload={"text": "x"})
+    assert code == 403 and body["detail"] == "API key missing"
+
+
+def test_apikey_invalid_forbidden(auth_server):
+    # test #2: wrong key → 403 with the distinct detail
+    code, body = _req_key(auth_server, "/jobs/nonexistent",
+                          key="wrong-password")
+    assert code == 403 and body["detail"] == "Could not validate credentials"
+
+
+def test_apikey_valid_passes_through(auth_server):
+    # test #3: valid key → the route's own behavior (here a 404)
+    code, body = _req_key(auth_server, "/jobs/00000000-0000-0000-0000-000000000000",
+                          key="CORRECT_API_KEY")
+    assert code == 404 and body["detail"] == "Job not found"
+    # and a real job runs end-to-end under auth
+    surf = _surfaces(1)[0]
+    code, resp = _req_key(auth_server, "/jobs", key="CORRECT_API_KEY",
+                          payload={"header": ["m"], "link_columns": ["m"],
+                                   "rows": [{"cells": [surf]}]})
+    assert code == 202
+    jid = resp["job_id"]
+    t0 = time.time()
+    while time.time() - t0 < 120:
+        code, view = _req_key(auth_server, f"/jobs/{jid}",
+                              key="CORRECT_API_KEY")
+        assert code == 200
+        if view["status"] in ("done", "failed"):
+            break
+        time.sleep(0.2)
+    assert view["status"] == "done"
+    code, page = _req_key(auth_server, f"/jobs/{jid}/results",
+                          key="CORRECT_API_KEY")
+    assert code == 200 and page["total"] == 1
+
+
+def test_no_key_configured_disables_gate(server):
+    # the unauthenticated module fixture keeps working key-less
+    base, _ = server
+    code, _ = _req(base, "/jobs/nonexistent")
+    assert code == 404
