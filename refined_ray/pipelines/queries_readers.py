@@ -993,6 +993,213 @@ FROM documents
 """
 
 
+
+# ---------------------------------------------------------------------
+# Offline DAG step 2: the 16-sink Wikidata fan-out
+# (≙ build_wikidata_lookups, process_wikidata_dump.py:94-211)
+# ---------------------------------------------------------------------
+
+
+def _wd_fixture_entity(k: int, name: str) -> dict:
+    """Deterministic raw Wikidata entity for part row (k, name).  Every
+    gate of the fan-out fires on some residue class; K % 17 plants a
+    datavalue-less P31 claim (a novalue snak) that must increment
+    statements_cnt but contribute NO relation value."""
+    def claim(q):
+        return {"mainsnak": {"datatype": "wikibase-item", "snaktype": "value",
+                             "datavalue": {"value": {"id": q}}}}
+
+    ent: dict = {"id": f"Q{k}", "labels": {"en": {"value": name}},
+                 "descriptions": {}, "aliases": {}, "claims": {}}
+    if k % 3 == 0:
+        ent["descriptions"] = {"en": {"value": f"desc of {name}"}}
+    if k % 5 == 0:
+        ent["aliases"] = {"en": [{"value": f"{name} alias"}]}
+    sl = {}
+    if k % 2 == 0:
+        sl["enwiki"] = {"title": name.replace(" ", "_")}
+    if k % 4 == 0:
+        sl["dewiki"] = {"title": name}
+    if sl:
+        ent["sitelinks"] = sl
+    p31 = []
+    if k % 11 == 0:
+        p31.append(claim("Q5"))
+    if k % 13 == 0:
+        p31.append(claim("Q4167410"))
+    if k % 2 == 1:
+        p31.append(claim(f"Q{100 + k % 7}"))
+    if k % 17 == 0:
+        p31.append({"mainsnak": {}})  # novalue decoy
+    if p31:
+        ent["claims"]["P31"] = p31
+    if k % 6 == 0:
+        ent["claims"]["P279"] = [claim(f"Q{200 + k % 5}")]
+    if k % 7 == 0:
+        ent["claims"]["P17"] = [claim(f"Q{300 + k % 3}")]
+    if k % 9 == 0:
+        ent["claims"]["P641"] = [claim("Q400")]
+    if k % 8 == 0:
+        ent["claims"]["P106"] = [claim(f"Q{450 + k % 2}")]
+    if k % 10 == 0:
+        ent["claims"]["P131"] = [claim(f"Q{500 + k % 4}")]
+    return ent
+
+
+def stage_wikidata_dump(sf_dir: str, entities_per_shard: int = 500) -> str:
+    """Stage ``part`` as sharded .json.bz2 dump-array files + run the
+    fan-out once (both cached behind markers).  Returns the fan-out
+    sink root.  P-items (every 10th key) ride in the same shards."""
+    import pyarrow.parquet as pq
+
+    from ..sources.jsonl import write_wikidata_dump
+    from ..stages.wikidata_fanout import wikidata_fanout
+
+    d = os.path.join(_fixture_dir(sf_dir), "wikidata")
+    dump_dir = os.path.join(d, "dump")
+    staged = os.path.join(d, "_STAGED")
+    if not os.path.exists(staged):
+        os.makedirs(dump_dir, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                          columns=["p_partkey", "p_name"])
+        rows = sorted(zip(t["p_partkey"].to_pylist(), t["p_name"].to_pylist()))
+
+        def ents(lo, hi):
+            for k, name in rows[lo:hi]:
+                yield _wd_fixture_entity(k, name)
+                if k % 10 == 0:
+                    yield {"id": f"P{k}", "labels":
+                           {"en": {"value": f"prop {name}"}},
+                           "descriptions": {}, "aliases": {}, "claims": {}}
+
+        for s, lo in enumerate(range(0, len(rows), entities_per_shard)):
+            write_wikidata_dump(
+                ents(lo, lo + entities_per_shard),
+                os.path.join(dump_dir, f"shard-{s:05d}.json.bz2"))
+        with open(staged, "w") as f:
+            f.write("ok")
+
+    fan_dir = os.path.join(d, "fanout")
+    done = os.path.join(d, "_FANOUT_DONE")
+    if not os.path.exists(done):
+        counts = wikidata_fanout(dump_dir, fan_dir)
+        with open(done + ".part", "w") as f:
+            import json as _json
+
+            _json.dump(counts, f)
+        os.replace(done + ".part", done)
+    return fan_dir
+
+
+def q_wikidata_fanout(sf_dir: str):
+    """All 16 sinks of the fan-out, canonicalized to
+    (sink, qcode, value) rows the oracle replays from ``part``:
+    list values join with '|', counters cast to string, membership
+    sets carry '', triples rows serialize all six relations in fixed
+    order."""
+    import ray.data as rd
+
+    from ..functions.wikidata import RELATIONS
+    from ..stages.wikidata_fanout import FANOUT_SINKS, read_sink
+
+    fan_dir = stage_wikidata_dump(sf_dir)
+
+    def canon(sink):
+        def _m(b: pa.Table) -> pa.Table:
+            if sink == "triples":
+                parts = []
+                for pid in RELATIONS:
+                    joined = pc.binary_join(
+                        b[pid].combine_chunks().cast(pa.list_(pa.string())),
+                        "|")
+                    parts.append(pa.array([f"{pid}:"] * b.num_rows))
+                    parts.append(joined)
+                    if pid != RELATIONS[-1]:
+                        parts.append(pa.array([";"] * b.num_rows))
+                val = pc.binary_join_element_wise(*parts, "")
+            elif "values" not in b.column_names:
+                val = pa.array([""] * b.num_rows, type=pa.string())
+            elif pa.types.is_list(b["values"].type):
+                val = pc.binary_join(
+                    b["values"].combine_chunks().cast(pa.list_(pa.string())),
+                    "|")
+            else:
+                val = b["values"].cast(pa.string())
+            return pa.table({
+                "sink": pa.array([sink] * b.num_rows, type=pa.string()),
+                "qcode": b["qcode"].cast(pa.string()),
+                "value": val.combine_chunks().cast(pa.string())
+                if isinstance(val, pa.ChunkedArray) else val.cast(pa.string()),
+            })
+        return _m
+
+    sets = [read_sink(fan_dir, s).map_batches(canon(s),
+                                              batch_format="pyarrow")
+            for s in FANOUT_SINKS]
+    out = sets[0]
+    for ds in sets[1:]:
+        out = out.union(ds)
+    return out
+
+
+_WD_K = "p_partkey"
+_WD_P31 = (
+    f"ltrim(CASE WHEN {_WD_K} % 11 = 0 THEN '|Q5' ELSE '' END"
+    f" || CASE WHEN {_WD_K} % 13 = 0 THEN '|Q4167410' ELSE '' END"
+    f" || CASE WHEN {_WD_K} % 2 = 1 THEN '|Q' || (100 + {_WD_K} % 7)"
+    f" ELSE '' END, '|')")
+_WD_P279 = f"CASE WHEN {_WD_K} % 6 = 0 THEN 'Q' || (200 + {_WD_K} % 5) ELSE '' END"
+_WD_P17 = f"CASE WHEN {_WD_K} % 7 = 0 THEN 'Q' || (300 + {_WD_K} % 3) ELSE '' END"
+_WD_P641 = f"CASE WHEN {_WD_K} % 9 = 0 THEN 'Q400' ELSE '' END"
+_WD_P106 = f"CASE WHEN {_WD_K} % 8 = 0 THEN 'Q' || (450 + {_WD_K} % 2) ELSE '' END"
+_WD_P131 = f"CASE WHEN {_WD_K} % 10 = 0 THEN 'Q' || (500 + {_WD_K} % 4) ELSE '' END"
+_WD_STMTS = (
+    f"(CAST({_WD_K} % 11 = 0 AS INT) + CAST({_WD_K} % 13 = 0 AS INT)"
+    f" + CAST({_WD_K} % 2 = 1 AS INT) + CAST({_WD_K} % 17 = 0 AS INT)"
+    f" + CAST({_WD_K} % 6 = 0 AS INT) + CAST({_WD_K} % 7 = 0 AS INT)"
+    f" + CAST({_WD_K} % 9 = 0 AS INT) + CAST({_WD_K} % 8 = 0 AS INT)"
+    f" + CAST({_WD_K} % 10 = 0 AS INT))")
+_WD_SL = f"(CAST({_WD_K} % 2 = 0 AS INT) + CAST({_WD_K} % 4 = 0 AS INT))"
+
+SQL_WIKIDATA_FANOUT = f"""
+SELECT 'qcode_to_label' AS sink, 'Q' || {_WD_K} AS qcode, p_name AS value FROM part
+UNION ALL
+SELECT 'desc', 'Q' || {_WD_K}, 'desc of ' || p_name FROM part WHERE {_WD_K} % 3 = 0
+UNION ALL
+SELECT 'aliases', 'Q' || {_WD_K}, p_name || ' alias' FROM part WHERE {_WD_K} % 5 = 0
+UNION ALL
+SELECT 'enwiki', 'Q' || {_WD_K}, replace(p_name, ' ', '_') FROM part WHERE {_WD_K} % 2 = 0
+UNION ALL
+SELECT 'sitelinks_cnt', 'Q' || {_WD_K}, CAST({_WD_SL} AS VARCHAR) FROM part WHERE {_WD_SL} > 0
+UNION ALL
+SELECT 'statements_cnt', 'Q' || {_WD_K}, CAST({_WD_STMTS} AS VARCHAR) FROM part WHERE {_WD_STMTS} > 0
+UNION ALL
+SELECT 'instance_of_p31', 'Q' || {_WD_K}, {_WD_P31} FROM part WHERE {_WD_P31} <> ''
+UNION ALL
+SELECT 'subclass_p279', 'Q' || {_WD_K}, {_WD_P279} FROM part WHERE {_WD_K} % 6 = 0
+UNION ALL
+SELECT 'country_p17', 'Q' || {_WD_K}, {_WD_P17} FROM part WHERE {_WD_K} % 7 = 0
+UNION ALL
+SELECT 'sport_p641', 'Q' || {_WD_K}, 'Q400' FROM part WHERE {_WD_K} % 9 = 0
+UNION ALL
+SELECT 'occupation_p106', 'Q' || {_WD_K}, {_WD_P106} FROM part WHERE {_WD_K} % 8 = 0
+UNION ALL
+SELECT 'located_in_p131', 'Q' || {_WD_K}, {_WD_P131} FROM part WHERE {_WD_K} % 10 = 0
+UNION ALL
+SELECT 'human_qcodes', 'Q' || {_WD_K}, '' FROM part WHERE {_WD_K} % 11 = 0
+UNION ALL
+SELECT 'disambiguation_qcodes', 'Q' || {_WD_K}, '' FROM part WHERE {_WD_K} % 13 = 0
+UNION ALL
+SELECT 'pcodes', 'P' || {_WD_K}, 'prop ' || p_name FROM part WHERE {_WD_K} % 10 = 0
+UNION ALL
+SELECT 'triples', 'Q' || {_WD_K},
+       'P31:' || {_WD_P31} || ';P279:' || {_WD_P279} || ';P17:' || {_WD_P17}
+       || ';P641:' || {_WD_P641} || ';P106:' || {_WD_P106}
+       || ';P131:' || {_WD_P131}
+FROM part
+"""
+
+
 READER_QUERIES = {
     "aida_means": q_aida_means,
     "el_docs": q_el_docs,
@@ -1000,6 +1207,7 @@ READER_QUERIES = {
     "xml_pages": q_xml_pages,
     "wiki_redirects": q_wiki_redirects,
     "wiki_clean": q_wiki_clean,
+    "wikidata_fanout": q_wikidata_fanout,
     "aida_conll": q_aida_conll,
     "el_docs_standard": q_el_docs_standard,
     "webqsp_docs": q_webqsp_docs,
@@ -1015,6 +1223,7 @@ READER_ORACLES = {
     "xml_pages": SQL_XML_PAGES,
     "wiki_redirects": SQL_WIKI_REDIRECTS,
     "wiki_clean": SQL_WIKI_CLEAN,
+    "wikidata_fanout": SQL_WIKIDATA_FANOUT,
     "aida_conll": SQL_AIDA_CONLL,
     "el_docs_standard": SQL_EL_DOCS_STANDARD,
     "webqsp_docs": SQL_WEBQSP_DOCS,

@@ -109,3 +109,24 @@ def read_wikidata_dump(path: str, **kwargs):
         return entities_to_table(rows)
 
     return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def write_wikidata_dump(entities, path: str) -> None:
+    """Write raw entity dicts as one dump-ARRAY shard — the staging
+    inverse of ``read_wikidata_dump`` (``[`` wrapper line, one JSON
+    entity per line with a trailing comma, last entity bare, ``]``
+    wrapper), bz2/gzip by extension, atomic .part→rename (S9)."""
+    import bz2
+    import gzip
+
+    ext = os.path.splitext(path)[1]
+    opener = {".bz2": bz2.open, ".gz": gzip.open}.get(ext, open)
+    ents = list(entities)
+    tmp = path + f".part-{uuid.uuid4().hex}"
+    with opener(tmp, "wt", encoding="utf-8") as f:
+        f.write("[\n")
+        for i, ent in enumerate(ents):
+            tail = "\n" if i == len(ents) - 1 else ",\n"
+            f.write(json.dumps(ent, ensure_ascii=False) + tail)
+        f.write("]\n")
+    os.replace(tmp, path)

@@ -104,6 +104,50 @@ class StageCheckpointer:
         os.rename(tmp, self._manifest_path(stage))
         return _read_clean(out_dir)
 
+    def run_custom_stage(self, stage: str, fingerprint: str, build_fn):
+        """Like ``run_stage`` for stages that write their OWN file
+        layout (e.g. the 16-sink Wikidata fan-out): ``build_fn(tmp_dir)``
+        populates a temp dir and returns a counters dict; the
+        checkpointer does the atomic promote + manifest.  Returns the
+        final output dir path."""
+        out_dir = self._out_dir(stage)
+        if self.is_complete(stage, fingerprint):
+            return out_dir
+
+        self.invalidate_from(stage)
+        t0 = time.perf_counter()
+        tmp_dir = out_dir + ".part"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir, exist_ok=True)
+        counters = build_fn(tmp_dir) or {}
+        os.rename(tmp_dir, out_dir)
+        wall = time.perf_counter() - t0
+
+        partitions = []
+        total_rows = 0
+        for dirpath, _dirs, files in sorted(os.walk(out_dir)):
+            for fn in sorted(files):
+                if fn.endswith(".parquet"):
+                    p = os.path.join(dirpath, fn)
+                    n = pq.read_metadata(p).num_rows
+                    partitions.append(
+                        {"file": os.path.relpath(p, out_dir), "rows": n})
+                    total_rows += n
+        man = {
+            "stage": stage,
+            "fingerprint": fingerprint,
+            "rows": total_rows,
+            "partitions": partitions,
+            "wall_sec": round(wall, 3),
+            "counters": counters,
+            "completed_at": datetime.now().isoformat(timespec="microseconds"),
+        }
+        tmp = self._manifest_path(stage) + ".part"
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=1)
+        os.rename(tmp, self._manifest_path(stage))
+        return out_dir
+
     def update_counters(self, stage: str, counters: dict) -> None:
         """Merge computed counters into an existing manifest (atomic)."""
         man = self.manifest(stage)

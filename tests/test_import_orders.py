@@ -12,8 +12,8 @@ import sys
 
 import pytest
 
-N_QUERIES = 111
-N_ORACLES = 89
+N_QUERIES = 112
+N_ORACLES = 90
 
 _FIRST = ["queries", "queries_ext", "queries_webtext", "queries_readers",
           "entity_resolution", "evaluation", "offline_build", "table_linking"]
