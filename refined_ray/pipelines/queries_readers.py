@@ -238,22 +238,16 @@ SELECT doc_id, 'Doc ' || doc_id AS title, text FROM documents
 """
 
 
-def q_wiki_clean(sf_dir: str, pages_per_shard: int = 200):
-    """S2/M3 composition: the wikitext markup cleaner
-    (functions/wikitext.py ≙ wiki_extractor.py:606-838) run over a
-    staged XML dump, end-to-end through the streamed reader.
-
-    Each page's wikitext plants one instance of every high-frequency
-    construct AROUND the doc text — bold title, piped + namespaced
-    internal links, nested ``{{template}}``, HTML comment, section
-    header, wikitable, ``<ref>``, external link, ``__NOTOC__``,
+def _cleaned_wiki_pages(sf_dir: str, pages_per_shard: int = 200):
+    """Shared head of ``wiki_clean`` / ``wiki_pem``: stage the
+    planted-markup XML dump (cached) and stream it through reader +
+    markup cleaner.  Each page's wikitext plants one instance of every
+    high-frequency construct AROUND the doc text — bold title, piped +
+    namespaced internal links, nested ``{{template}}``, HTML comment,
+    section header, wikitable, ``<ref>``, external link, ``__NOTOC__``,
     list/indent lines, math/code placeholders, entities, two category
-    links — so the oracle (pure string concatenation over
-    ``documents``) only matches if every transform fired exactly.
-    Every 50th doc also plants a ``{{disambiguation}}`` decoy page the
-    page filter must drop.  The cleaner's behavior set is additionally
-    golden-gated byte-identical against the reference extractor in
-    ``tests/test_wikitext.py``."""
+    links — plus a ``{{disambiguation}}`` decoy page per 50th doc that
+    the page filter must drop."""
     import pyarrow.parquet as pq
 
     from ..functions.wikitext import clean_wiki_pages
@@ -302,8 +296,19 @@ def q_wiki_clean(sf_dir: str, pages_per_shard: int = 200):
     # unescape_entities=False: the cleaner's input contract is the
     # once-escaped dump form (it unescapes mid-pipeline where the
     # reference does — see functions/wikitext.py module docstring)
-    ds = clean_wiki_pages(
+    return clean_wiki_pages(
         read_xml_pages(d, unescape_entities=False, ns_filter="0"))
+
+
+def q_wiki_clean(sf_dir: str, pages_per_shard: int = 200):
+    """S2/M3 composition: the wikitext markup cleaner
+    (functions/wikitext.py ≙ wiki_extractor.py:606-838) run over a
+    staged XML dump, end-to-end through the streamed reader; the
+    oracle (pure string concatenation over ``documents``) only matches
+    if every transform fired exactly.  The cleaner's behavior set is
+    additionally golden-gated byte-identical against the reference
+    extractor in ``tests/test_wikitext.py``."""
+    ds = _cleaned_wiki_pages(sf_dir, pages_per_shard)
 
     def project(b: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
@@ -333,6 +338,62 @@ SELECT doc_id,
          || '& entity A test.' || chr(10) AS clean_text,
        'Bucket' || (doc_id % 5) || '|All docs' AS categories
 FROM documents
+"""
+
+
+def q_wiki_pem(sf_dir: str):
+    """The reference's REAL steps 4→5 over a genuine markup corpus
+    (≙ preprocess_wikipedia + merge_files_and_extract_links +
+    build_pem_lookup, preprocess_all.py:177-230): streamed XML dump →
+    wikitext markup cleaner (anchors preserved as ``<a href>``) →
+    anchor extraction (M4) → surface normalization (M1) → distributed
+    PEM (A1).  The oracle replays the three planted anchors per page
+    as (surface, entity) pairs straight off ``documents``, so the row
+    only matches if the whole reader→cleaner→extractor→PEM chain
+    preserved every anchor exactly (including url-quoting round-trip
+    on the href)."""
+    from urllib.parse import unquote
+
+    from .. import configure_data_context
+    from ..functions.normalize import normalize_surface_array
+    from ..stages.extract import extract_links_batch
+    from ..stages.pem import pem_from_pairs
+
+    configure_data_context()  # the PEM exchange needs hash-shuffle
+    cleaned = _cleaned_wiki_pages(sf_dir)
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        html = pc.binary_join_element_wise(
+            pa.array(["<html><body>\n<p>"] * b.num_rows),
+            b["clean_text"].combine_chunks().cast(pa.string()),
+            pa.array(["</p></body></html>"] * b.num_rows), "")
+        return pa.table({"url": b["title"].cast(pa.string()), "html": html})
+
+    links = cleaned.map_batches(to_pages, batch_format="pyarrow") \
+        .map_batches(extract_links_batch, batch_format="pyarrow")
+
+    def to_pairs(b: pa.Table) -> pa.Table:
+        surface = normalize_surface_array(b["surface"].combine_chunks())
+        entity = pa.array([unquote(h) for h in b["href"].to_pylist()],
+                          type=pa.string())
+        keep = pc.not_equal(surface, "")
+        return pa.table({"surface": surface, "entity": entity}).filter(keep)
+
+    return pem_from_pairs(links.map_batches(to_pairs, batch_format="pyarrow"))
+
+
+SQL_WIKI_PEM = """
+WITH pairs AS (
+  SELECT 'data' AS surface, 'Corpus (data)' AS entity FROM documents
+  UNION ALL
+  SELECT 'self', 'w:Doc ' || doc_id FROM documents
+  UNION ALL
+  SELECT 'site ' || doc_id, 'http://example.org/d/' || doc_id FROM documents
+)
+SELECT surface, entity, count(*) AS cnt,
+       count(*) / CAST(sum(count(*)) OVER (PARTITION BY surface) AS DOUBLE)
+         AS prob
+FROM pairs GROUP BY 1, 2
 """
 
 
@@ -1207,6 +1268,7 @@ READER_QUERIES = {
     "xml_pages": q_xml_pages,
     "wiki_redirects": q_wiki_redirects,
     "wiki_clean": q_wiki_clean,
+    "wiki_pem": q_wiki_pem,
     "wikidata_fanout": q_wikidata_fanout,
     "aida_conll": q_aida_conll,
     "el_docs_standard": q_el_docs_standard,
@@ -1223,6 +1285,7 @@ READER_ORACLES = {
     "xml_pages": SQL_XML_PAGES,
     "wiki_redirects": SQL_WIKI_REDIRECTS,
     "wiki_clean": SQL_WIKI_CLEAN,
+    "wiki_pem": SQL_WIKI_PEM,
     "wikidata_fanout": SQL_WIKIDATA_FANOUT,
     "aida_conll": SQL_AIDA_CONLL,
     "el_docs_standard": SQL_EL_DOCS_STANDARD,
