@@ -154,8 +154,15 @@ def connected_components_distributed(vertices, edges, num_partitions: int = 16,
 
     labels = vertices.map_batches(init_labels, batch_format="pyarrow").materialize()
     sym = _symmetrize(edges).materialize()
-    if sym.count() == 0:
+    n_sym = sym.count()
+    if n_sym == 0:
         return labels.rename_columns({"v": "page_id", "lbl": "component"})
+    # size the per-round shuffles to the DATA, not the cluster: each of
+    # the loop's 2-3 joins/groupbys pays a per-partition dispatch floor,
+    # so a 64-way exchange over a 15k-row label table is pure overhead.
+    # ~64k edge rows per partition; large edge sets still get the full
+    # cluster-sized fan-out from the caller's num_partitions.
+    num_partitions = max(4, min(num_partitions, n_sym // 65536 + 1))
 
     for _round in range(max_rounds):
         # neighbor messages: label of src flows to dst
@@ -179,19 +186,26 @@ def connected_components_distributed(vertices, edges, num_partitions: int = 16,
         )
         new_labels = combined.groupby("v").aggregate(
             Min("lbl", alias_name="lbl"), Min("old", alias_name="old")
-        )
+        ).materialize()
+
+        # Early exit BEFORE the jump join: if the min step changed
+        # nothing, every (symmetrized) edge's endpoints already share a
+        # label, and a label value can only originate inside its own
+        # component — so lbl(lbl) = lbl and the jump is provably the
+        # identity.  Skipping it saves the final round's whole join.
+        if new_labels.filter(expr="lbl < old").count() == 0:
+            labels = new_labels
+            break
 
         # pointer jump: lbl ← lbl(lbl). Labels are always valid vertex
         # ids (mins over ids), so the inner join is total.
         jump_side = new_labels.select_columns(["v", "lbl"]).rename_columns({"v": "jv", "lbl": "jlbl"})
         jumped = new_labels.join(jump_side, join_type="inner", num_partitions=num_partitions,
                                  on=("lbl",), right_on=("jv",))
-        new_labels = jumped.select_columns(["v", "jlbl", "old"]).rename_columns({"jlbl": "lbl"})
+        # keep the (stale) old column: with_old rebuilds it next round,
+        # so no per-round re-materialization pass is needed to drop it
+        labels = jumped.select_columns(["v", "jlbl", "old"]) \
+            .rename_columns({"jlbl": "lbl"}).materialize()
 
-        new_labels = new_labels.materialize()
-        changed = new_labels.filter(expr="lbl < old").count()
-        labels = new_labels.select_columns(["v", "lbl"]).materialize()
-        if changed == 0:
-            break
-
-    return labels.rename_columns({"v": "page_id", "lbl": "component"})
+    return labels.select_columns(["v", "lbl"]) \
+        .rename_columns({"v": "page_id", "lbl": "component"})
