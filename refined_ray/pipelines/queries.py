@@ -836,6 +836,10 @@ def q_ann_topk(sf_dir: str, k: int = 5, max_qid: int = 10):
             "rank": np.arange(1, len(g) + 1, dtype=np.int64),
         })
 
+    # Per-group pandas is fine HERE ONLY: group count == the query set
+    # (<=10 rows/group key), driver-scale by construction.  Do NOT copy
+    # this pattern onto a high-cardinality key (use a keyed repartition
+    # + segment pass instead, as in user_sessions/orders_topk).
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 

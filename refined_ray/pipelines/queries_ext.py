@@ -2336,6 +2336,10 @@ def q_ann_ivf(sf_dir: str, k: int = 5, max_qid: int = 10, n_cells: int = 16,
             "rank": np.arange(1, len(g) + 1, dtype=np.int64),
         })
 
+    # Per-group pandas is fine HERE ONLY: group count == the query set
+    # (<=10 rows/group key), driver-scale by construction.  Do NOT copy
+    # this pattern onto a high-cardinality key (use a keyed repartition
+    # + segment pass instead, as in user_sessions/orders_topk).
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
@@ -2438,6 +2442,10 @@ def q_ann_ivf_partitioned(sf_dir: str, k: int = 5, max_qid: int = 10,
             "rank": np.arange(1, len(g) + 1, dtype=np.int64),
         })
 
+    # Per-group pandas is fine HERE ONLY: group count == the query set
+    # (<=10 rows/group key), driver-scale by construction.  Do NOT copy
+    # this pattern onto a high-cardinality key (use a keyed repartition
+    # + segment pass instead, as in user_sessions/orders_topk).
     out = partial.groupby("query_id").map_groups(
         final_topk, batch_format="pandas").materialize()
     shutil.rmtree(root, ignore_errors=True)
@@ -2632,6 +2640,10 @@ def q_ann_pq(sf_dir: str, k: int = 5, max_qid: int = 10, m_sub: int = 16,
             "rank": np.arange(1, len(g) + 1, dtype=np.int64),
         })
 
+    # Per-group pandas is fine HERE ONLY: group count == the query set
+    # (<=10 rows/group key), driver-scale by construction.  Do NOT copy
+    # this pattern onto a high-cardinality key (use a keyed repartition
+    # + segment pass instead, as in user_sessions/orders_topk).
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
