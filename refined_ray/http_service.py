@@ -343,7 +343,13 @@ def _make_handler(svc: JobService):
             provided = self.headers.get("X-API-Key")
             if not provided:
                 return {"detail": "API key missing"}
-            if not hmac.compare_digest(provided, svc.api_key):
+            # compare bytes: compare_digest(str, str) raises TypeError on
+            # any non-ASCII char (http.server decodes headers as latin-1),
+            # which would escape the handler and drop the connection.
+            if not hmac.compare_digest(
+                provided.encode("utf-8", "surrogateescape"),
+                svc.api_key.encode("utf-8", "surrogateescape"),
+            ):
                 return {"detail": "Could not validate credentials"}
             return None
 

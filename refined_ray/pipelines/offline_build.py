@@ -173,7 +173,22 @@ FROM norm WHERE surface <> '' GROUP BY 1, 2
 ADD_CLASS = "Q16889133"  # "added by hand" seed class (class_selection.py:133)
 
 
-def _class_selection_from_sinks(fanout_dir: str, n_classes: int):
+def _subclass_parents_ref(fanout_dir: str):
+    """Collect the subclass_p279 sink into a ``{qcode: parents}`` dict
+    and broadcast it ONCE (``ray.put``).  Shared by the class-selection
+    and class-matrix stages so one ``offline_build_wikidata`` call never
+    pulls the (dump-scale) sink through the driver twice."""
+    import ray
+
+    from ..stages.wikidata_fanout import read_sink
+
+    parents = {r["qcode"]: list(r["values"])
+               for r in read_sink(fanout_dir, "subclass_p279").take_all()}
+    return ray.put(parents)
+
+
+def _class_selection_from_sinks(fanout_dir: str, n_classes: int,
+                                parents_ref=None):
     """Step 8 distilled (≙ select_classes, class_selection.py:119-198;
     same aggregation core as queries_ext.q_class_selection): every
     entity in instance_of_p31 contributes the implied closure of its
@@ -187,9 +202,8 @@ def _class_selection_from_sinks(fanout_dir: str, n_classes: int):
     from ..stages.classdag import ClassDAG
     from ..stages.wikidata_fanout import read_sink
 
-    parents = {r["qcode"]: list(r["values"])
-               for r in read_sink(fanout_dir, "subclass_p279").take_all()}
-    ref = ray.put(parents)
+    ref = parents_ref if parents_ref is not None \
+        else _subclass_parents_ref(fanout_dir)
 
     class ClosureCounts:
         def __init__(self):
@@ -228,7 +242,7 @@ def _class_selection_from_sinks(fanout_dir: str, n_classes: int):
                      batch_format="pyarrow", batch_size=None)
 
 
-def _class_matrix(fanout_dir: str, chosen):
+def _class_matrix(fanout_dir: str, chosen, parents_ref=None):
     """Step 9 (≙ create_tensors + get_qcode_classes,
     generate_qcode_to_type_indices.py:22-142): per entity, the direct
     class set is P106 values (bare — "subclasses will be used"),
@@ -257,16 +271,17 @@ def _class_matrix(fanout_dir: str, chosen):
     from ..stages.classdag import ClassDAG
     from ..stages.wikidata_fanout import read_sink
 
-    parents = {r["qcode"]: list(r["values"])
-               for r in read_sink(fanout_dir, "subclass_p279").take_all()}
+    ref = parents_ref if parents_ref is not None \
+        else _subclass_parents_ref(fanout_dir)
     cls_to_idx = {r["class"]: r["class_idx"] for r in chosen.take_all()}
-    ref = ray.put((parents, cls_to_idx))
+    cls_ref = ray.put(cls_to_idx)
 
     triples = read_sink(fanout_dir, "triples").sort("qcode").materialize()
 
     class EntityClasses:
         def __init__(self):
-            parents, cls_to_idx = ray.get(ref)
+            parents = ray.get(ref)
+            cls_to_idx = ray.get(cls_ref)
             self.dag = ClassDAG(parents)
             self.subclass_keys = frozenset(parents)
             self.cls_to_idx = cls_to_idx
@@ -423,14 +438,25 @@ def offline_build_wikidata(dump_path: str, page_sql: str, redirect_sql: str,
     redirects = cp.run_stage("redirects", fp_red,
                              lambda: wiki_redirects(page_sql, redirect_sql))
 
+    # the subclass-parents broadcast is shared by steps 8 and 9 but
+    # loaded LAZILY — a fully-checkpointed rerun never touches the sink
+    memo: dict = {}
+
+    def parents_ref():
+        if "ref" not in memo:
+            memo["ref"] = _subclass_parents_ref(fan_dir)
+        return memo["ref"]
+
     fp_sel = fp("class_selection", fp_fan, n_classes)
     chosen = cp.run_stage(
         "class_selection", fp_sel,
-        lambda: _class_selection_from_sinks(fan_dir, n_classes))
+        lambda: _class_selection_from_sinks(fan_dir, n_classes,
+                                            parents_ref=parents_ref()))
 
     fp_mat = fp("class_matrix", fp_sel)
-    matrix = cp.run_stage("class_matrix", fp_mat,
-                          lambda: _class_matrix(fan_dir, chosen))
+    matrix = cp.run_stage(
+        "class_matrix", fp_mat,
+        lambda: _class_matrix(fan_dir, chosen, parents_ref=parents_ref()))
 
     fp_lab = fp("class_labels", fp_sel)
     labels = cp.run_stage("class_labels", fp_lab,

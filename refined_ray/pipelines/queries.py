@@ -1010,6 +1010,36 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 EXACT_PAIRS_MAX_VECTORS = 100_000
 
 
+def _lsh_bands_for_threshold(threshold: float, band_bits: int = 2,
+                             target_miss: float = 1e-7,
+                             max_bands: int = 256) -> int:
+    """Band count that keeps the banded random-hyperplane LSH per-pair
+    miss probability (1 - p^bits)^bands below ``target_miss`` at the
+    caller's cosine ``threshold`` (p = 1 - arccos(t)/pi).  The catalog
+    default (32 bands x 2 bits) only carries that guarantee at
+    t >= 0.45; a lower threshold silently dropping edges would make the
+    LSH dispatch diverge from the exact path, so the geometry must be
+    derived from the threshold, not assumed.  Never returns fewer than
+    the documented 32 bands; raises (forcing the caller to pick
+    pair_stage='exact' or widen max_bands) when the threshold is so low
+    the bound needs more than ``max_bands`` bands."""
+    import math
+
+    theta = math.acos(max(-1.0, min(1.0, float(threshold))))
+    p = 1.0 - theta / math.pi
+    if p <= 0.0:
+        raise ValueError(
+            f"cosine threshold {threshold} has zero LSH collision "
+            "probability; use pair_stage='exact'")
+    n = math.ceil(math.log(target_miss) / math.log(1.0 - p ** band_bits))
+    if n > max_bands:
+        raise ValueError(
+            f"cosine threshold {threshold} needs {n} LSH bands for a "
+            f"{target_miss:g} miss bound (cap {max_bands}); use "
+            "pair_stage='exact' or a coarser threshold")
+    return max(32, n)
+
+
 def q_semantic_dedup(sf_dir: str, threshold: float = 0.45,
                      pair_stage: str = "auto",
                      exact_max_vectors: int = EXACT_PAIRS_MAX_VECTORS):
@@ -1027,7 +1057,10 @@ def q_semantic_dedup(sf_dir: str, threshold: float = 0.45,
     (``q_embedding_pairs`` — bounded per-task memory, nothing on the
     driver) up to ``exact_max_vectors``, and the sub-quadratic
     banded-LSH plan (``q_embedding_neardup_lsh``, exact-cosine
-    verified) above it — the downstream is unchanged either way.
+    verified, band count derived from the threshold via
+    ``_lsh_bands_for_threshold`` so the recall bound holds at ANY
+    threshold, not just the catalog default) above it — the downstream
+    is unchanged either way.
     ``pair_stage="exact"``/``"lsh"`` force a side (parity-tested)."""
     from .. import default_num_partitions
     from ..stages.clustering import connected_components
@@ -1040,7 +1073,9 @@ def q_semantic_dedup(sf_dir: str, threshold: float = 0.45,
     elif pair_stage == "lsh":
         from .queries_ext import q_embedding_neardup_lsh
 
-        pairs = q_embedding_neardup_lsh(sf_dir, threshold=threshold)
+        pairs = q_embedding_neardup_lsh(
+            sf_dir, threshold=threshold,
+            n_bands=_lsh_bands_for_threshold(threshold))
     else:
         raise ValueError(f"pair_stage must be auto/exact/lsh, got {pair_stage!r}")
     edges = pairs.select_columns(["vec_a", "vec_b"]) \

@@ -191,10 +191,18 @@ def q_xml_pages(sf_dir: str, pages_per_shard: int = 200):
 
     d = os.path.join(_fixture_dir(sf_dir), "xmldump")
     done = os.path.join(d, "_STAGED")
+    # layout-stamped marker: a different pages_per_shard restages
+    # (same contract as the wetdump / wikiclean fixtures)
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    stamp = f"pages_per_shard={pages_per_shard} n_docs={t.num_rows}"
+    if os.path.exists(done):
+        with open(done) as f:
+            if f.read() != stamp:
+                import shutil
+                shutil.rmtree(d)
     if not os.path.exists(done):
         os.makedirs(d, exist_ok=True)
-        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                          columns=["doc_id", "text"])
         ids = t["doc_id"].to_pylist()
         texts = t["text"].to_pylist()
 
@@ -217,7 +225,7 @@ def q_xml_pages(sf_dir: str, pages_per_shard: int = 200):
                             os.path.join(d, f"shard-{s:05d}.xml.bz2"),
                             compression="bz2")
         with open(done, "w") as f:
-            f.write("ok")
+            f.write(stamp)
 
     ds = read_xml_pages(os.path.join(d), ns_filter="0")
 
@@ -255,10 +263,19 @@ def _cleaned_wiki_pages(sf_dir: str, pages_per_shard: int = 200):
 
     d = os.path.join(_fixture_dir(sf_dir), "wikiclean")
     done = os.path.join(d, "_STAGED")
+    # the marker records the staging layout; a call with a different
+    # pages_per_shard restages instead of silently reusing stale shard
+    # boundaries (same contract as the wetdump fixture below)
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    stamp = f"pages_per_shard={pages_per_shard} n_docs={t.num_rows}"
+    if os.path.exists(done):
+        with open(done) as f:
+            if f.read() != stamp:
+                import shutil
+                shutil.rmtree(d)
     if not os.path.exists(done):
         os.makedirs(d, exist_ok=True)
-        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                          columns=["doc_id", "text"])
         ids = t["doc_id"].to_pylist()
         texts = t["text"].to_pylist()
 
@@ -291,7 +308,7 @@ def _cleaned_wiki_pages(sf_dir: str, pages_per_shard: int = 200):
                             os.path.join(d, f"shard-{s:05d}.xml.bz2"),
                             compression="bz2")
         with open(done, "w") as f:
-            f.write("ok")
+            f.write(stamp)
 
     # unescape_entities=False: the cleaner's input contract is the
     # once-escaped dump form (it unescapes mid-pipeline where the
@@ -1119,10 +1136,18 @@ def stage_wikidata_dump(sf_dir: str, entities_per_shard: int = 500) -> str:
     d = os.path.join(_fixture_dir(sf_dir), "wikidata")
     dump_dir = os.path.join(d, "dump")
     staged = os.path.join(d, "_STAGED")
+    # layout-stamped marker: a different entities_per_shard restages
+    # the dump AND the derived fan-out (wetdump-fixture contract)
+    t = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                      columns=["p_partkey", "p_name"])
+    stamp = f"entities_per_shard={entities_per_shard} n_ents={t.num_rows}"
+    if os.path.exists(staged):
+        with open(staged) as f:
+            if f.read() != stamp:
+                import shutil
+                shutil.rmtree(d)
     if not os.path.exists(staged):
         os.makedirs(dump_dir, exist_ok=True)
-        t = pq.read_table(os.path.join(sf_dir, "part.parquet"),
-                          columns=["p_partkey", "p_name"])
         rows = sorted(zip(t["p_partkey"].to_pylist(), t["p_name"].to_pylist()))
 
         def ents(lo, hi):
@@ -1138,7 +1163,7 @@ def stage_wikidata_dump(sf_dir: str, entities_per_shard: int = 500) -> str:
                 ents(lo, lo + entities_per_shard),
                 os.path.join(dump_dir, f"shard-{s:05d}.json.bz2"))
         with open(staged, "w") as f:
-            f.write("ok")
+            f.write(stamp)
 
     fan_dir = os.path.join(d, "fanout")
     done = os.path.join(d, "_FANOUT_DONE")

@@ -64,62 +64,12 @@ class StageCheckpointer:
             elif os.path.exists(p):
                 os.remove(p)
 
-    def run_stage(self, stage: str, fingerprint: str, build_fn, counters: dict | None = None):
-        """Run build_fn() → Dataset and checkpoint it, or re-read the
-        prior Parquet when the manifest matches.  Returns a Dataset."""
+    def _promote_and_record(self, stage: str, fingerprint: str,
+                            tmp_dir: str, t0: float, counters: dict) -> None:
+        """Shared tail of every stage runner: atomic ``.part`` → final
+        rename, then write the manifest (recursive partition walk —
+        handles both flat Dataset output and nested custom sinks)."""
         out_dir = self._out_dir(stage)
-        if self.is_complete(stage, fingerprint):
-            return _read_clean(out_dir)
-
-        self.invalidate_from(stage)
-        t0 = time.perf_counter()
-        ds = build_fn()
-        tmp_dir = out_dir + ".part"
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        ds.write_parquet(tmp_dir)
-        os.rename(tmp_dir, out_dir)
-        wall = time.perf_counter() - t0
-
-        partitions = []
-        total_rows = 0
-        for fn in sorted(os.listdir(out_dir)):
-            if fn.endswith(".parquet"):
-                n = pq.read_metadata(os.path.join(out_dir, fn)).num_rows
-                partitions.append({"file": fn, "rows": n})
-                total_rows += n
-        man = {
-            "stage": stage,
-            "fingerprint": fingerprint,
-            "rows": total_rows,
-            "partitions": partitions,
-            "wall_sec": round(wall, 3),
-            "counters": counters or {},
-            # microsecond precision: a rebuild within the same second
-            # must still be distinguishable from the run it replaced
-            "completed_at": datetime.now().isoformat(timespec="microseconds"),
-        }
-        tmp = self._manifest_path(stage) + ".part"
-        with open(tmp, "w") as f:
-            json.dump(man, f, indent=1)
-        os.rename(tmp, self._manifest_path(stage))
-        return _read_clean(out_dir)
-
-    def run_custom_stage(self, stage: str, fingerprint: str, build_fn):
-        """Like ``run_stage`` for stages that write their OWN file
-        layout (e.g. the 16-sink Wikidata fan-out): ``build_fn(tmp_dir)``
-        populates a temp dir and returns a counters dict; the
-        checkpointer does the atomic promote + manifest.  Returns the
-        final output dir path."""
-        out_dir = self._out_dir(stage)
-        if self.is_complete(stage, fingerprint):
-            return out_dir
-
-        self.invalidate_from(stage)
-        t0 = time.perf_counter()
-        tmp_dir = out_dir + ".part"
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        os.makedirs(tmp_dir, exist_ok=True)
-        counters = build_fn(tmp_dir) or {}
         os.rename(tmp_dir, out_dir)
         wall = time.perf_counter() - t0
 
@@ -140,12 +90,49 @@ class StageCheckpointer:
             "partitions": partitions,
             "wall_sec": round(wall, 3),
             "counters": counters,
+            # microsecond precision: a rebuild within the same second
+            # must still be distinguishable from the run it replaced
             "completed_at": datetime.now().isoformat(timespec="microseconds"),
         }
         tmp = self._manifest_path(stage) + ".part"
         with open(tmp, "w") as f:
             json.dump(man, f, indent=1)
         os.rename(tmp, self._manifest_path(stage))
+
+    def run_stage(self, stage: str, fingerprint: str, build_fn, counters: dict | None = None):
+        """Run build_fn() → Dataset and checkpoint it, or re-read the
+        prior Parquet when the manifest matches.  Returns a Dataset."""
+        out_dir = self._out_dir(stage)
+        if self.is_complete(stage, fingerprint):
+            return _read_clean(out_dir)
+
+        self.invalidate_from(stage)
+        t0 = time.perf_counter()
+        ds = build_fn()
+        tmp_dir = out_dir + ".part"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        ds.write_parquet(tmp_dir)
+        self._promote_and_record(stage, fingerprint, tmp_dir, t0,
+                                 counters or {})
+        return _read_clean(out_dir)
+
+    def run_custom_stage(self, stage: str, fingerprint: str, build_fn):
+        """Like ``run_stage`` for stages that write their OWN file
+        layout (e.g. the 16-sink Wikidata fan-out): ``build_fn(tmp_dir)``
+        populates a temp dir and returns a counters dict; the
+        checkpointer does the atomic promote + manifest.  Returns the
+        final output dir path."""
+        out_dir = self._out_dir(stage)
+        if self.is_complete(stage, fingerprint):
+            return out_dir
+
+        self.invalidate_from(stage)
+        t0 = time.perf_counter()
+        tmp_dir = out_dir + ".part"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir, exist_ok=True)
+        counters = build_fn(tmp_dir) or {}
+        self._promote_and_record(stage, fingerprint, tmp_dir, t0, counters)
         return out_dir
 
     def update_counters(self, stage: str, counters: dict) -> None:

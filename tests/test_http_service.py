@@ -338,6 +338,14 @@ def test_apikey_valid_passes_through(auth_server):
     assert code == 200 and page["total"] == 1
 
 
+def test_apikey_non_ascii_forbidden(auth_server):
+    # regression: hmac.compare_digest(str, str) raises TypeError on
+    # non-ASCII (http.server decodes headers as latin-1) — the gate
+    # must compare BYTES and answer 403, not drop the connection
+    code, body = _req_key(auth_server, "/jobs/nonexistent", key="kl\xfc")
+    assert code == 403 and body["detail"] == "Could not validate credentials"
+
+
 def test_no_key_configured_disables_gate(server):
     # the unauthenticated module fixture keeps working key-less
     base, _ = server
