@@ -75,3 +75,39 @@ def md5_hex(strs) -> list[str]:
     """md5 hex digest per string — matches DuckDB's ``md5()`` so exact-dedup
     content keys are oracle-comparable."""
     return [hashlib.md5(s.encode("utf-8")).hexdigest() for s in strs]
+
+
+def rolling_window_hashes(codes: np.ndarray, length: int,
+                          base: int) -> np.ndarray:
+    """All length-``length`` window polynomial hashes of a uint64 code
+    sequence in O(n) — the exact-substring-dedup kernel.
+
+    h(i) = sum_{k<L} codes[i+k] * base^(L-1-k)  (mod 2^64), computed
+    via the prefix trick: odd bases are invertible mod 2^64, so
+    S[j] = sum_{t<j} codes[t]*base^(-t) gives
+    h(i) = (S[i+L] - S[i]) * base^(i+L-1) — three vectorized passes,
+    no per-window work.  A single 64-bit polynomial hash admits
+    structured collisions; callers key on TWO hashes with independent
+    odd bases (~128-bit combined), the same widening note as
+    ``stable_hash64``.
+    """
+    n = int(codes.size)
+    if n < length:
+        return np.empty(0, dtype=_U64)
+    base_u = _U64(base)
+    if int(base) % 2 == 0:
+        raise ValueError("rolling-hash base must be odd (invertible mod 2^64)")
+    binv = _U64(pow(int(base), -1, 1 << 64))
+    with np.errstate(over="ignore"):
+        bpow = np.empty(n, dtype=_U64)
+        bpow[0] = _U64(1)
+        if n > 1:
+            bpow[1:] = np.cumprod(np.full(n - 1, base_u, dtype=_U64))
+        binvpow = np.empty(n, dtype=_U64)
+        binvpow[0] = _U64(1)
+        if n > 1:
+            binvpow[1:] = np.cumprod(np.full(n - 1, binv, dtype=_U64))
+        s = np.empty(n + 1, dtype=_U64)
+        s[0] = _U64(0)
+        np.cumsum(codes.astype(_U64) * binvpow, out=s[1:])
+        return (s[length:] - s[:n - length + 1]) * bpow[length - 1:]

@@ -2307,6 +2307,370 @@ FROM agg a JOIN nl USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------
+# Exact-substring dedup (engine addition; the Lee-et-al-2022
+# "Deduplicating Training Data Makes Language Models Better" move:
+# find every length-L character window that occurs more than once
+# corpus-wide, merge overlapping/adjacent duplicated windows into
+# maximal spans, and cut the spans out of the text)
+# ---------------------------------------------------------------------
+
+_ESS_L = 40  # duplicated-window length in CHARS (the reference work
+             # uses 50 BPE tokens; chars keep the oracle replayable
+             # as SQL substr over the same 1-based positions)
+_ESS_B1 = 0x9E3779B97F4A7C15  # odd → invertible mod 2^64
+_ESS_B2 = 0xC2B2AE3D27D4EB4F
+# planted duplication (replayed verbatim in SQL): docs with
+# doc_id % 3 != 2 get one of two shared >L-char footers appended, so
+# cross-doc duplicated spans provably exist in every test corpus
+_ESS_F0 = (" === footer variant 0: this exact disclaimer text repeats "
+           "verbatim across many documents in the corpus ===")
+_ESS_F1 = _ESS_F0.replace("variant 0", "variant 1")
+_ESS_BROADCAST_BUDGET = 512 << 20  # dup-key table bytes before the
+                                   # probe switches broadcast → join
+
+
+def _ess_augmented(sf_dir: str):
+    """documents with the planted footers appended (Arrow-vectorized)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def aug(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        foot = np.where(ids % 3 == 2, "",
+                        np.where(ids % 2 == 0, _ESS_F0, _ESS_F1))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pc.binary_join_element_wise(
+                b["text"].combine_chunks().cast(pa.string()),
+                pa.array(foot, type=pa.string()), ""),
+        })
+
+    return ds.map_batches(aug, batch_format="pyarrow")
+
+
+def _ess_windows_np(ids: np.ndarray, texts: list[str]):
+    """(doc_id, pos, h1, h2) numpy arrays for every length-L window of
+    every doc in the batch; pos is the 1-based char index (== the SQL
+    oracle's generate_series i).  One utf-32 decode + two O(total
+    chars) rolling-hash passes over the CONCATENATED batch text;
+    windows crossing doc boundaries are never selected."""
+    from ..functions.hashing import rolling_window_hashes
+
+    L = _ESS_L
+    bufs = [t.encode("utf-32-le") for t in texts]
+    lens = np.array([len(x) >> 2 for x in bufs], dtype=np.int64)
+    m = np.maximum(lens - L + 1, 0)
+    tot = int(m.sum())
+    empty = np.empty(0, dtype=np.int64)
+    if tot == 0:
+        return empty, empty, empty, empty
+    codes = np.frombuffer(b"".join(bufs), dtype=np.uint32).astype(np.uint64)
+    h1_all = rolling_window_hashes(codes, L, _ESS_B1)
+    h2_all = rolling_window_hashes(codes, L, _ESS_B2)
+    off = np.cumsum(lens) - lens
+    local = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+    idx = np.repeat(off, m) + local
+    return (np.repeat(ids, m), local + 1,
+            h1_all[idx].view(np.int64), h2_all[idx].view(np.int64))
+
+
+def _ess_empty_spans() -> pa.Table:
+    return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                     "span_start": pa.array([], type=pa.int64()),
+                     "span_end": pa.array([], type=pa.int64())})
+
+
+def _ess_merge_spans(did: np.ndarray, pos: np.ndarray) -> pa.Table:
+    """Gaps-and-islands: duplicated window positions → maximal merged
+    spans [span_start, span_end) per doc.  Windows at gap <= L merge
+    (overlapping or exactly adjacent), matching the SQL oracle."""
+    if did.size == 0:
+        return _ess_empty_spans()
+    order = np.lexsort((pos, did))
+    did, pos = did[order], pos[order]
+    brk = np.r_[True, (did[1:] != did[:-1]) | (pos[1:] - pos[:-1] > _ESS_L)]
+    starts = np.flatnonzero(brk)
+    ends = np.r_[starts[1:], did.size] - 1
+    return pa.table({
+        "doc_id": pa.array(did[starts], type=pa.int64()),
+        "span_start": pa.array(pos[starts], type=pa.int64()),
+        "span_end": pa.array(pos[ends] + _ESS_L, type=pa.int64()),
+    })
+
+
+def _ess_dup_keys(sf_dir: str):
+    """The global duplicated-window key table (h1, h2): per-batch
+    pre-aggregated (distinct key, partial count) rows → ONE keyed
+    repartition → segment-sum → keep count > 1.  The shuffle moves
+    distinct-key rows, never window instances — the same
+    partial-then-shuffle shape as the heavy-hitter queries."""
+    from .. import default_num_partitions
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, _, h1, h2 = _ess_windows_np(ids, b["text"].to_pylist())
+        if h1.size == 0:
+            return pa.table({"h1": pa.array([], type=pa.int64()),
+                             "h2": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        order = np.lexsort((h2, h1))
+        h1, h2 = h1[order], h2[order]
+        brk = np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])]
+        seg = np.flatnonzero(brk)
+        cnt = np.diff(np.r_[seg, h1.size])
+        return pa.table({"h1": pa.array(h1[seg], type=pa.int64()),
+                         "h2": pa.array(h2[seg], type=pa.int64()),
+                         "cnt": pa.array(cnt, type=pa.int64())})
+
+    parted = _ess_augmented(sf_dir) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .repartition(num_blocks=default_num_partitions(),
+                     keys=["h1", "h2"], sort=False)
+
+    def dup_only(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"h1": pa.array([], type=pa.int64()),
+                             "h2": pa.array([], type=pa.int64())})
+        h1 = b["h1"].to_numpy(zero_copy_only=False)
+        h2 = b["h2"].to_numpy(zero_copy_only=False)
+        cnt = b["cnt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h2, h1))
+        h1, h2, cnt = h1[order], h2[order], cnt[order]
+        brk = np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])]
+        seg = np.flatnonzero(brk)
+        total = np.add.reduceat(cnt, seg)
+        keep = total > 1
+        return pa.table({"h1": pa.array(h1[seg][keep], type=pa.int64()),
+                         "h2": pa.array(h2[seg][keep], type=pa.int64())})
+
+    return parted.map_batches(dup_only, batch_format="pyarrow",
+                              batch_size=None).materialize()
+
+
+def _ess_spans(sf_dir: str, probe: str = "auto"):
+    """Duplicated-span table (doc_id, span_start, span_end).
+
+    Probe dispatch BY A COUNT (the semantic_dedup / clustering
+    pattern): the dup-key table is broadcast (ray.put once, pa.Table
+    hash-join per batch, islands merged in-map — ZERO further shuffle)
+    while it fits ``_ESS_BROADCAST_BUDGET``; above that the windows
+    dataset inner-joins the dup keys distributedly and one doc_id-keyed
+    repartition co-locates each doc's hits for the islands merge.
+    Both sides are exact on the (h1, h2) 128-bit combined key; the
+    two-independent-base widening note lives on rolling_window_hashes."""
+    import ray
+
+    from .. import default_num_partitions
+
+    dup = _ess_dup_keys(sf_dir)
+    if probe == "auto":
+        probe = "broadcast" if dup.count() * 16 <= _ESS_BROADCAST_BUDGET \
+            else "join"
+
+    aug = _ess_augmented(sf_dir)
+    if probe == "broadcast":
+        blocks = [b for b in ray.get(dup.to_arrow_refs()) if b.num_rows]
+        tbl = pa.concat_tables(blocks) if blocks else \
+            pa.table({"h1": pa.array([], type=pa.int64()),
+                      "h2": pa.array([], type=pa.int64())})
+        ref = ray.put(tbl.combine_chunks())
+
+        class Probe:
+            def __init__(self):
+                self.dup = ray.get(ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                did, pos, h1, h2 = _ess_windows_np(ids, b["text"].to_pylist())
+                if did.size == 0 or self.dup.num_rows == 0:
+                    return _ess_empty_spans()
+                w = pa.table({"doc_id": pa.array(did, type=pa.int64()),
+                              "pos": pa.array(pos, type=pa.int64()),
+                              "h1": pa.array(h1, type=pa.int64()),
+                              "h2": pa.array(h2, type=pa.int64())})
+                hit = w.join(self.dup, keys=["h1", "h2"], join_type="inner")
+                return _ess_merge_spans(
+                    hit["doc_id"].to_numpy(zero_copy_only=False),
+                    hit["pos"].to_numpy(zero_copy_only=False))
+
+        return aug.map_batches(Probe, batch_format="pyarrow",
+                               concurrency=(1, 8))
+
+    if probe != "join":
+        raise ValueError(f"probe must be auto/broadcast/join, got {probe!r}")
+
+    def emit(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        did, pos, h1, h2 = _ess_windows_np(ids, b["text"].to_pylist())
+        return pa.table({"doc_id": pa.array(did, type=pa.int64()),
+                         "pos": pa.array(pos, type=pa.int64()),
+                         "h1": pa.array(h1, type=pa.int64()),
+                         "h2": pa.array(h2, type=pa.int64())})
+
+    hits = aug.map_batches(emit, batch_format="pyarrow") \
+        .join(dup, join_type="inner",
+              num_partitions=default_num_partitions(), on=("h1", "h2")) \
+        .repartition(num_blocks=default_num_partitions(),
+                     keys=["doc_id"], sort=False)
+
+    def merge(b: pa.Table) -> pa.Table:
+        return _ess_merge_spans(
+            b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["pos"].to_numpy(zero_copy_only=False).astype(np.int64))
+
+    return hits.map_batches(merge, batch_format="pyarrow", batch_size=None)
+
+
+def q_exact_substring_spans(sf_dir: str, probe: str = "auto"):
+    """Every maximal corpus-duplicated character span, per doc: a
+    window of _ESS_L chars counts as duplicated when it occurs >= 2
+    times ANYWHERE in the corpus (other docs or elsewhere in the same
+    doc); overlapping/adjacent duplicated windows merge.  Output
+    (doc_id, span_start, span_end), 1-based, end-exclusive."""
+    return _ess_spans(sf_dir, probe=probe)
+
+
+def q_exact_substring_dedup(sf_dir: str, probe: str = "auto"):
+    """The corpus with every duplicated span CUT OUT (all occurrences
+    removed, the strict form).  Output (doc_id, text_clean,
+    removed_chars).
+
+    Scale shape: spans aggregate per doc into a serialized interval
+    string (narrow — joins cannot carry list columns) via ONE
+    doc_id-keyed repartition, then a left_outer hash join back onto
+    the corpus and a stateless cut map.  Docs with no duplicated span
+    pass through the join with a null interval string and are emitted
+    unchanged."""
+    from .. import default_num_partitions
+
+    spans = _ess_spans(sf_dir, probe=probe)
+    parted = spans.repartition(num_blocks=default_num_partitions(),
+                               keys=["doc_id"], sort=False)
+
+    def ser(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "spans_str": pa.array([], type=pa.string())})
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        s = b["span_start"].to_numpy(zero_copy_only=False)
+        e = b["span_end"].to_numpy(zero_copy_only=False)
+        order, seg, sizes = _lexsort_segments(did, s)
+        did, s, e = did[order], s[order], e[order]
+        pair = pa.array([f"{a}:{z}" for a, z in zip(s, e)],
+                        type=pa.string())
+        offsets = np.r_[seg, did.size].astype(np.int32)
+        la = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                      pair)
+        return pa.table({"doc_id": pa.array(did[seg], type=pa.int64()),
+                         "spans_str": pc.binary_join(la, ";")})
+
+    agg = parted.map_batches(ser, batch_format="pyarrow", batch_size=None)
+    joined = _ess_augmented(sf_dir).join(
+        agg, join_type="left_outer",
+        num_partitions=default_num_partitions(), on=("doc_id",))
+
+    def cut(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = b["text"].to_pylist()
+        spans = b["spans_str"].to_pylist()
+        clean, removed = [], []
+        for t, sp in zip(texts, spans):
+            if not sp:
+                clean.append(t)
+                removed.append(0)
+                continue
+            parts, prev = [], 1
+            for item in sp.split(";"):
+                a, z = item.split(":")
+                parts.append(t[prev - 1:int(a) - 1])
+                prev = int(z)
+            parts.append(t[prev - 1:])
+            c = "".join(parts)
+            clean.append(c)
+            removed.append(len(t) - len(c))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "text_clean": pa.array(clean, type=pa.string()),
+                         "removed_chars": pa.array(removed, type=pa.int64())})
+
+    return joined.map_batches(cut, batch_format="pyarrow")
+
+
+def _sql_ess_ctes() -> str:
+    """Shared CTE chain: augmented corpus → all 1-based window
+    positions → duplicated grams (count > 1 corpus-wide) → merged
+    maximal spans.  Exactly the engine's semantics, replayed on grams
+    instead of hashes."""
+    return f"""
+aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 2 THEN ''
+                      WHEN doc_id % 2 = 0 THEN '{_ESS_F0}'
+                      ELSE '{_ESS_F1}' END AS text
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, unnest(generate_series(1, length(text) - {_ESS_L - 1})) AS i
+  FROM aug
+),
+g AS (
+  SELECT idx.doc_id, idx.i,
+         substr(a.text, CAST(idx.i AS INTEGER), {_ESS_L}) AS gram
+  FROM idx JOIN aug a USING (doc_id)
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+d AS (SELECT doc_id, i FROM g JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, i,
+         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                   <= {_ESS_L} THEN 0 ELSE 1 END AS brk
+  FROM d
+),
+grp AS (
+  SELECT doc_id, i, sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS gid
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+         CAST(max(i) + {_ESS_L} AS BIGINT) AS span_end
+  FROM grp GROUP BY doc_id, gid
+)"""
+
+
+def _sql_exact_substring_spans() -> str:
+    return (f"WITH {_sql_ess_ctes()}\n"
+            "SELECT doc_id, span_start, span_end FROM spans")
+
+
+def _sql_exact_substring_dedup() -> str:
+    return f"""
+WITH {_sql_ess_ctes()},
+bounds AS (
+  SELECT doc_id,
+         lag(span_end, 1, CAST(1 AS BIGINT))
+             OVER (PARTITION BY doc_id ORDER BY span_start) AS ks,
+         span_start AS ke
+  FROM spans
+  UNION ALL
+  SELECT a.doc_id, coalesce(max(s.span_end), 1) AS ks,
+         CAST(length(a.text) + 1 AS BIGINT) AS ke
+  FROM aug a LEFT JOIN spans s USING (doc_id)
+  GROUP BY a.doc_id, length(a.text)
+),
+clean AS (
+  SELECT b.doc_id,
+         string_agg(substr(a.text, CAST(b.ks AS INTEGER),
+                           CAST(b.ke - b.ks AS INTEGER)),
+                    '' ORDER BY b.ks) AS text_clean
+  FROM bounds b JOIN aug a USING (doc_id)
+  GROUP BY b.doc_id
+)
+SELECT c.doc_id, coalesce(c.text_clean, '') AS text_clean,
+       CAST(length(a.text) - length(coalesce(c.text_clean, ''))
+            AS BIGINT) AS removed_chars
+FROM clean c JOIN aug a USING (doc_id)
+"""
+
+
 WEBTEXT_QUERIES = {
     "pii_redact": q_pii_redact,
     "url_dedup": q_url_dedup,
@@ -2331,6 +2695,8 @@ WEBTEXT_QUERIES = {
     "dsir_select": q_dsir_select,
     "selfdup_lines": q_selfdup_lines,
     "host_split": q_host_split,
+    "exact_substring_spans": q_exact_substring_spans,
+    "exact_substring_dedup": q_exact_substring_dedup,
 }
 
 WEBTEXT_ORACLES = {
@@ -2359,6 +2725,8 @@ WEBTEXT_ORACLES = {
     "dsir_select": _sql_dsir_select(),
     "selfdup_lines": SQL_SELFDUP_LINES,
     "host_split": _sql_host_split(),
+    "exact_substring_spans": _sql_exact_substring_spans(),
+    "exact_substring_dedup": _sql_exact_substring_dedup(),
 }
 
 # complete the catalog registration for the webtext-first import order
