@@ -54,6 +54,10 @@ HEADLINE = [
     # (driver_max_edges=0) — the code path a 100-TB edge set takes —
     # so it carries a recorded wall + regression trail
     "er_clusters_distcc",
+    # appended round 5: the Lee-et-al exact-substring dedup (rolling
+    # hashes -> global dup-key table -> probe -> span cut) — the last
+    # big dedup family to gain a recorded wall
+    "exact_substring_dedup",
 ]
 
 # Single recorded runs of these swung 16-18% between rounds purely

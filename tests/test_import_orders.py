@@ -12,8 +12,8 @@ import sys
 
 import pytest
 
-N_QUERIES = 113
-N_ORACLES = 91
+N_QUERIES = 115
+N_ORACLES = 93
 
 _FIRST = ["queries", "queries_ext", "queries_webtext", "queries_readers",
           "entity_resolution", "evaluation", "offline_build", "table_linking"]
