@@ -917,6 +917,17 @@ def q_corpus_shuffle(sf_dir: str):
     return shuffled.map_batches(assign, batch_format="pyarrow", batch_size=None)
 
 
+# the md5 draw is portable: DuckDB's md5() replays the exact engine
+# permutation, so the shuffle is oracle-gated, not rows-only
+SQL_CORPUS_SHUFFLE = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':shuf42'), 1, 16),
+                    doc_id) - 1 AS BIGINT) AS block_pos
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------
 # S7: CSV table source + ground-truth merge (≙ reference
 # dataset_factory.py:312-511: pandas read_csv + GT merge by row id).
@@ -2104,6 +2115,7 @@ EXT_QUERIES = {
 
 EXT_ORACLES = {
     "part_norm": SQL_PART_NORM,
+    "corpus_shuffle": SQL_CORPUS_SHUFFLE,
     "orders_topk_per_customer": SQL_ORDERS_TOPK_PER_CUSTOMER,
     "user_running_value": SQL_USER_RUNNING_VALUE,
     "events_extract_k": SQL_EVENTS_EXTRACT_K,

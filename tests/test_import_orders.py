@@ -13,7 +13,7 @@ import sys
 import pytest
 
 N_QUERIES = 115
-N_ORACLES = 93
+N_ORACLES = 94
 
 _FIRST = ["queries", "queries_ext", "queries_webtext", "queries_readers",
           "entity_resolution", "evaluation", "offline_build", "table_linking"]
