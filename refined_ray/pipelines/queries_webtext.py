@@ -2447,54 +2447,110 @@ def _ess_dup_keys(sf_dir: str):
                               batch_size=None).materialize()
 
 
-def _ess_spans(sf_dir: str, probe: str = "auto"):
-    """Duplicated-span table (doc_id, span_start, span_end).
+def _ess_cut_table(ids: np.ndarray, texts: list[str],
+                   spans: pa.Table) -> pa.Table:
+    """Cut every span out of its doc's text.  ``spans`` is the
+    _ess_merge_spans output for exactly these docs (sorted by
+    (doc_id, span_start)); docs without spans pass through unchanged."""
+    sd = spans["doc_id"].to_numpy(zero_copy_only=False)
+    ss = spans["span_start"].to_numpy(zero_copy_only=False)
+    se = spans["span_end"].to_numpy(zero_copy_only=False)
+    lo = np.searchsorted(sd, ids, "left")
+    hi = np.searchsorted(sd, ids, "right")
+    clean, removed = [], []
+    for t, a, z in zip(texts, lo, hi):
+        if a == z:
+            clean.append(t)
+            removed.append(0)
+            continue
+        parts, prev = [], 1
+        for s_, e_ in zip(ss[a:z], se[a:z]):
+            parts.append(t[prev - 1:s_ - 1])
+            prev = e_
+        parts.append(t[prev - 1:])
+        c = "".join(parts)
+        clean.append(c)
+        removed.append(len(t) - len(c))
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                     "text_clean": pa.array(clean, type=pa.string()),
+                     "removed_chars": pa.array(removed, type=pa.int64())})
 
-    Probe dispatch BY A COUNT (the semantic_dedup / clustering
-    pattern): the dup-key table is broadcast (ray.put once, pa.Table
-    hash-join per batch, islands merged in-map — ZERO further shuffle)
-    while it fits ``_ESS_BROADCAST_BUDGET``; above that the windows
-    dataset inner-joins the dup keys distributedly and one doc_id-keyed
-    repartition co-locates each doc's hits for the islands merge.
-    Both sides are exact on the (h1, h2) 128-bit combined key; the
-    two-independent-base widening note lives on rolling_window_hashes."""
-    import ray
 
-    from .. import default_num_partitions
-
+def _ess_resolve_probe(sf_dir: str, probe: str):
+    """Counted dispatch shared by the spans and dedup queries: build
+    the dup-key table once and pick the probe side by its size."""
     dup = _ess_dup_keys(sf_dir)
     if probe == "auto":
         probe = "broadcast" if dup.count() * 16 <= _ESS_BROADCAST_BUDGET \
             else "join"
+    if probe not in ("broadcast", "join"):
+        raise ValueError(f"probe must be auto/broadcast/join, got {probe!r}")
+    return dup, probe
 
-    aug = _ess_augmented(sf_dir)
-    if probe == "broadcast":
-        blocks = [b for b in ray.get(dup.to_arrow_refs()) if b.num_rows]
-        tbl = pa.concat_tables(blocks) if blocks else \
-            pa.table({"h1": pa.array([], type=pa.int64()),
-                      "h2": pa.array([], type=pa.int64())})
-        ref = ray.put(tbl.combine_chunks())
 
-        class Probe:
-            def __init__(self):
-                self.dup = ray.get(ref)
+def _ess_broadcast_probe(sf_dir: str, dup, emit: str):
+    """Broadcast-side probe: ray.put the dup-key table once, pa.Table
+    hash-join per batch, islands merged in-map — ZERO further shuffle.
+    ``emit="spans"`` yields the span table; ``emit="clean"`` cuts the
+    batch's own texts right in the probe (the docs and their spans are
+    already co-located in the batch), skipping the span serialization +
+    doc-keyed repartition + left_outer join the distributed path needs."""
+    import ray
 
-            def __call__(self, b: pa.Table) -> pa.Table:
-                ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-                did, pos, h1, h2 = _ess_windows_np(ids, b["text"].to_pylist())
-                if did.size == 0 or self.dup.num_rows == 0:
-                    return _ess_empty_spans()
+    blocks = [b for b in ray.get(dup.to_arrow_refs()) if b.num_rows]
+    tbl = pa.concat_tables(blocks) if blocks else \
+        pa.table({"h1": pa.array([], type=pa.int64()),
+                  "h2": pa.array([], type=pa.int64())})
+    ref = ray.put(tbl.combine_chunks())
+
+    class Probe:
+        def __init__(self):
+            self.dup = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            texts = b["text"].to_pylist()
+            did, pos, h1, h2 = _ess_windows_np(ids, texts)
+            if did.size == 0 or self.dup.num_rows == 0:
+                spans = _ess_empty_spans()
+            else:
                 w = pa.table({"doc_id": pa.array(did, type=pa.int64()),
                               "pos": pa.array(pos, type=pa.int64()),
                               "h1": pa.array(h1, type=pa.int64()),
                               "h2": pa.array(h2, type=pa.int64())})
                 hit = w.join(self.dup, keys=["h1", "h2"], join_type="inner")
-                return _ess_merge_spans(
+                spans = _ess_merge_spans(
                     hit["doc_id"].to_numpy(zero_copy_only=False),
                     hit["pos"].to_numpy(zero_copy_only=False))
+            if emit == "spans":
+                return spans
+            return _ess_cut_table(ids, texts, spans)
 
-        return aug.map_batches(Probe, batch_format="pyarrow",
-                               concurrency=(1, 8))
+    return _ess_augmented(sf_dir).map_batches(
+        Probe, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def _ess_spans(sf_dir: str, probe: str = "auto", _dup=None):
+    """Duplicated-span table (doc_id, span_start, span_end).
+
+    Probe dispatch BY A COUNT (the semantic_dedup / clustering
+    pattern): the dup-key table is broadcast while it fits
+    ``_ESS_BROADCAST_BUDGET``; above that the windows dataset
+    inner-joins the dup keys distributedly and one doc_id-keyed
+    repartition co-locates each doc's hits for the islands merge.
+    Both sides are exact on the (h1, h2) 128-bit combined key; the
+    two-independent-base widening note lives on rolling_window_hashes.
+    ``_dup`` lets q_exact_substring_dedup pass its already-built
+    dup-key table through (probe must then be explicit)."""
+    from .. import default_num_partitions
+
+    if _dup is None:
+        dup, probe = _ess_resolve_probe(sf_dir, probe)
+    else:
+        dup = _dup
+    aug = _ess_augmented(sf_dir)
+    if probe == "broadcast":
+        return _ess_broadcast_probe(sf_dir, dup, emit="spans")
 
     if probe != "join":
         raise ValueError(f"probe must be auto/broadcast/join, got {probe!r}")
@@ -2535,15 +2591,22 @@ def q_exact_substring_dedup(sf_dir: str, probe: str = "auto"):
     removed, the strict form).  Output (doc_id, text_clean,
     removed_chars).
 
-    Scale shape: spans aggregate per doc into a serialized interval
-    string (narrow — joins cannot carry list columns) via ONE
-    doc_id-keyed repartition, then a left_outer hash join back onto
-    the corpus and a stateless cut map.  Docs with no duplicated span
-    pass through the join with a null interval string and are emitted
-    unchanged."""
+    Scale shape follows the counted probe dispatch: on the broadcast
+    side the probe map already holds each doc's text AND its merged
+    spans, so it cuts in place — zero shuffles after the dup-key
+    build.  On the join side, spans aggregate per doc into a
+    serialized interval string (narrow — joins cannot carry list
+    columns) via ONE doc_id-keyed repartition, then a left_outer hash
+    join back onto the corpus and a stateless cut map; docs with no
+    duplicated span pass through the join with a null interval string
+    and are emitted unchanged.  Both sides are parity-tested."""
     from .. import default_num_partitions
 
-    spans = _ess_spans(sf_dir, probe=probe)
+    dup, probe = _ess_resolve_probe(sf_dir, probe)
+    if probe == "broadcast":
+        return _ess_broadcast_probe(sf_dir, dup, emit="clean")
+
+    spans = _ess_spans(sf_dir, probe="join", _dup=dup)
     parted = spans.repartition(num_blocks=default_num_partitions(),
                                keys=["doc_id"], sort=False)
 

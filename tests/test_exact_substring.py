@@ -95,6 +95,19 @@ def test_probe_paths_parity(ray_session):
     assert len(b) > 0  # the planted footers guarantee duplicated spans
 
 
+def test_dedup_probe_paths_parity(ray_session):
+    """The dedup query's two shapes — in-probe cut (broadcast) vs
+    serialize + repartition + left_outer join + cut (join) — emit
+    identical corpora."""
+    from refined_ray.pipelines.queries_webtext import q_exact_substring_dedup
+
+    b = q_exact_substring_dedup(SF, probe="broadcast").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    j = q_exact_substring_dedup(SF, probe="join").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert b.equals(j)
+
+
 def test_cut_invariants(ray_session):
     """Every cut doc: removed == sum of its span lengths; text_clean
     contains no duplicated L-window of its own spans (the footers are
