@@ -2582,7 +2582,13 @@ def q_exact_substring_spans(sf_dir: str, probe: str = "auto"):
     window of _ESS_L chars counts as duplicated when it occurs >= 2
     times ANYWHERE in the corpus (other docs or elsewhere in the same
     doc); overlapping/adjacent duplicated windows merge.  Output
-    (doc_id, span_start, span_end), 1-based, end-exclusive."""
+    (doc_id, span_start, span_end), 1-based, end-exclusive.
+
+    Memory: the per-batch window table costs ~32 bytes per input char,
+    so a batch's chars x 32 must fit the worker heap — web-page-sized
+    docs are fine at default batch sizes; corpora of very fat documents
+    should lower map_batches batch_size (same sizing note as the
+    multimodal stages)."""
     return _ess_spans(sf_dir, probe=probe)
 
 
@@ -2599,7 +2605,10 @@ def q_exact_substring_dedup(sf_dir: str, probe: str = "auto"):
     columns) via ONE doc_id-keyed repartition, then a left_outer hash
     join back onto the corpus and a stateless cut map; docs with no
     duplicated span pass through the join with a null interval string
-    and are emitted unchanged.  Both sides are parity-tested."""
+    and are emitted unchanged.  The join side moves the corpus through
+    one hash exchange — the unavoidable cost when the dup-key table
+    exceeds broadcast budget; it is one corpus pass, same order as a
+    sort.  Both sides are parity-tested."""
     from .. import default_num_partitions
 
     dup, probe = _ess_resolve_probe(sf_dir, probe)
