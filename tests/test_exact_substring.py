@@ -95,6 +95,66 @@ def test_probe_paths_parity(ray_session):
     assert len(b) > 0  # the planted footers guarantee duplicated spans
 
 
+def test_differential_vs_naive_python(ray_session, tmp_path):
+    """Engine vs a from-first-principles pure-python replay on random
+    mini-corpora with forced repeats — catches anything the planted
+    fixture corpus can't (window-boundary off-by-ones, same-doc-only
+    dup handling, multi-span docs)."""
+    import pyarrow.parquet as pq
+
+    from refined_ray.pipelines.queries_webtext import (
+        _ESS_F0, _ESS_F1, _ESS_L, q_exact_substring_spans)
+
+    rng = np.random.default_rng(11)
+    alpha = list("abcdef ")
+    texts = []
+    for i in range(40):
+        t = "".join(rng.choice(alpha, size=int(rng.integers(10, 160))))
+        texts.append(t)
+    # force repeats: doc 5 contains doc 3's middle; doc 9 repeats its
+    # own prefix twice
+    texts[3] = "".join(rng.choice(alpha, size=120))
+    texts[5] = texts[5][:20] + texts[3][30:30 + _ESS_L + 7] + texts[5][20:]
+    texts[9] = texts[9] + texts[9][:_ESS_L + 3]
+    ids = list(range(40))
+    d = tmp_path / "mini"
+    d.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                             "text": pa.array(texts, type=pa.string())}),
+                   str(d / "documents.parquet"))
+
+    # naive replay, including the planted-footer augmentation
+    aug = [t + ("" if i % 3 == 2 else (_ESS_F0 if i % 2 == 0 else _ESS_F1))
+           for i, t in zip(ids, texts)]
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for t in aug:
+        for p in range(len(t) - _ESS_L + 1):
+            counts[t[p:p + _ESS_L]] += 1
+    expected = []
+    for i, t in zip(ids, aug):
+        dup_pos = [p + 1 for p in range(len(t) - _ESS_L + 1)
+                   if counts[t[p:p + _ESS_L]] > 1]
+        start = prev = None
+        for p in dup_pos:
+            if start is None:
+                start = prev = p
+            elif p - prev > _ESS_L:
+                expected.append((i, start, prev + _ESS_L))
+                start = prev = p
+            else:
+                prev = p
+        if start is not None:
+            expected.append((i, start, prev + _ESS_L))
+
+    got = sorted(map(tuple, q_exact_substring_spans(str(d))
+                     .to_pandas().itertuples(index=False)))
+    assert got == sorted(expected)
+    assert any(i == 9 for i, _, _ in expected)  # self-dup case exercised
+    assert any(i == 5 for i, _, _ in expected)  # cross-doc case exercised
+
+
 def test_dedup_probe_paths_parity(ray_session):
     """The dedup query's two shapes — in-probe cut (broadcast) vs
     serialize + repartition + left_outer join + cut (join) — emit
