@@ -158,6 +158,22 @@ def dictionary_mention_detect(docs, *, min_len: int = DEFAULT_MD_MIN_LEN):
     return docs.map_batches(detect, batch_format="pyarrow")
 
 
+def _distinct_keys(ds, cols: list[str]):
+    """Distinct rows over ``cols`` — span-key SET semantics.  The
+    reference builds Python sets of span keys (evaluation.py:99-105),
+    so a span annotated twice under the same key (e.g. once with an
+    in-KB entity and once as NIL — real benchmark files contain such
+    duplicates) must count ONCE.  One keyed groupby over
+    benchmark-mention-scale rows, map-side pre-aggregated."""
+    from ray.data.aggregate import Count
+
+    from .. import scrub_empty_blocks
+
+    return scrub_empty_blocks(
+        ds.groupby(cols).aggregate(Count(alias_name="_n"))
+        .materialize()).select_columns(cols).materialize()
+
+
 def _count_by_dataset(ds) -> dict[str, int]:
     """Distributed per-dataset count -> {dataset: n} (<= 3 rows pulled;
     Ray pre-aggregates map-side before the tiny shuffle)."""
@@ -233,19 +249,24 @@ def evaluate_benchmarks(mentions, docs, pem, *,
         mask = pc.is_valid(b["gold_qcode"])
         return b.filter(mask if keep_gold else pc.invert(mask))
 
+    # every one of these feeds a hash join below — scrub the
+    # zero-column empty blocks Ray's shuffles/filters emit for
+    # unpopulated partitions, or sparse inputs flakily crash join
+    # finalization (see scrub_empty_blocks; the engine-wide contract)
     # gold spans = annotated mentions WITH an in-KB entity
     # (evaluation.py:34-39); NIL spans = the rest (:49-54)
-    gold = mentions.map_batches(
-        lambda b: split(b, True), batch_format="pyarrow").materialize()
-    nil = mentions.map_batches(
-        lambda b: split(b, False), batch_format="pyarrow") \
+    gold = scrub_empty_blocks(mentions.map_batches(
+        lambda b: split(b, True), batch_format="pyarrow").materialize())
+    nil = scrub_empty_blocks(mentions.map_batches(
+        lambda b: split(b, False), batch_format="pyarrow")
         .select_columns(["doc_id", "dataset", "span_start",
-                         "surface"]).materialize()
+                         "surface"]).materialize())
 
-    ranked = rank_candidates(pem, k=k).materialize()
-    top1 = ranked.filter(expr="rank == 1").materialize()
-    detected = dictionary_mention_detect(
-        docs, min_len=md_min_len).materialize()
+    ranked = scrub_empty_blocks(rank_candidates(pem, k=k).materialize())
+    top1 = scrub_empty_blocks(
+        ranked.filter(expr="rank == 1").materialize())
+    detected = scrub_empty_blocks(dictionary_mention_detect(
+        docs, min_len=md_min_len).materialize())
 
     # --- gold-side verdicts: ED predictions + candidate recall -------
     # join keeps gold rows whose surface has candidates; fired = conf
@@ -287,42 +308,70 @@ def evaluate_benchmarks(mentions, docs, pem, *,
         on=("surface_lc", "gold_qcode"), right_on=("s_lc", "e")))
 
     # --- EL side: model MD -> prediction -> NIL filter ---------------
-    el_pred = detected.join(
+    # explicit fallback schema: when every prediction is filtered away
+    # (possible on small/degenerate benchmarks) the scrub must yield an
+    # empty dataset the el_tp join can still resolve key fields on
+    pred_schema = pa.schema([
+        pa.field("doc_id", pa.int64()), pa.field("dataset", pa.string()),
+        pa.field("span_start", pa.int64()), pa.field("surface", pa.string()),
+        pa.field("surface_lc", pa.string()), pa.field("entity", pa.string()),
+        pa.field("conf", pa.float64())])
+    el_pred = scrub_empty_blocks(detected.join(
         top1.select_columns(["surface", "entity", "conf"])
             .rename_columns({"surface": "s_lc"}),
         join_type="inner", num_partitions=nparts,
-        on=("surface_lc",), right_on=("s_lc",)) \
-        .filter(expr=f"conf >= {ed_threshold!r}")
+        on=("surface_lc",), right_on=("s_lc",))
+        .filter(expr=f"conf >= {ed_threshold!r}").materialize(),
+        fallback_schema=pred_schema)
     # filter_nil (evaluation.py:84-92): drop predictions aligned with
     # NIL-annotated mention keys — a distributed anti-join
     if nil.count() > 0:
-        el_pred = el_pred.join(
+        el_pred = scrub_empty_blocks(el_pred.join(
             nil.select_columns(["doc_id", "span_start", "surface"])
                .rename_columns({"doc_id": "n_doc", "span_start": "n_start",
                                 "surface": "n_surface"}),
             join_type="left_anti", num_partitions=nparts,
             on=("doc_id", "span_start", "surface"),
-            right_on=("n_doc", "n_start", "n_surface"))
-    el_pred = el_pred.materialize()
+            right_on=("n_doc", "n_start", "n_surface")).materialize(),
+            fallback_schema=pred_schema)
 
-    el_npred = _count_by_dataset(el_pred)
-    el_tp = _count_by_dataset(el_pred.join(
-        gold.select_columns(["doc_id", "span_start", "surface",
-                             "gold_qcode"])
-            .rename_columns({"doc_id": "g_doc", "span_start": "g_start",
-                             "surface": "g_surface"}),
-        join_type="inner", num_partitions=nparts,
-        on=("doc_id", "span_start", "surface", "entity"),
-        right_on=("g_doc", "g_start", "g_surface", "gold_qcode")))
+    # counted dispatch: a fully-filtered prediction set (possible on
+    # small/NIL-heavy benchmarks) is all-zero by definition — joining
+    # a 0-row dataset would re-enter the zero-column-partition trap
+    # inside the join's own shuffle
+    zeros = {name: 0 for name in DATASET_NAMES}
+    if el_pred.count() > 0:
+        el_npred = _count_by_dataset(el_pred)
+        el_tp = _count_by_dataset(el_pred.join(
+            gold.select_columns(["doc_id", "span_start", "surface",
+                                 "gold_qcode"])
+                .rename_columns({"doc_id": "g_doc", "span_start": "g_start",
+                                 "surface": "g_surface"}),
+            join_type="inner", num_partitions=nparts,
+            on=("doc_id", "span_start", "surface", "entity"),
+            right_on=("g_doc", "g_start", "g_surface", "gold_qcode")))
+    else:
+        el_npred, el_tp = dict(zeros), dict(zeros)
 
-    # MD counts (evaluation.py:99-105): detected-span keys vs ALL
-    # annotated mention keys (gold + NIL), entity-blind
-    md_keys = gold.select_columns(["doc_id", "span_start", "surface"]) \
-        .union(nil.select_columns(["doc_id", "span_start", "surface"])) \
-        .rename_columns({"doc_id": "m_doc", "span_start": "m_start",
-                         "surface": "m_surface"})
+    # MD counts (evaluation.py:99-105): detected-span keys vs the SET
+    # of annotated mention keys (gold ∪ nil), entity-blind.  Set (not
+    # multiset) semantics: a span annotated both with an in-KB entity
+    # AND as NIL under the same key carries ONE md key, as the
+    # reference's set union does — multiset arithmetic would
+    # double-count it in tp_md / fn_md and could push fp_md negative.
+    key_cols = ["doc_id", "dataset", "span_start", "surface"]
+    md_keys = _distinct_keys(
+        gold.select_columns(key_cols).union(nil.select_columns(key_cols)),
+        key_cols)
+    n_md = _count_by_dataset(md_keys)
+    # distinct gold keys — the ED-mode predicted-span set (gold ⊆ md)
+    n_gold_keys = _count_by_dataset(
+        _distinct_keys(gold.select_columns(key_cols), key_cols))
     el_tp_md = _count_by_dataset(detected.join(
-        md_keys, join_type="inner", num_partitions=nparts,
+        md_keys.select_columns(["doc_id", "span_start", "surface"])
+               .rename_columns({"doc_id": "m_doc", "span_start": "m_start",
+                                "surface": "m_surface"}),
+        join_type="inner", num_partitions=nparts,
         on=("doc_id", "span_start", "surface"),
         right_on=("m_doc", "m_start", "m_surface")))
 
@@ -334,30 +383,30 @@ def evaluate_benchmarks(mentions, docs, pem, *,
     n_docs = _count_by_dataset(
         docs.map_batches(docs_dataset, batch_format="pyarrow"))
     n_gold = _count_by_dataset(gold)
-    n_nil = _count_by_dataset(nil)
     n_det = _count_by_dataset(detected)
 
     rows = []
     for name in DATASET_NAMES:
         g = n_gold[name]
         # EL mode: pred/gold span-set algebra — tp from the triple
-        # join, fp = |preds| - tp, fn = |gold| - tp (set semantics:
-        # both sides' keys are unique per doc by construction)
+        # join, fp = |preds| - tp, fn = |gold| - tp; MD counts are
+        # over the distinct-key sets (md_keys / n_md above)
         rows.append(_metric_row(
             name, "EL", num_docs=n_docs[name], n_gold=g,
             in_cand=in_cand[name], tp=el_tp[name],
             fp=el_npred[name] - el_tp[name], fn=g - el_tp[name],
             tp_md=el_tp_md[name], fp_md=n_det[name] - el_tp_md[name],
-            fn_md=(g + n_nil[name]) - el_tp_md[name]))
+            fn_md=n_md[name] - el_tp_md[name]))
         # ED mode: spans are given (evaluation.py:58), so the
-        # predicted MD keys ARE the gold keys; gold ⊆ md_spans by
-        # reader construction (md_spans = spans ∪ nil), hence
-        # tp_md = |gold|, fp_md = 0, fn_md = |nil|
+        # predicted MD key set IS the gold key set; gold ⊆ md_spans
+        # by reader construction (md_spans = spans ∪ nil), hence
+        # tp_md = |gold keys|, fp_md = 0, fn_md = |md| - |gold keys|
         rows.append(_metric_row(
             name, "ED", num_docs=n_docs[name], n_gold=g,
             in_cand=in_cand[name], tp=ed_tp[name],
             fp=ed_npred[name] - ed_tp[name], fn=g - ed_tp[name],
-            tp_md=g, fp_md=0, fn_md=n_nil[name]))
+            tp_md=n_gold_keys[name], fp_md=0,
+            fn_md=n_md[name] - n_gold_keys[name]))
 
     cols: dict[str, pa.Array] = {}
     for key in rows[0]:

@@ -1031,6 +1031,11 @@ def _lsh_bands_for_threshold(threshold: float, band_bits: int = 2,
         raise ValueError(
             f"cosine threshold {threshold} has zero LSH collision "
             "probability; use pair_stage='exact'")
+    if p >= 1.0:
+        # threshold >= 1.0: qualifying pairs are bit-identical vectors,
+        # every band catches them (miss probability exactly 0) — the
+        # log(1 - p^bits) form below would hit log(0)
+        return 32
     n = math.ceil(math.log(target_miss) / math.log(1.0 - p ** band_bits))
     if n > max_bands:
         raise ValueError(

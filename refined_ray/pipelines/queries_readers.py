@@ -30,6 +30,67 @@ def _fixture_dir(sf_dir: str) -> str:
     return d
 
 
+def _fixture_rows(sf_dir: str, table: str) -> int:
+    """Row count for a layout stamp — parquet FOOTER metadata only, so
+    the already-staged path never re-reads the table body."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(
+        os.path.join(sf_dir, f"{table}.parquet")).num_rows
+
+
+def _fixture_stamp_ok(d: str, stamp: str) -> bool:
+    """Shared layout-stamp gate for the staged-file fixtures (xmldump /
+    wikiclean / wetdump / wikidata): True iff dir ``d`` carries exactly
+    this stamp.  A mismatched stamp (different layout or source row
+    count) — or a dir with NO marker, i.e. partial output from a
+    crashed staging run — is cleared so a rerun never mixes stale
+    files with fresh ones.  On False the dir exists and is empty; the
+    caller stages into it and finishes with ``_mark_staged``."""
+    import shutil
+
+    done = os.path.join(d, "_STAGED")
+    if os.path.exists(done):
+        with open(done) as f:
+            if f.read() == stamp:
+                return True
+        shutil.rmtree(d)
+    elif os.path.isdir(d):
+        shutil.rmtree(d)
+    os.makedirs(d, exist_ok=True)
+    return False
+
+
+def _mark_staged(d: str, stamp: str) -> None:
+    done = os.path.join(d, "_STAGED")
+    with open(done + ".part", "w") as f:
+        f.write(stamp)
+    os.replace(done + ".part", done)
+
+
+def _file_fixture_fresh(path: str, stamp: str) -> bool:
+    """Single-FILE twin of ``_fixture_stamp_ok`` (for the JSONL/TSV
+    fixtures): True iff ``path`` exists and ``<path>.stamp`` carries
+    exactly this stamp.  The fixtures' spans/plants derive from the
+    source parquet, so a regenerated table (different row count) must
+    restage instead of silently reusing stale offsets/plants against
+    the new rows."""
+    s = path + ".stamp"
+    if not (os.path.exists(path) and os.path.exists(s)):
+        return False
+    with open(s) as f:
+        return f.read() == stamp
+
+
+def _stamp_file_fixture(path: str, stamp: str) -> None:
+    """Write ``<path>.stamp`` atomically — call AFTER the fixture file
+    itself is in place (a crash in between just restages next call)."""
+    s = path + ".stamp"
+    with open(s + ".tmp", "w") as f:
+        f.write(stamp)
+    os.replace(s + ".tmp", s)
+
+
 # ---------------------------------------------------------------------
 # S5: AIDA-means bz2 TSV reader (≙ reference loaders.py:197-205)
 # ---------------------------------------------------------------------
@@ -47,7 +108,8 @@ def q_aida_means(sf_dir: str):
     from ..sources.benchmarks import read_aida_means
 
     path = os.path.join(_fixture_dir(sf_dir), "aida_means.tsv.bz2")
-    if not os.path.exists(path):
+    stamp = f"n_rows={_fixture_rows(sf_dir, 'part')}"
+    if not _file_fixture_fresh(path, stamp):
         t = pq.read_table(os.path.join(sf_dir, "part.parquet"),
                           columns=["p_partkey", "p_name"])
         keys = t["p_partkey"].to_pylist()
@@ -61,6 +123,7 @@ def q_aida_means(sf_dir: str):
                 esc = wiki.encode("unicode_escape").decode("ascii")
                 f.write(f'"{name}"\t{esc}\n')
         os.replace(tmp, path)
+        _stamp_file_fixture(path, stamp)
     return read_aida_means(path)
 
 
@@ -98,7 +161,8 @@ def q_el_docs(sf_dir: str):
 
     t2q: dict[str, str] = {}
     path = os.path.join(_fixture_dir(sf_dir), "el_docs.jsonl")
-    write = not os.path.exists(path)
+    stamp = f"n_docs={t.num_rows}"
+    write = not _file_fixture_fresh(path, stamp)
     lines = [] if write else None
     for did, text in zip(doc_ids, texts):
         m = TOKEN_RE.search(text.lower())
@@ -120,6 +184,7 @@ def q_el_docs(sf_dir: str):
         with open(tmp, "w") as f:
             f.write("\n".join(lines) + "\n")
         os.replace(tmp, path)
+        _stamp_file_fixture(path, stamp)
 
     return read_el_docs(path, title_to_qcode=t2q)
 
@@ -190,19 +255,13 @@ def q_xml_pages(sf_dir: str, pages_per_shard: int = 200):
     from ..sources.xmldump import read_xml_pages, write_xml_shard
 
     d = os.path.join(_fixture_dir(sf_dir), "xmldump")
-    done = os.path.join(d, "_STAGED")
-    # layout-stamped marker: a different pages_per_shard restages
-    # (same contract as the wetdump / wikiclean fixtures)
-    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                      columns=["doc_id", "text"])
-    stamp = f"pages_per_shard={pages_per_shard} n_docs={t.num_rows}"
-    if os.path.exists(done):
-        with open(done) as f:
-            if f.read() != stamp:
-                import shutil
-                shutil.rmtree(d)
-    if not os.path.exists(done):
-        os.makedirs(d, exist_ok=True)
+    # layout-stamped marker: a different pages_per_shard (or source
+    # row count) restages — shared _fixture_stamp_ok contract
+    stamp = (f"pages_per_shard={pages_per_shard} "
+             f"n_docs={_fixture_rows(sf_dir, 'documents')}")
+    if not _fixture_stamp_ok(d, stamp):
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
         ids = t["doc_id"].to_pylist()
         texts = t["text"].to_pylist()
 
@@ -224,8 +283,7 @@ def q_xml_pages(sf_dir: str, pages_per_shard: int = 200):
             write_xml_shard(pages(lo, lo + pages_per_shard),
                             os.path.join(d, f"shard-{s:05d}.xml.bz2"),
                             compression="bz2")
-        with open(done, "w") as f:
-            f.write(stamp)
+        _mark_staged(d, stamp)
 
     ds = read_xml_pages(os.path.join(d), ns_filter="0")
 
@@ -262,20 +320,14 @@ def _cleaned_wiki_pages(sf_dir: str, pages_per_shard: int = 200):
     from ..sources.xmldump import read_xml_pages, write_xml_shard
 
     d = os.path.join(_fixture_dir(sf_dir), "wikiclean")
-    done = os.path.join(d, "_STAGED")
     # the marker records the staging layout; a call with a different
     # pages_per_shard restages instead of silently reusing stale shard
-    # boundaries (same contract as the wetdump fixture below)
-    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                      columns=["doc_id", "text"])
-    stamp = f"pages_per_shard={pages_per_shard} n_docs={t.num_rows}"
-    if os.path.exists(done):
-        with open(done) as f:
-            if f.read() != stamp:
-                import shutil
-                shutil.rmtree(d)
-    if not os.path.exists(done):
-        os.makedirs(d, exist_ok=True)
+    # boundaries (shared _fixture_stamp_ok contract)
+    stamp = (f"pages_per_shard={pages_per_shard} "
+             f"n_docs={_fixture_rows(sf_dir, 'documents')}")
+    if not _fixture_stamp_ok(d, stamp):
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
         ids = t["doc_id"].to_pylist()
         texts = t["text"].to_pylist()
 
@@ -307,8 +359,7 @@ def _cleaned_wiki_pages(sf_dir: str, pages_per_shard: int = 200):
             write_xml_shard(pages(lo, lo + pages_per_shard),
                             os.path.join(d, f"shard-{s:05d}.xml.bz2"),
                             compression="bz2")
-        with open(done, "w") as f:
-            f.write(stamp)
+        _mark_staged(d, stamp)
 
     # unescape_entities=False: the cleaner's input contract is the
     # once-escaped dump form (it unescapes mid-pipeline where the
@@ -490,7 +541,9 @@ def q_aida_conll(sf_dir: str, sent_tokens: int = 8):
 
     d = _fixture_dir(sf_dir)
     path = os.path.join(d, "aida_conll.txt")
-    if not os.path.exists(path):
+    stamp = (f"sent_tokens={sent_tokens} "
+             f"n_docs={_fixture_rows(sf_dir, 'documents')}")
+    if not _file_fixture_fresh(path, stamp):
         t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                           columns=["doc_id", "text"])
         rows = sorted(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
@@ -508,6 +561,7 @@ def q_aida_conll(sf_dir: str, sent_tokens: int = 8):
                         f.write("\n")
                 f.write("\n")
         os.replace(tmp, path)
+        _stamp_file_fixture(path, stamp)
 
     ds = read_conll_docs(path, bio_only=True, sentence_level=False)
     # single-file fixture: the source column is constant — project it
@@ -558,7 +612,8 @@ def q_el_docs_standard(sf_dir: str):
     t2q: dict[str, str] = {}
     redirects: dict[str, str] = {}
     path = os.path.join(_fixture_dir(sf_dir), "el_docs_standard.jsonl")
-    write = not os.path.exists(path)
+    stamp = f"n_docs={t.num_rows}"
+    write = not _file_fixture_fresh(path, stamp)
     lines = [] if write else None
     for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
         m = TOKEN_RE.search(text.lower())
@@ -596,6 +651,7 @@ def q_el_docs_standard(sf_dir: str):
         with open(tmp, "w") as f:
             f.write("\n".join(lines) + "\n")
         os.replace(tmp, path)
+        _stamp_file_fixture(path, stamp)
 
     return read_el_docs_standard(path, title_to_qcode=t2q,
                                  redirects=redirects,
@@ -637,7 +693,8 @@ def q_webqsp_docs(sf_dir: str):
     from ..sources.benchmarks import read_webqsp_docs
 
     path = os.path.join(_fixture_dir(sf_dir), "webqsp_docs.jsonl")
-    if not os.path.exists(path):
+    stamp = f"n_docs={_fixture_rows(sf_dir, 'documents')}"
+    if not _file_fixture_fresh(path, stamp):
         t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                           columns=["doc_id", "text"])
         lines = []
@@ -656,6 +713,7 @@ def q_webqsp_docs(sf_dir: str):
         with open(tmp, "w") as f:
             f.write("\n".join(lines) + "\n")
         os.replace(tmp, path)
+        _stamp_file_fixture(path, stamp)
 
     return read_webqsp_docs(path)
 
@@ -740,7 +798,12 @@ def _stage_el_eval_fixture(sf_dir: str):
     t2q = {f"Ent_{src}": src for src in set(sources)}
     redirects: dict[str, str] = {}
     path = os.path.join(_fixture_dir(sf_dir), "el_eval.jsonl")
-    write = not os.path.exists(path)
+    # stamped like every other staged fixture: the JSONL's mention
+    # texts/offsets/plants derive from documents.parquet, so a
+    # regenerated corpus (different row count) must restage instead of
+    # silently reusing stale spans against the new doc texts
+    stamp = f"n_docs={t.num_rows}"
+    write = not _file_fixture_fresh(path, stamp)
     lines = [] if write else None
     for did, text, toks in zip(ids, texts, doc_toks):
         mentions = []
@@ -776,6 +839,7 @@ def _stage_el_eval_fixture(sf_dir: str):
         with open(tmp, "w") as f:
             f.write("\n".join(lines) + "\n")
         os.replace(tmp, path)
+        _stamp_file_fixture(path, stamp)
     return path, t2q, redirects
 
 
@@ -878,6 +942,14 @@ WITH pemsrc AS (
   SELECT g.dataset, g.gold_qcode, r.entity AS pred
   FROM gold g JOIN ranked r ON r.surface = g.surface_lc AND r.rnk = 1
   WHERE r.conf >= 0.15
+), mdkeys AS (
+  -- span-key SET semantics (evaluation.py:99-105): gold ∪ nil, a key
+  -- annotated under both counts once
+  SELECT DISTINCT doc_id, dataset, span_start, surface FROM (
+    SELECT doc_id, dataset, span_start, surface FROM gold
+    UNION ALL SELECT doc_id, dataset, span_start, surface FROM nil)
+), goldkeys AS (
+  SELECT DISTINCT doc_id, dataset, span_start, surface FROM gold
 ), spine AS (
   SELECT unnest(['AIDA', 'MSNBC', 'WIKI']) AS dataset
 ), base AS (
@@ -886,7 +958,9 @@ WITH pemsrc AS (
       AS num_docs,
     (SELECT count(*) FROM gold g WHERE g.dataset = s.dataset)
       AS n_gold,
-    (SELECT count(*) FROM nil n WHERE n.dataset = s.dataset) AS n_nil,
+    (SELECT count(*) FROM mdkeys m WHERE m.dataset = s.dataset) AS n_md,
+    (SELECT count(*) FROM goldkeys g WHERE g.dataset = s.dataset)
+      AS n_gold_keys,
     (SELECT count(*) FROM gold g JOIN ranked r
        ON r.surface = g.surface_lc AND r.entity = g.gold_qcode
        AND r.rnk <= 3 WHERE g.dataset = s.dataset) AS in_cand,
@@ -897,9 +971,7 @@ WITH pemsrc AS (
        ON g.doc_id = p.doc_id AND g.span_start = p.span_start
        AND g.surface = p.surface AND g.gold_qcode = p.pred
        WHERE p.dataset = s.dataset) AS el_tp,
-    (SELECT count(*) FROM det d JOIN (
-        SELECT doc_id, span_start, surface FROM gold
-        UNION ALL SELECT doc_id, span_start, surface FROM nil) m
+    (SELECT count(*) FROM det d JOIN mdkeys m
        ON m.doc_id = d.doc_id AND m.span_start = d.span_start
        AND m.surface = d.surface WHERE d.dataset = s.dataset)
       AS el_tp_md,
@@ -913,11 +985,12 @@ WITH pemsrc AS (
          in_cand AS gold_in_cand, el_tp AS tp, el_npred - el_tp AS fp,
          n_gold - el_tp AS fn, el_tp_md AS tp_md,
          n_det - el_tp_md AS fp_md,
-         (n_gold + n_nil) - el_tp_md AS fn_md
+         n_md - el_tp_md AS fn_md
   FROM base
   UNION ALL
   SELECT dataset, 'ED', num_docs, n_gold, in_cand, ed_tp,
-         ed_npred - ed_tp, n_gold - ed_tp, n_gold, 0, n_nil
+         ed_npred - ed_tp, n_gold - ed_tp, n_gold_keys, 0,
+         n_md - n_gold_keys
   FROM base
 )
 SELECT dataset, mode, num_docs, num_gold_spans, gold_in_cand,
@@ -950,20 +1023,14 @@ def q_wet_records(sf_dir: str, docs_per_shard: int = 200):
     from ..sources.wet import read_wet_files, write_wet_shard
 
     d = os.path.join(_fixture_dir(sf_dir), "wetdump")
-    done = os.path.join(d, "_STAGED")
     # the marker records the staging layout (docs_per_shard + doc
     # count); a call with a DIFFERENT layout restages rather than
     # silently reusing stale shard boundaries / decoy placement
-    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                      columns=["doc_id", "text"])
-    stamp = f"docs_per_shard={docs_per_shard} n_docs={t.num_rows}"
-    if os.path.exists(done):
-        with open(done) as f:
-            if f.read() != stamp:
-                import shutil
-                shutil.rmtree(d)
-    if not os.path.exists(done):
-        os.makedirs(d, exist_ok=True)
+    stamp = (f"docs_per_shard={docs_per_shard} "
+             f"n_docs={_fixture_rows(sf_dir, 'documents')}")
+    if not _fixture_stamp_ok(d, stamp):
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
         ids = t["doc_id"].to_pylist()
         texts = t["text"].to_pylist()
 
@@ -989,8 +1056,7 @@ def q_wet_records(sf_dir: str, docs_per_shard: int = 200):
         for s, lo in enumerate(range(0, len(ids), docs_per_shard)):
             write_wet_shard(records(lo, lo + docs_per_shard),
                             os.path.join(d, f"shard-{s:05d}.warc.wet.gz"))
-        with open(done, "w") as f:
-            f.write(stamp)
+        _mark_staged(d, stamp)
 
     # the _STAGED marker is not gzip and holds no WARC version line —
     # route the reader at the shards only (the scanner fails LOUDLY on
@@ -1135,18 +1201,14 @@ def stage_wikidata_dump(sf_dir: str, entities_per_shard: int = 500) -> str:
 
     d = os.path.join(_fixture_dir(sf_dir), "wikidata")
     dump_dir = os.path.join(d, "dump")
-    staged = os.path.join(d, "_STAGED")
-    # layout-stamped marker: a different entities_per_shard restages
-    # the dump AND the derived fan-out (wetdump-fixture contract)
-    t = pq.read_table(os.path.join(sf_dir, "part.parquet"),
-                      columns=["p_partkey", "p_name"])
-    stamp = f"entities_per_shard={entities_per_shard} n_ents={t.num_rows}"
-    if os.path.exists(staged):
-        with open(staged) as f:
-            if f.read() != stamp:
-                import shutil
-                shutil.rmtree(d)
-    if not os.path.exists(staged):
+    # layout-stamped marker: a different entities_per_shard (or part
+    # row count) restages the dump AND the derived fan-out — stamp
+    # mismatch rmtrees all of ``d`` (shared _fixture_stamp_ok contract)
+    stamp = (f"entities_per_shard={entities_per_shard} "
+             f"n_ents={_fixture_rows(sf_dir, 'part')}")
+    if not _fixture_stamp_ok(d, stamp):
+        t = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                          columns=["p_partkey", "p_name"])
         os.makedirs(dump_dir, exist_ok=True)
         rows = sorted(zip(t["p_partkey"].to_pylist(), t["p_name"].to_pylist()))
 
@@ -1162,16 +1224,25 @@ def stage_wikidata_dump(sf_dir: str, entities_per_shard: int = 500) -> str:
             write_wikidata_dump(
                 ents(lo, lo + entities_per_shard),
                 os.path.join(dump_dir, f"shard-{s:05d}.json.bz2"))
-        with open(staged, "w") as f:
-            f.write(stamp)
+        _mark_staged(d, stamp)
 
     fan_dir = os.path.join(d, "fanout")
     done = os.path.join(d, "_FANOUT_DONE")
     if not os.path.exists(done):
-        counts = wikidata_fanout(dump_dir, fan_dir)
-        with open(done + ".part", "w") as f:
-            import json as _json
+        import json as _json
+        import shutil
 
+        # crash-atomic: the fan-out's content-hash part files land in
+        # a scratch dir that is promoted in ONE rename — a run killed
+        # mid-fan-out leaves no marker and no fan_dir, so the rerun
+        # never reads a mix of stale and fresh part files
+        scratch = fan_dir + ".part"
+        for stale in (scratch, fan_dir):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        counts = wikidata_fanout(dump_dir, scratch)
+        os.replace(scratch, fan_dir)
+        with open(done + ".part", "w") as f:
             _json.dump(counts, f)
         os.replace(done + ".part", done)
     return fan_dir

@@ -5,6 +5,17 @@
    wikidata staging fixtures (the q_wet_records contract, applied
    everywhere a staging helper takes a layout parameter)
 (The non-ASCII API-key 403 regression lives in test_http_service.py.)
+
+Second review pass (end-of-round sweep over the full round-5 diff):
+
+3. _lsh_bands_for_threshold(1.0) must return bands, not crash on
+   log(0) — at cosine >= 1.0 every band catches the identical pair
+4. crashed staging runs (dir without a marker / partial fan-out
+   without _FANOUT_DONE) are cleared, never mixed with fresh output
+5. the el_eval JSONL fixture restages when documents.parquet changes
+6. EL-benchmark MD counts use span-key SET semantics: a span
+   annotated both gold and NIL under the same key counts once
+   (evaluation.py:99-105 builds sets, not multisets)
 """
 
 from __future__ import annotations
@@ -101,3 +112,106 @@ def test_wikidata_dump_restages_on_layout_change(ray_session):
     assert os.path.getmtime(os.path.join(d, "_FANOUT_DONE")) \
         != fanout_mtime_1
     stage_wikidata_dump(SF, entities_per_shard=500)  # restore
+
+
+def test_lsh_bands_at_threshold_one():
+    """cosine threshold 1.0 (p = 1): miss probability is exactly 0 for
+    the qualifying (bit-identical) pairs — return the default geometry
+    instead of crashing on log(1 - p^bits) = log(0)."""
+    from refined_ray.pipelines.queries import _lsh_bands_for_threshold
+
+    assert _lsh_bands_for_threshold(1.0) == 32
+    # anything representable just below 1.0 still resolves
+    assert _lsh_bands_for_threshold(0.999999) == 32
+
+
+def test_partial_staging_dir_is_cleared(ray_session):
+    """A fixture dir WITHOUT a _STAGED marker is partial output from a
+    crashed run: the next call must clear it, not union stale shards
+    with fresh ones."""
+    from refined_ray.pipelines.queries_readers import (_fixture_dir,
+                                                       q_xml_pages)
+
+    n = q_xml_pages(SF).count()
+    d = os.path.join(_fixture_dir(SF), "xmldump")
+    os.remove(os.path.join(d, "_STAGED"))
+    junk = os.path.join(d, "shard-99999.xml.bz2")
+    import bz2
+    with bz2.open(junk, "wt") as f:
+        f.write("<page><id>1</id><ns>0</ns><title>junk</title>"
+                "<revision><id>2</id><text>stale</text></revision></page>")
+    assert q_xml_pages(SF).count() == n
+    assert not os.path.exists(junk)
+
+
+def test_partial_fanout_is_cleared(ray_session):
+    """fan_dir without _FANOUT_DONE = a fan-out killed mid-run; the
+    rerun must rebuild from scratch (crash-atomic promote), so no
+    stale content-hash part files survive."""
+    from refined_ray.pipelines.queries_readers import (_fixture_dir,
+                                                       stage_wikidata_dump)
+
+    fan = stage_wikidata_dump(SF)
+    d = os.path.dirname(fan)
+    os.remove(os.path.join(d, "_FANOUT_DONE"))
+    junk = os.path.join(fan, "desc", "stale-partial.parquet")
+    with open(junk, "w") as f:
+        f.write("not parquet")
+    fan2 = stage_wikidata_dump(SF)
+    assert fan2 == fan
+    assert os.path.exists(os.path.join(d, "_FANOUT_DONE"))
+    assert not os.path.exists(junk)
+
+
+def test_el_eval_fixture_restages_on_corpus_change(ray_session):
+    """The JSONL's spans/plants derive from documents.parquet — a
+    stale stamp must force a rewrite instead of reusing old offsets
+    against new texts."""
+    from refined_ray.pipelines.queries_readers import _stage_el_eval_fixture
+
+    path, _, _ = _stage_el_eval_fixture(SF)
+    with open(path + ".stamp", "w") as f:
+        f.write("n_docs=-1")  # simulate a regenerated corpus
+    before = os.path.getmtime(path)
+    path2, _, _ = _stage_el_eval_fixture(SF)
+    assert path2 == path
+    assert os.path.getmtime(path) >= before
+    with open(path + ".stamp") as f:
+        assert f.read() != "n_docs=-1"
+
+
+def test_el_eval_md_set_semantics(ray_session):
+    """A span annotated BOTH with an in-KB entity and as NIL under the
+    same (doc, start, surface) key: the reference's set union carries
+    it once, so tp_md / fn_md must not double-count it."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from refined_ray.pipelines.el_benchmark import evaluate_benchmarks
+
+    mentions = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 0], type=pa.int64()),
+        "span_start": pa.array([0, 0], type=pa.int64()),
+        "surface": pa.array(["paris", "paris"], type=pa.string()),
+        "gold_qcode": pa.array(["Q1", None], type=pa.string()),
+    }))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "text": pa.array(["paris visit"], type=pa.string()),
+    }))
+    pem = rd.from_arrow(pa.table({
+        "surface": pa.array(["paris"], type=pa.string()),
+        "entity": pa.array(["Q1"], type=pa.string()),
+        "cnt": pa.array([5], type=pa.int64()),
+    }))
+    rows = {(r["dataset"], r["mode"]): r
+            for r in evaluate_benchmarks(mentions, docs, pem).take_all()}
+    el = rows[("AIDA", "EL")]
+    # detector emits paris@0 and visit@6; md key SET = {(0,0,paris)}
+    assert el["num_gold_spans"] == 1
+    assert el["tp_md"] == 1          # multiset arithmetic would say 2
+    assert el["fp_md"] == 1          # visit@6 — would be 0 (or negative)
+    assert el["fn_md"] == 0
+    ed = rows[("AIDA", "ED")]
+    # ED predicted keys = distinct gold keys; md set has 1 key total
+    assert ed["tp_md"] == 1 and ed["fp_md"] == 0 and ed["fn_md"] == 0
