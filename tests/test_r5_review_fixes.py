@@ -215,3 +215,36 @@ def test_el_eval_md_set_semantics(ray_session):
     ed = rows[("AIDA", "ED")]
     # ED predicted keys = distinct gold keys; md set has 1 key total
     assert ed["tp_md"] == 1 and ed["fp_md"] == 0 and ed["fn_md"] == 0
+
+
+def test_fixture_stamp_helpers_state_machine(tmp_path):
+    """The shared staging gate's four transitions: fresh dir → stage;
+    matching stamp → cached (files intact); stamp mismatch → cleared;
+    marker-less dir (crashed run) → cleared.  File-fixture twins
+    follow the same contract."""
+    from refined_ray.pipelines.queries_readers import (
+        _file_fixture_fresh, _fixture_stamp_ok, _mark_staged,
+        _stamp_file_fixture)
+
+    d = str(tmp_path / "fx")
+    assert _fixture_stamp_ok(d, "a=1") is False and os.path.isdir(d)
+    with open(os.path.join(d, "f1"), "w") as f:
+        f.write("x")
+    _mark_staged(d, "a=1")
+    assert _fixture_stamp_ok(d, "a=1") is True
+    assert os.path.exists(os.path.join(d, "f1"))          # cached intact
+    assert _fixture_stamp_ok(d, "a=2") is False           # layout change
+    assert not os.path.exists(os.path.join(d, "f1"))
+    with open(os.path.join(d, "stale"), "w") as f:
+        f.write("x")                                      # no marker
+    assert _fixture_stamp_ok(d, "a=2") is False
+    assert not os.path.exists(os.path.join(d, "stale"))
+
+    p = str(tmp_path / "fixture.jsonl")
+    assert _file_fixture_fresh(p, "n=5") is False         # nothing yet
+    with open(p, "w") as f:
+        f.write("{}\n")
+    assert _file_fixture_fresh(p, "n=5") is False         # no stamp
+    _stamp_file_fixture(p, "n=5")
+    assert _file_fixture_fresh(p, "n=5") is True
+    assert _file_fixture_fresh(p, "n=6") is False         # source changed
