@@ -2308,6 +2308,222 @@ FROM agg a JOIN nl USING (doc_id)
 
 
 # ---------------------------------------------------------------------
+# Per-host boilerplate-line removal (engine addition; the CCNet move:
+# a line that appears in "most documents of the same web host" is
+# chrome — nav bars, cookie banners, copyright footers — not content,
+# and is stripped from EVERY document of that host.  Complements
+# q_line_dedup, whose corpus-GLOBAL rule keeps one copy; the host rule
+# keeps none, but only fires when the within-host document-frequency
+# clears a threshold.)
+# ---------------------------------------------------------------------
+
+_HB_HOSTS = 30        # same host derivation as domain_caps / url_dedup
+_HB_FRAC = 0.5        # line is boilerplate if it appears in >= this
+                      # fraction of the host's line-bearing docs ...
+_HB_MIN_DOCS = 2      # ... and in at least this many distinct docs
+
+
+def q_host_boilerplate(sf_dir: str):
+    """Strip per-host boilerplate lines (CCNet-style): for each host,
+    any line occurring in >= max(ceil(0.5 * host_docs), 2) distinct
+    documents of that host is removed from ALL of them.  "Lines" are
+    the module's 10-token windows; hosts derive deterministically from
+    doc_id (30 hosts, the domain_caps scheme); the plant appends a
+    host-specific copyright footer to 4/5 of each host's docs so the
+    rule provably fires on every test corpus.  The denominator counts
+    the host's LINE-BEARING docs (a token-free doc contributes no
+    lines and no count — documented contract, replayed in SQL).
+    Output per doc: host, total/kept line counts, the cleaned text
+    ('' when everything was chrome).
+
+    Scale shape: vectorized line build (the shared ListArray +
+    ``binary_join`` kernel), then ONE repartition keyed on host —
+    after which doc-frequency counting, threshold test, filtering and
+    per-doc re-join are all segment passes inside the partition (no
+    per-group pandas, no second shuffle).  Host key cardinality is
+    millions at web scale (far above the partition count), and a
+    pathological mega-host degrades to one partition's worth of
+    lexsort — not a driver failure."""
+    from .. import default_num_partitions
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def lines(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, starts = tokenize_batch(texts)
+        lens = np.diff(starts)
+        n_lines = -(-lens // _LINE_TOKENS)  # ceil; 0 for token-free docs
+        doc_rep = np.repeat(ids, n_lines)
+        lidx = np.arange(n_lines.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(n_lines) - n_lines, n_lines)
+        line_starts = np.repeat(starts[:-1], n_lines) + lidx * _LINE_TOKENS
+        if starts[-1] >= 2**31:  # int32 list offsets: fail loudly, not wrap
+            raise ValueError(
+                f"batch has {starts[-1]} flat tokens (>= 2^31); lower "
+                f"batch_size so ListArray int32 offsets cannot overflow")
+        offsets = np.append(line_starts, starts[-1]).astype(np.int32)
+        la = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                      pa.array(flat, type=pa.string()))
+        content = pa.table({
+            "doc_id": pa.array(doc_rep, type=pa.int64()),
+            "line_idx": pa.array(lidx, type=pa.int64()),
+            "line": pc.binary_join(la, " "),
+        })
+        # plant: 4/5 of docs carry their host's copyright footer as a
+        # final line (host-specific text, so it can never collide
+        # across hosts the way the global newsletter plant does)
+        pm = ids % 5 != 4
+        bp_ids = ids[pm]
+        bp = pa.table({
+            "doc_id": pa.array(bp_ids, type=pa.int64()),
+            "line_idx": pa.array(n_lines[pm], type=pa.int64()),
+            "line": pc.binary_join_element_wise(
+                "copyright site ",
+                pa.array((bp_ids % _HB_HOSTS).astype(str)),
+                " all rights reserved", ""),
+        })
+        t = pa.concat_tables([content, bp])
+        host = pc.binary_join_element_wise(
+            "www.site",
+            pa.array((t["doc_id"].to_numpy(zero_copy_only=False)
+                      % _HB_HOSTS).astype(str)),
+            ".example.com", "")
+        return t.append_column("host", host)
+
+    parted = ds.map_batches(lines, batch_format="pyarrow").repartition(
+        num_blocks=default_num_partitions(), keys=["host"], sort=False)
+
+    def strip(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "host": pa.array([], type=pa.string()),
+                          "n_lines": pa.array([], type=pa.int64()),
+                          "n_kept": pa.array([], type=pa.int64()),
+                          "clean": pa.array([], type=pa.string())})
+        if b.num_rows == 0:
+            return empty
+        host = b["host"].to_numpy(zero_copy_only=False)
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        lix = b["line_idx"].to_numpy(zero_copy_only=False)
+        line = b["line"].to_numpy(zero_copy_only=False)
+
+        # host_docs: distinct docs per host (doc_id encodes its host,
+        # so distinct doc_id segments within a doc_id sort are enough)
+        d_order = np.lexsort((lix, did))
+        d_sorted = did[d_order]
+        d_new = np.r_[True, d_sorted[1:] != d_sorted[:-1]]
+        u_docs = d_sorted[d_new]                      # distinct doc ids
+        u_hosts = host[d_order][d_new]
+        h_order, h_seg, h_sizes = _lexsort_segments(u_hosts)
+        host_docs = {u_hosts[h_order[s]]: int(n)
+                     for s, n in zip(h_seg, h_sizes)}
+
+        # doc-frequency per (host, line): sort by (host, line, doc),
+        # count distinct docs per (host, line) run
+        order = np.lexsort((did, line, host))
+        h_s, l_s, d_s = host[order], line[order], did[order]
+        pair_new = np.r_[True, (h_s[1:] != h_s[:-1]) | (l_s[1:] != l_s[:-1])]
+        doc_new = pair_new | np.r_[True, d_s[1:] != d_s[:-1]]
+        pair_id = np.cumsum(pair_new) - 1
+        df = np.bincount(pair_id[doc_new])            # distinct-doc freq
+        # ceil(nd * _HB_FRAC) with _HB_FRAC = 1/2 kept in integer math
+        # so engine and SQL can never disagree on a float boundary
+        thresh = np.array([max(_HB_MIN_DOCS, -(-host_docs[h_s[s]] // 2))
+                           for s in np.flatnonzero(pair_new)])
+        is_bp_pair = df >= thresh
+        is_bp = np.empty(len(order), dtype=bool)
+        is_bp[order] = is_bp_pair[pair_id]            # back to input order
+
+        keep = ~is_bp
+        k_did, k_lix, k_line = did[keep], lix[keep], line[keep]
+        o2 = np.lexsort((k_lix, k_did))
+        k_did, k_line = k_did[o2], k_line[o2]
+        k_new = np.r_[True, k_did[1:] != k_did[:-1]]
+        kept_per = np.diff(np.r_[np.flatnonzero(k_new), len(k_did)])
+
+        # every doc in the partition gets an output row, including
+        # docs whose every line was chrome (n_kept=0, clean='')
+        n_per = np.bincount(
+            np.searchsorted(u_docs, d_sorted), minlength=len(u_docs))
+        n_kept = np.zeros(len(u_docs), dtype=np.int64)
+        if len(k_did):
+            n_kept[np.searchsorted(u_docs, k_did[k_new])] = kept_per
+        clean = np.full(len(u_docs), "", dtype=object)
+        if len(k_did):
+            offs = np.r_[0, np.cumsum(kept_per)].astype(np.int32)
+            kla = pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()),
+                pa.array(k_line.tolist(), type=pa.string()))
+            clean[np.searchsorted(u_docs, k_did[k_new])] = (
+                pc.binary_join(kla, " ").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "doc_id": pa.array(u_docs, type=pa.int64()),
+            "host": pa.array(u_hosts, type=pa.string()),
+            "n_lines": pa.array(n_per, type=pa.int64()),
+            "n_kept": pa.array(n_kept, type=pa.int64()),
+            "clean": pa.array(clean, type=pa.string()),
+        })
+
+    return parted.map_batches(strip, batch_format="pyarrow", batch_size=None)
+
+
+SQL_HOST_BOILERPLATE = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok,
+         unnest(range(1, len({_TOKS}) + 1)) AS ord
+  FROM documents
+),
+content AS (
+  SELECT doc_id, CAST((ord - 1) // {_LINE_TOKENS} AS BIGINT) AS line_idx,
+         string_agg(tok, ' ' ORDER BY ord) AS line
+  FROM t GROUP BY doc_id, (ord - 1) // {_LINE_TOKENS}
+),
+bp AS (
+  SELECT doc_id,
+         CAST((len({_TOKS}) + {_LINE_TOKENS - 1}) // {_LINE_TOKENS} AS BIGINT) AS line_idx,
+         'copyright site ' || CAST(doc_id % {_HB_HOSTS} AS VARCHAR)
+           || ' all rights reserved' AS line
+  FROM documents WHERE doc_id % 5 != 4
+),
+lines AS (
+  SELECT doc_id,
+         'www.site' || CAST(doc_id % {_HB_HOSTS} AS VARCHAR)
+           || '.example.com' AS host,
+         line_idx, line
+  FROM (SELECT * FROM content UNION ALL SELECT * FROM bp)
+),
+hd AS (SELECT host, count(DISTINCT doc_id) AS nd FROM lines GROUP BY host),
+lf AS (
+  SELECT host, line, count(DISTINCT doc_id) AS df
+  FROM lines GROUP BY host, line
+),
+chrome AS (
+  SELECT lf.host, lf.line
+  FROM lf JOIN hd USING (host)
+  WHERE lf.df >= GREATEST({_HB_MIN_DOCS}, CAST(CEIL(hd.nd * 0.5) AS BIGINT))
+),
+kept AS (
+  SELECT l.* FROM lines l
+  LEFT JOIN chrome c ON l.host = c.host AND l.line = c.line
+  WHERE c.line IS NULL
+),
+docs AS (
+  SELECT doc_id, host, CAST(count(*) AS BIGINT) AS n_lines
+  FROM lines GROUP BY doc_id, host
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(line, ' ' ORDER BY line_idx) AS clean
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, d.host, d.n_lines,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       COALESCE(a.clean, '') AS clean
+FROM docs d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------
 # Exact-substring dedup (engine addition; the Lee-et-al-2022
 # "Deduplicating Training Data Makes Language Models Better" move:
 # find every length-L character window that occurs more than once
@@ -2766,6 +2982,7 @@ WEBTEXT_QUERIES = {
     "host_pagerank": q_host_pagerank,
     "dsir_select": q_dsir_select,
     "selfdup_lines": q_selfdup_lines,
+    "host_boilerplate": q_host_boilerplate,
     "host_split": q_host_split,
     "exact_substring_spans": q_exact_substring_spans,
     "exact_substring_dedup": q_exact_substring_dedup,
@@ -2796,6 +3013,7 @@ WEBTEXT_ORACLES = {
     "host_pagerank": _sql_host_pagerank(),
     "dsir_select": _sql_dsir_select(),
     "selfdup_lines": SQL_SELFDUP_LINES,
+    "host_boilerplate": SQL_HOST_BOILERPLATE,
     "host_split": _sql_host_split(),
     "exact_substring_spans": _sql_exact_substring_spans(),
     "exact_substring_dedup": _sql_exact_substring_dedup(),

@@ -568,3 +568,54 @@ def test_dsir_select_block_structure_invariance(ray_session, tmp_path):
     b = q_dsir_select(str(d2)).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) == 50 and a.doc_id.is_unique
+
+
+def test_host_boilerplate_pure_python_replay(ray_session):
+    """Exact replay of the per-host boilerplate strip: 10-token
+    windows, hosts = doc_id % 30, planted per-host copyright footer
+    on 4/5 of docs, remove every line whose within-host distinct-doc
+    frequency >= max(2, ceil(host_docs / 2)), order-preserving
+    rejoin.  Docs whose every line is chrome still emit a row."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from refined_ray.functions.tokenize import tokenize_batch
+    from refined_ray.pipelines.queries_webtext import (
+        _HB_HOSTS, _HB_MIN_DOCS, _LINE_TOKENS, q_host_boilerplate)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_host_boilerplate(sf).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+
+    t = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"])
+    doc_lines = {}
+    for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks, _ = tokenize_batch([txt])
+        lines = [" ".join(toks[i:i + _LINE_TOKENS])
+                 for i in range(0, len(toks), _LINE_TOKENS)]
+        if d % 5 != 4:
+            lines.append(f"copyright site {d % _HB_HOSTS} "
+                         "all rights reserved")
+        if lines:
+            doc_lines[d] = lines
+    # within-host distinct-doc frequency per line
+    freq, host_docs = {}, {}
+    for d, lines in doc_lines.items():
+        h = d % _HB_HOSTS
+        host_docs[h] = host_docs.get(h, 0) + 1
+        for ln in set(lines):
+            freq[(h, ln)] = freq.get((h, ln), 0) + 1
+    want = []
+    for d, lines in sorted(doc_lines.items()):
+        h = d % _HB_HOSTS
+        thresh = max(_HB_MIN_DOCS, -(-host_docs[h] // 2))
+        kept = [ln for ln in lines if freq[(h, ln)] < thresh]
+        want.append((d, f"www.site{h}.example.com",
+                     len(lines), len(kept), " ".join(kept)))
+    want_df = pd.DataFrame(
+        want, columns=["doc_id", "host", "n_lines", "n_kept", "clean"])
+    pd.testing.assert_frame_equal(got, want_df, check_dtype=False)
+    # the plant guarantees the strip fired on every planted doc
+    planted = want_df[want_df.doc_id % 5 != 4]
+    assert (planted.n_kept < planted.n_lines).all()
+    assert not got.clean.str.contains("copyright site").any()
