@@ -2524,6 +2524,232 @@ FROM docs d LEFT JOIN agg a USING (doc_id)
 
 
 # ---------------------------------------------------------------------
+# BPE merge training (engine addition; the Sennrich-2016 "Neural
+# Machine Translation of Rare Words with Subword Units" learner: from
+# a word-frequency table, repeatedly merge the most frequent adjacent
+# symbol pair — greedy leftmost non-overlapping application, count
+# weighted by word frequency, deterministic tie-break).  This is the
+# tokenizer-training step of an LLM data pipeline.
+# ---------------------------------------------------------------------
+
+_BPE_ROUNDS = 8
+
+
+def q_bpe_merges(sf_dir: str, rounds: int = _BPE_ROUNDS):
+    """Learn the first K BPE merges over the corpus vocabulary and
+    return the merge table (merge_rank, lhs, rhs, cnt).
+
+    Semantics (the Sennrich contract): symbols start as the characters
+    of each ``[a-z0-9]+`` token (no end-of-word marker — documented
+    simplification); each round picks the adjacent pair with the
+    highest word-frequency-weighted count (ties: lexicographically
+    smallest (lhs, rhs)) and rewrites every word by merging its
+    occurrences greedily left-to-right, non-overlapping ("aaa" under
+    merge (a,a) becomes ["aa","a"], never ["a","aa"]).
+
+    Scale shape: the word-frequency table is built with per-batch
+    partial counts + ONE keyed exchange (corpus tokens never shuffle
+    twice), then materialized as symbol-list blocks that stay in the
+    object store.  The K merge rounds are raw per-block Ray tasks —
+    the genuinely-iterative case where a Dataset execution per round
+    would pay K dispatch floors for vocab-scale work: each round ships
+    back only per-block PAIR COUNT partials, whose size is bounded by
+    (|alphabet| + K)^2 rows (36 initial symbols + one new symbol per
+    round — independent of corpus size), so the driver fold is O(1)
+    in the data.  The merge broadcast is two short strings.  The SQL
+    oracle replays all K rounds exactly: symbols ride in a
+    '(sym)(sym)' wrapped string whose ``replace('(L)(R)','(LR)')`` is
+    the same greedy leftmost non-overlapping rewrite (verified
+    equivalent on runs), so the whole learner is bit-replayable."""
+    import ray
+
+    from .. import default_num_partitions
+    from ..functions.tokenize import flat_tokens_arrow
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def wc_partial(b: pa.Table) -> pa.Table:
+        flat = flat_tokens_arrow(b["text"])
+        w = flat.to_numpy(zero_copy_only=False)
+        u, c = np.unique(w, return_counts=True)
+        return pa.table({"word": pa.array(u, type=pa.string()),
+                         "cnt": pa.array(c.astype(np.int64), type=pa.int64())})
+
+    parted = ds.map_batches(wc_partial, batch_format="pyarrow").repartition(
+        num_blocks=default_num_partitions(), keys=["word"], sort=False)
+
+    def to_symbols(b: pa.Table) -> pa.Table:
+        empty = pa.table({"symbols": pa.array([], type=pa.list_(pa.string())),
+                          "cnt": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        word = b["word"].to_numpy(zero_copy_only=False)
+        cnt = b["cnt"].to_numpy(zero_copy_only=False)
+        order, seg, _ = _lexsort_segments(word)
+        word = word[order][np.r_[seg]]
+        total = np.add.reduceat(cnt[order], seg).astype(np.int64)
+        lens = np.char.str_len(word.astype(str)).astype(np.int64)
+        joined = "".join(word.tolist())
+        if len(joined) >= 2**31:
+            raise ValueError("vocabulary block exceeds int32 list offsets; "
+                             "raise the partition count")
+        offs = np.r_[0, np.cumsum(lens)].astype(np.int32)
+        la = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()),
+            pa.array(list(joined), type=pa.string()))
+        return pa.table({"symbols": la,
+                         "cnt": pa.array(total, type=pa.int64())})
+
+    words = parted.map_batches(
+        to_symbols, batch_format="pyarrow", batch_size=None).materialize()
+    refs = [block_ref
+            for bundle in words.iter_internal_ref_bundles()
+            for block_ref, _meta in bundle.blocks]
+
+    def _flat(block):
+        """(vals, offs, lens, cnt) with offs rebased to 0."""
+        la = block["symbols"].combine_chunks()
+        offs = np.asarray(la.offsets, dtype=np.int64)
+        vals = la.values.to_numpy(zero_copy_only=False)[offs[0]:offs[-1]]
+        offs = offs - offs[0]
+        cnt = block["cnt"].to_numpy(zero_copy_only=False)
+        return vals, offs, np.diff(offs), cnt
+
+    def pair_counts(block) -> pa.Table:
+        empty = pa.table({"lhs": pa.array([], type=pa.string()),
+                          "rhs": pa.array([], type=pa.string()),
+                          "cnt": pa.array([], type=pa.int64())})
+        if block.num_rows == 0:
+            return empty
+        vals, offs, lens, cnt = _flat(block)
+        if len(vals) < 2:
+            return empty
+        # dictionary-encode once: pair keys become one int64 per pair
+        enc = pa.array(vals, type=pa.string()).dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dic = enc.dictionary.to_numpy(zero_copy_only=False)
+        valid = np.ones(len(vals) - 1, dtype=bool)
+        b_pos = offs[1:] - 1          # last flat slot of each word
+        b_pos = b_pos[(b_pos >= 0) & (b_pos < len(valid))]
+        valid[b_pos] = False          # pairs may not cross words
+        if not valid.any():
+            return empty
+        key = codes[:-1][valid] * len(dic) + codes[1:][valid]
+        w = np.repeat(cnt, lens)[:-1][valid]
+        acc = np.zeros(len(dic) * len(dic), dtype=np.int64)
+        np.add.at(acc, key, w)
+        nz = np.flatnonzero(acc)
+        return pa.table({
+            "lhs": pa.array(dic[nz // len(dic)], type=pa.string()),
+            "rhs": pa.array(dic[nz % len(dic)], type=pa.string()),
+            "cnt": pa.array(acc[nz], type=pa.int64())})
+
+    def apply_merge(block, lhs: str, rhs: str) -> pa.Table:
+        if block.num_rows == 0:
+            return block
+        vals, offs, lens, cnt = _flat(block)
+        valid = np.zeros(max(len(vals) - 1, 0), dtype=bool)
+        if len(valid):
+            valid[:] = (vals[:-1] == lhs) & (vals[1:] == rhs)
+            b_pos = offs[1:] - 1
+            b_pos = b_pos[(b_pos >= 0) & (b_pos < len(valid))]
+            valid[b_pos] = False
+        cand = np.flatnonzero(valid)
+        if not len(cand):
+            return block
+        # greedy leftmost non-overlapping: within a run of consecutive
+        # candidates (only possible when lhs == rhs), keep alternates
+        run_start = np.r_[True, np.diff(cand) != 1]
+        first = np.flatnonzero(run_start)
+        pos_in_run = np.arange(len(cand)) - first[np.cumsum(run_start) - 1]
+        keep = cand[pos_in_run % 2 == 0]
+        vals2 = vals.copy()
+        vals2[keep] = lhs + rhs
+        new_vals = np.delete(vals2, keep + 1)
+        word_of = np.searchsorted(offs, keep, side="right") - 1
+        new_lens = lens - np.bincount(word_of, minlength=len(lens))
+        new_offs = np.r_[0, np.cumsum(new_lens)].astype(np.int32)
+        la = pa.ListArray.from_arrays(
+            pa.array(new_offs, type=pa.int32()),
+            pa.array(new_vals.tolist(), type=pa.string()))
+        return pa.table({"symbols": la,
+                         "cnt": pa.array(cnt, type=pa.int64())})
+
+    count_task = ray.remote(num_cpus=0.5)(pair_counts)
+    merge_task = ray.remote(num_cpus=0.5)(apply_merge)
+
+    out_rank, out_lhs, out_rhs, out_cnt = [], [], [], []
+    for r in range(1, rounds + 1):
+        partials = [t for t in ray.get([count_task.remote(b) for b in refs])
+                    if t.num_rows]
+        if not partials:
+            break  # vocabulary fully merged — SQL's later rounds go empty too
+        folded = pa.concat_tables(partials)
+        lhs = folded["lhs"].to_numpy(zero_copy_only=False)
+        rhs = folded["rhs"].to_numpy(zero_copy_only=False)
+        cnt = folded["cnt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((rhs, lhs))
+        l_s, r_s, c_s = lhs[order], rhs[order], cnt[order]
+        new = np.r_[True, (l_s[1:] != l_s[:-1]) | (r_s[1:] != r_s[:-1])]
+        seg = np.flatnonzero(new)
+        sums = np.add.reduceat(c_s, seg)
+        best = np.lexsort((r_s[seg], l_s[seg], -sums))[0]
+        L, R, C = l_s[seg][best], r_s[seg][best], int(sums[best])
+        out_rank.append(r)
+        out_lhs.append(L)
+        out_rhs.append(R)
+        out_cnt.append(C)
+        refs = [merge_task.remote(b, L, R) for b in refs]
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "merge_rank": pa.array(out_rank, type=pa.int64()),
+        "lhs": pa.array(out_lhs, type=pa.string()),
+        "rhs": pa.array(out_rhs, type=pa.string()),
+        "cnt": pa.array(out_cnt, type=pa.int64())}))
+
+
+def _sql_bpe_merges(rounds: int = _BPE_ROUNDS) -> str:
+    """K-round unrolled replay of the BPE learner.  State is the
+    '(sym)(sym)' wrapped word string: pair extraction is
+    regexp_extract_all over the wrappers, and the merge rewrite is
+    replace('(L)(R)' -> '(LR)'), which is the same greedy leftmost
+    non-overlapping application the engine performs on symbol lists
+    (the wrapper makes boundary sharing between adjacent matches
+    impossible, so runs resolve identically)."""
+    parts = [f"""
+WITH words AS (
+  SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY tok
+),
+w0 AS (SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS s, cnt FROM words)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+p{r} AS (
+  SELECT unnest(syms[1:len(syms)-1]) AS lhs,
+         unnest(syms[2:len(syms)]) AS rhs, cnt
+  FROM (SELECT regexp_extract_all(s, '\\(([^)]*)\\)', 1) AS syms, cnt
+        FROM w{r - 1})
+),
+m{r} AS (
+  SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM p{r} GROUP BY lhs, rhs
+  ORDER BY cnt DESC, lhs, rhs LIMIT 1
+),
+w{r} AS (
+  SELECT replace(w.s, '(' || m.lhs || ')(' || m.rhs || ')',
+                 '(' || m.lhs || m.rhs || ')') AS s, w.cnt
+  FROM w{r - 1} w, m{r} m
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, lhs, rhs, cnt FROM m{r}"
+        for r in range(1, rounds + 1))
+    return "".join(parts) + "\n" + union
+
+
+# ---------------------------------------------------------------------
 # Exact-substring dedup (engine addition; the Lee-et-al-2022
 # "Deduplicating Training Data Makes Language Models Better" move:
 # find every length-L character window that occurs more than once
@@ -2983,6 +3209,7 @@ WEBTEXT_QUERIES = {
     "dsir_select": q_dsir_select,
     "selfdup_lines": q_selfdup_lines,
     "host_boilerplate": q_host_boilerplate,
+    "bpe_merges": q_bpe_merges,
     "host_split": q_host_split,
     "exact_substring_spans": q_exact_substring_spans,
     "exact_substring_dedup": q_exact_substring_dedup,
@@ -3014,6 +3241,7 @@ WEBTEXT_ORACLES = {
     "dsir_select": _sql_dsir_select(),
     "selfdup_lines": SQL_SELFDUP_LINES,
     "host_boilerplate": SQL_HOST_BOILERPLATE,
+    "bpe_merges": _sql_bpe_merges(),
     "host_split": _sql_host_split(),
     "exact_substring_spans": _sql_exact_substring_spans(),
     "exact_substring_dedup": _sql_exact_substring_dedup(),

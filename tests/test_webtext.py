@@ -619,3 +619,104 @@ def test_host_boilerplate_pure_python_replay(ray_session):
     planted = want_df[want_df.doc_id % 5 != 4]
     assert (planted.n_kept < planted.n_lines).all()
     assert not got.clean.str.contains("copyright site").any()
+
+
+def _bpe_reference(word_counts, rounds):
+    """Independent dict-based BPE learner (Sennrich semantics): words
+    as symbol TUPLES, Counter pair stats rebuilt from scratch each
+    round, greedy leftmost non-overlapping rewrite via an index walk
+    — structurally nothing like the engine's vectorized block path."""
+    from collections import Counter
+
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(rounds):
+        stats = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += c
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        (lft, rgt), cnt = best
+        merges.append((lft, rgt, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == lft
+                        and syms[i + 1] == rgt):
+                    out.append(lft + rgt)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_differential_vs_reference(ray_session):
+    """The distributed learner must match the independent dict-based
+    reference on the real sf0.001 corpus: same merges, same order,
+    same weighted counts."""
+    import pyarrow.parquet as pq
+
+    from refined_ray.functions.tokenize import tokenize
+    from refined_ray.pipelines.queries_webtext import (
+        _BPE_ROUNDS, q_bpe_merges)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_bpe_merges(sf).to_pandas().sort_values("merge_rank") \
+        .reset_index(drop=True)
+
+    t = pq.read_table(sf + "/documents.parquet", columns=["text"])
+    wc = {}
+    for txt in t["text"].to_pylist():
+        for w in tokenize(txt):
+            wc[w] = wc.get(w, 0) + 1
+    want = _bpe_reference(wc, _BPE_ROUNDS)
+
+    assert len(got) == len(want) == _BPE_ROUNDS
+    for r, (lft, rgt, cnt) in enumerate(want, 1):
+        row = got.iloc[r - 1]
+        assert (row.merge_rank, row.lhs, row.rhs, row.cnt) == \
+            (r, lft, rgt, cnt)
+
+
+def test_bpe_merges_run_overlap_and_tiebreak(ray_session, tmp_path):
+    """Hand-planted corpus exercising the two subtle rules:
+    (1) greedy leftmost non-overlapping application — 'aaaa' under
+    merge (a,a) becomes [aa, aa], 'aaa' becomes [aa, a], so round 2
+    can merge (aa, aa); (2) deterministic tie-break: equal-count
+    pairs resolve to the lexicographically smallest (lhs, rhs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from refined_ray.functions.tokenize import tokenize
+    from refined_ray.pipelines.queries_webtext import q_bpe_merges
+
+    # 'aaaa' x3 -> (a,a) count 3*3=9 dominates; after the rewrite the
+    # only remaining adjacency in 'aaaa' is (aa,aa).  'zy'/'zx' tie at
+    # count 2 each in round 3 and must resolve to (z,x) < (z,y).
+    texts = ["aaaa aaaa aaaa", "zx zy", "zx zy"]
+    t = pa.table({"doc_id": pa.array(range(3), type=pa.int64()),
+                  "text": pa.array(texts)})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    got = q_bpe_merges(str(d), rounds=4).to_pandas() \
+        .sort_values("merge_rank").reset_index(drop=True)
+    wc = {}
+    for txt in texts:
+        for w in tokenize(txt):
+            wc[w] = wc.get(w, 0) + 1
+    want = _bpe_reference(wc, 4)
+    assert list(got.itertuples(index=False, name=None)) == \
+        [(r, lft, rgt, c) for r, (lft, rgt, c) in enumerate(want, 1)]
+    # the planted expectations themselves
+    assert (got.lhs[0], got.rhs[0], got.cnt[0]) == ("a", "a", 9)
+    assert (got.lhs[1], got.rhs[1]) == ("aa", "aa")
+    assert (got.lhs[2], got.rhs[2]) == ("z", "x")
