@@ -28,7 +28,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.tokenize import tokenize_batch
+from ..functions.tokenize import STOPWORDS, tokenize_batch
 from .queries import _canon_round, _read, _TOKS
 
 
@@ -2535,17 +2535,121 @@ FROM docs d LEFT JOIN agg a USING (doc_id)
 _BPE_ROUNDS = 8
 
 
-def q_bpe_merges(sf_dir: str, rounds: int = _BPE_ROUNDS):
-    """Learn the first K BPE merges over the corpus vocabulary and
-    return the merge table (merge_rank, lhs, rhs, cnt).
+def _bpe_flat(block):
+    """(vals, offs, lens, cnt) with offs rebased to 0."""
+    la = block["symbols"].combine_chunks()
+    offs = np.asarray(la.offsets, dtype=np.int64)
+    vals = la.values.to_numpy(zero_copy_only=False)[offs[0]:offs[-1]]
+    offs = offs - offs[0]
+    cnt = block["cnt"].to_numpy(zero_copy_only=False)
+    return vals, offs, np.diff(offs), cnt
 
-    Semantics (the Sennrich contract): symbols start as the characters
-    of each ``[a-z0-9]+`` token (no end-of-word marker — documented
-    simplification); each round picks the adjacent pair with the
-    highest word-frequency-weighted count (ties: lexicographically
-    smallest (lhs, rhs)) and rewrites every word by merging its
-    occurrences greedily left-to-right, non-overlapping ("aaa" under
-    merge (a,a) becomes ["aa","a"], never ["a","aa"]).
+
+def _bpe_symbols_table(word: np.ndarray, cnt: np.ndarray) -> pa.Table:
+    """(unique words, counts) -> {'symbols': list<string>, 'cnt'} block
+    where each word's symbols start as its characters (the Sennrich
+    initial state; no end-of-word marker — documented simplification)."""
+    lens = np.char.str_len(word.astype(str)).astype(np.int64)
+    joined = "".join(word.tolist())
+    if len(joined) >= 2**31:
+        raise ValueError("vocabulary block exceeds int32 list offsets; "
+                         "raise the partition count")
+    offs = np.r_[0, np.cumsum(lens)].astype(np.int32)
+    la = pa.ListArray.from_arrays(
+        pa.array(offs, type=pa.int32()),
+        pa.array(list(joined), type=pa.string()))
+    return pa.table({"symbols": la,
+                     "cnt": pa.array(cnt.astype(np.int64), type=pa.int64())})
+
+
+def _bpe_to_symbols(b: pa.Table) -> pa.Table:
+    """Post-exchange fold: merge duplicate words (one keyed repartition
+    upstream guarantees a word lands in exactly one block) and expand
+    each to its initial symbol list."""
+    empty = pa.table({"symbols": pa.array([], type=pa.list_(pa.string())),
+                      "cnt": pa.array([], type=pa.int64())})
+    if b.num_rows == 0:
+        return empty
+    word = b["word"].to_numpy(zero_copy_only=False)
+    cnt = b["cnt"].to_numpy(zero_copy_only=False)
+    order, seg, _ = _lexsort_segments(word)
+    word = word[order][np.r_[seg]]
+    total = np.add.reduceat(cnt[order], seg).astype(np.int64)
+    return _bpe_symbols_table(word, total)
+
+
+def _bpe_pair_counts(block) -> pa.Table:
+    """Per-block adjacent-pair counts weighted by word frequency; the
+    return size is bounded by (|alphabet| + merges-so-far)^2, never by
+    corpus size."""
+    empty = pa.table({"lhs": pa.array([], type=pa.string()),
+                      "rhs": pa.array([], type=pa.string()),
+                      "cnt": pa.array([], type=pa.int64())})
+    if block.num_rows == 0:
+        return empty
+    vals, offs, lens, cnt = _bpe_flat(block)
+    if len(vals) < 2:
+        return empty
+    # dictionary-encode once: pair keys become one int64 per pair
+    enc = pa.array(vals, type=pa.string()).dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dic = enc.dictionary.to_numpy(zero_copy_only=False)
+    valid = np.ones(len(vals) - 1, dtype=bool)
+    b_pos = offs[1:] - 1          # last flat slot of each word
+    b_pos = b_pos[(b_pos >= 0) & (b_pos < len(valid))]
+    valid[b_pos] = False          # pairs may not cross words
+    if not valid.any():
+        return empty
+    key = codes[:-1][valid] * len(dic) + codes[1:][valid]
+    w = np.repeat(cnt, lens)[:-1][valid]
+    acc = np.zeros(len(dic) * len(dic), dtype=np.int64)
+    np.add.at(acc, key, w)
+    nz = np.flatnonzero(acc)
+    return pa.table({
+        "lhs": pa.array(dic[nz // len(dic)], type=pa.string()),
+        "rhs": pa.array(dic[nz % len(dic)], type=pa.string()),
+        "cnt": pa.array(acc[nz], type=pa.int64())})
+
+
+def _bpe_apply_merge(block, lhs: str, rhs: str) -> pa.Table:
+    """Rewrite every word's symbol list under merge (lhs, rhs) —
+    greedy leftmost non-overlapping ("aaa" under (a,a) becomes
+    ["aa","a"], never ["a","aa"])."""
+    if block.num_rows == 0:
+        return block
+    vals, offs, lens, cnt = _bpe_flat(block)
+    valid = np.zeros(max(len(vals) - 1, 0), dtype=bool)
+    if len(valid):
+        valid[:] = (vals[:-1] == lhs) & (vals[1:] == rhs)
+        b_pos = offs[1:] - 1
+        b_pos = b_pos[(b_pos >= 0) & (b_pos < len(valid))]
+        valid[b_pos] = False
+    cand = np.flatnonzero(valid)
+    if not len(cand):
+        return block
+    # greedy leftmost non-overlapping: within a run of consecutive
+    # candidates (only possible when lhs == rhs), keep alternates
+    run_start = np.r_[True, np.diff(cand) != 1]
+    first = np.flatnonzero(run_start)
+    pos_in_run = np.arange(len(cand)) - first[np.cumsum(run_start) - 1]
+    keep = cand[pos_in_run % 2 == 0]
+    vals2 = vals.copy()
+    vals2[keep] = lhs + rhs
+    new_vals = np.delete(vals2, keep + 1)
+    word_of = np.searchsorted(offs, keep, side="right") - 1
+    new_lens = lens - np.bincount(word_of, minlength=len(lens))
+    new_offs = np.r_[0, np.cumsum(new_lens)].astype(np.int32)
+    la = pa.ListArray.from_arrays(
+        pa.array(new_offs, type=pa.int32()),
+        pa.array(new_vals.tolist(), type=pa.string()))
+    return pa.table({"symbols": la,
+                     "cnt": pa.array(cnt, type=pa.int64())})
+
+
+def _bpe_learn(sf_dir: str, rounds: int = _BPE_ROUNDS) -> pa.Table:
+    """Run the distributed Sennrich learner and return the merge table
+    (merge_rank, lhs, rhs, cnt) as a driver-side Arrow table (K rows —
+    driver-scale by construction).
 
     Scale shape: the word-frequency table is built with per-batch
     partial counts + ONE keyed exchange (corpus tokens never shuffle
@@ -2556,11 +2660,7 @@ def q_bpe_merges(sf_dir: str, rounds: int = _BPE_ROUNDS):
     back only per-block PAIR COUNT partials, whose size is bounded by
     (|alphabet| + K)^2 rows (36 initial symbols + one new symbol per
     round — independent of corpus size), so the driver fold is O(1)
-    in the data.  The merge broadcast is two short strings.  The SQL
-    oracle replays all K rounds exactly: symbols ride in a
-    '(sym)(sym)' wrapped string whose ``replace('(L)(R)','(LR)')`` is
-    the same greedy leftmost non-overlapping rewrite (verified
-    equivalent on runs), so the whole learner is bit-replayable."""
+    in the data.  The merge broadcast is two short strings."""
     import ray
 
     from .. import default_num_partitions
@@ -2578,105 +2678,14 @@ def q_bpe_merges(sf_dir: str, rounds: int = _BPE_ROUNDS):
     parted = ds.map_batches(wc_partial, batch_format="pyarrow").repartition(
         num_blocks=default_num_partitions(), keys=["word"], sort=False)
 
-    def to_symbols(b: pa.Table) -> pa.Table:
-        empty = pa.table({"symbols": pa.array([], type=pa.list_(pa.string())),
-                          "cnt": pa.array([], type=pa.int64())})
-        if b.num_rows == 0:
-            return empty
-        word = b["word"].to_numpy(zero_copy_only=False)
-        cnt = b["cnt"].to_numpy(zero_copy_only=False)
-        order, seg, _ = _lexsort_segments(word)
-        word = word[order][np.r_[seg]]
-        total = np.add.reduceat(cnt[order], seg).astype(np.int64)
-        lens = np.char.str_len(word.astype(str)).astype(np.int64)
-        joined = "".join(word.tolist())
-        if len(joined) >= 2**31:
-            raise ValueError("vocabulary block exceeds int32 list offsets; "
-                             "raise the partition count")
-        offs = np.r_[0, np.cumsum(lens)].astype(np.int32)
-        la = pa.ListArray.from_arrays(
-            pa.array(offs, type=pa.int32()),
-            pa.array(list(joined), type=pa.string()))
-        return pa.table({"symbols": la,
-                         "cnt": pa.array(total, type=pa.int64())})
-
     words = parted.map_batches(
-        to_symbols, batch_format="pyarrow", batch_size=None).materialize()
+        _bpe_to_symbols, batch_format="pyarrow", batch_size=None).materialize()
     refs = [block_ref
             for bundle in words.iter_internal_ref_bundles()
             for block_ref, _meta in bundle.blocks]
 
-    def _flat(block):
-        """(vals, offs, lens, cnt) with offs rebased to 0."""
-        la = block["symbols"].combine_chunks()
-        offs = np.asarray(la.offsets, dtype=np.int64)
-        vals = la.values.to_numpy(zero_copy_only=False)[offs[0]:offs[-1]]
-        offs = offs - offs[0]
-        cnt = block["cnt"].to_numpy(zero_copy_only=False)
-        return vals, offs, np.diff(offs), cnt
-
-    def pair_counts(block) -> pa.Table:
-        empty = pa.table({"lhs": pa.array([], type=pa.string()),
-                          "rhs": pa.array([], type=pa.string()),
-                          "cnt": pa.array([], type=pa.int64())})
-        if block.num_rows == 0:
-            return empty
-        vals, offs, lens, cnt = _flat(block)
-        if len(vals) < 2:
-            return empty
-        # dictionary-encode once: pair keys become one int64 per pair
-        enc = pa.array(vals, type=pa.string()).dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        dic = enc.dictionary.to_numpy(zero_copy_only=False)
-        valid = np.ones(len(vals) - 1, dtype=bool)
-        b_pos = offs[1:] - 1          # last flat slot of each word
-        b_pos = b_pos[(b_pos >= 0) & (b_pos < len(valid))]
-        valid[b_pos] = False          # pairs may not cross words
-        if not valid.any():
-            return empty
-        key = codes[:-1][valid] * len(dic) + codes[1:][valid]
-        w = np.repeat(cnt, lens)[:-1][valid]
-        acc = np.zeros(len(dic) * len(dic), dtype=np.int64)
-        np.add.at(acc, key, w)
-        nz = np.flatnonzero(acc)
-        return pa.table({
-            "lhs": pa.array(dic[nz // len(dic)], type=pa.string()),
-            "rhs": pa.array(dic[nz % len(dic)], type=pa.string()),
-            "cnt": pa.array(acc[nz], type=pa.int64())})
-
-    def apply_merge(block, lhs: str, rhs: str) -> pa.Table:
-        if block.num_rows == 0:
-            return block
-        vals, offs, lens, cnt = _flat(block)
-        valid = np.zeros(max(len(vals) - 1, 0), dtype=bool)
-        if len(valid):
-            valid[:] = (vals[:-1] == lhs) & (vals[1:] == rhs)
-            b_pos = offs[1:] - 1
-            b_pos = b_pos[(b_pos >= 0) & (b_pos < len(valid))]
-            valid[b_pos] = False
-        cand = np.flatnonzero(valid)
-        if not len(cand):
-            return block
-        # greedy leftmost non-overlapping: within a run of consecutive
-        # candidates (only possible when lhs == rhs), keep alternates
-        run_start = np.r_[True, np.diff(cand) != 1]
-        first = np.flatnonzero(run_start)
-        pos_in_run = np.arange(len(cand)) - first[np.cumsum(run_start) - 1]
-        keep = cand[pos_in_run % 2 == 0]
-        vals2 = vals.copy()
-        vals2[keep] = lhs + rhs
-        new_vals = np.delete(vals2, keep + 1)
-        word_of = np.searchsorted(offs, keep, side="right") - 1
-        new_lens = lens - np.bincount(word_of, minlength=len(lens))
-        new_offs = np.r_[0, np.cumsum(new_lens)].astype(np.int32)
-        la = pa.ListArray.from_arrays(
-            pa.array(new_offs, type=pa.int32()),
-            pa.array(new_vals.tolist(), type=pa.string()))
-        return pa.table({"symbols": la,
-                         "cnt": pa.array(cnt, type=pa.int64())})
-
-    count_task = ray.remote(num_cpus=0.5)(pair_counts)
-    merge_task = ray.remote(num_cpus=0.5)(apply_merge)
+    count_task = ray.remote(num_cpus=0.5)(_bpe_pair_counts)
+    merge_task = ray.remote(num_cpus=0.5)(_bpe_apply_merge)
 
     out_rank, out_lhs, out_rhs, out_cnt = [], [], [], []
     for r in range(1, rounds + 1):
@@ -2701,30 +2710,104 @@ def q_bpe_merges(sf_dir: str, rounds: int = _BPE_ROUNDS):
         out_cnt.append(C)
         refs = [merge_task.remote(b, L, R) for b in refs]
 
-    import ray.data as rd
-
-    return rd.from_arrow(pa.table({
+    return pa.table({
         "merge_rank": pa.array(out_rank, type=pa.int64()),
         "lhs": pa.array(out_lhs, type=pa.string()),
         "rhs": pa.array(out_rhs, type=pa.string()),
-        "cnt": pa.array(out_cnt, type=pa.int64())}))
+        "cnt": pa.array(out_cnt, type=pa.int64())})
 
 
-def _sql_bpe_merges(rounds: int = _BPE_ROUNDS) -> str:
-    """K-round unrolled replay of the BPE learner.  State is the
-    '(sym)(sym)' wrapped word string: pair extraction is
-    regexp_extract_all over the wrappers, and the merge rewrite is
-    replace('(L)(R)' -> '(LR)'), which is the same greedy leftmost
-    non-overlapping application the engine performs on symbol lists
-    (the wrapper makes boundary sharing between adjacent matches
-    impossible, so runs resolve identically)."""
+def q_bpe_merges(sf_dir: str, rounds: int = _BPE_ROUNDS):
+    """Learn the first K BPE merges over the corpus vocabulary and
+    return the merge table (merge_rank, lhs, rhs, cnt).
+
+    Semantics (the Sennrich contract): symbols start as the characters
+    of each ``[a-z0-9]+`` token (no end-of-word marker — documented
+    simplification); each round picks the adjacent pair with the
+    highest word-frequency-weighted count (ties: lexicographically
+    smallest (lhs, rhs)) and rewrites every word by merging its
+    occurrences greedily left-to-right, non-overlapping ("aaa" under
+    merge (a,a) becomes ["aa","a"], never ["a","aa"]).
+
+    Scale shape: see ``_bpe_learn``.  The SQL oracle replays all K
+    rounds exactly: symbols ride in a '(sym)(sym)' wrapped string whose
+    ``replace('(L)(R)','(LR)')`` is the same greedy leftmost
+    non-overlapping rewrite (verified equivalent on runs), so the whole
+    learner is bit-replayable."""
+    import ray.data as rd
+
+    return rd.from_arrow(_bpe_learn(sf_dir, rounds))
+
+
+def q_bpe_encode(sf_dir: str, rounds: int = _BPE_ROUNDS):
+    """Encode the corpus with the learned BPE: per document, the token
+    count and the subword count after applying the K learned merges in
+    rank order (the tokenizer-APPLICATION step of an LLM data pipeline
+    — the real "how many tokens is this corpus under the trained
+    tokenizer" measurement, vs the regex proxy in doc_token_stats).
+
+    Scale shape: the merge table is K rows learned once on the driver
+    (``_bpe_learn``) and shipped in the map closure — a tiny broadcast,
+    never a shuffle.  The encode pass is embarrassingly parallel: per
+    batch, tokens are np.unique-memoized so each distinct word is
+    encoded ONCE (K vectorized merge sweeps over the batch vocabulary,
+    not over token instances), then subword counts scatter back through
+    the inverse index and reduce per doc.  Documents never leave their
+    block.  The SQL oracle re-learns the same merges (the bpe_merges
+    chain, word column carried through) and replays encoding as K
+    sequential replace() rewrites per vocabulary word — bit-exact."""
+    merges = _bpe_learn(sf_dir, rounds)
+    pairs = list(zip(merges["lhs"].to_pylist(), merges["rhs"].to_pylist()))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def encode(b: pa.Table) -> pa.Table:
+        from ..functions.tokenize import tokenize_arrow_offsets
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks, starts = tokenize_arrow_offsets(b["text"])
+        n_tok = np.diff(starts).astype(np.int64)
+        n_sub = np.zeros(len(ids), dtype=np.int64)
+        if len(toks):
+            tok_np = toks.to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(tok_np, return_inverse=True)
+            block = _bpe_symbols_table(uniq, np.ones(len(uniq), dtype=np.int64))
+            for ml, mr in pairs:
+                block = _bpe_apply_merge(block, ml, mr)
+            la = block["symbols"].combine_chunks()
+            offs = np.asarray(la.offsets, dtype=np.int64)
+            per_tok = np.diff(offs - offs[0])[inv]
+            doc_of = np.repeat(np.arange(len(ids)), n_tok)
+            n_sub = np.bincount(
+                doc_of, weights=per_tok, minlength=len(ids)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_tokens": pa.array(n_tok, type=pa.int64()),
+            "n_subwords": pa.array(n_sub, type=pa.int64())})
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def _sql_bpe_chain(rounds: int, carry_word: bool = False) -> str:
+    """The shared K-round learner replay.  State is the '(sym)(sym)'
+    wrapped word string: pair extraction is regexp_extract_all over the
+    wrappers, and the merge rewrite is replace('(L)(R)' -> '(LR)'),
+    which is the same greedy leftmost non-overlapping application the
+    engine performs on symbol lists (the wrapper makes boundary sharing
+    between adjacent matches impossible, so runs resolve identically).
+    ``carry_word`` threads the original word through every w{r} so the
+    encode oracle can join documents back to final symbol counts.  The
+    merge step is a LEFT JOIN ON TRUE (not a cross join) so an
+    exhausted vocabulary (empty m{r}) carries w{r-1} through unchanged,
+    mirroring the engine's early break."""
+    w = "word, " if carry_word else ""
     parts = [f"""
 WITH words AS (
   SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
   FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
   GROUP BY tok
 ),
-w0 AS (SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS s, cnt FROM words)"""]
+w0 AS (SELECT {w}regexp_replace(word, '(.)', '(\\1)', 'g') AS s, cnt FROM words)"""]
     for r in range(1, rounds + 1):
         parts.append(f""",
 p{r} AS (
@@ -2739,14 +2822,225 @@ m{r} AS (
   ORDER BY cnt DESC, lhs, rhs LIMIT 1
 ),
 w{r} AS (
-  SELECT replace(w.s, '(' || m.lhs || ')(' || m.rhs || ')',
-                 '(' || m.lhs || m.rhs || ')') AS s, w.cnt
-  FROM w{r - 1} w, m{r} m
+  SELECT {"w.word, " if carry_word else ""}CASE WHEN m.lhs IS NULL THEN w.s
+         ELSE replace(w.s, '(' || m.lhs || ')(' || m.rhs || ')',
+                      '(' || m.lhs || m.rhs || ')') END AS s, w.cnt
+  FROM w{r - 1} w LEFT JOIN m{r} m ON TRUE
 )""")
+    return "".join(parts)
+
+
+def _sql_bpe_merges(rounds: int = _BPE_ROUNDS) -> str:
+    """K-round unrolled replay of the BPE learner (see _sql_bpe_chain)."""
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS BIGINT) AS merge_rank, lhs, rhs, cnt FROM m{r}"
         for r in range(1, rounds + 1))
-    return "".join(parts) + "\n" + union
+    return _sql_bpe_chain(rounds) + "\n" + union
+
+
+def _sql_bpe_encode(rounds: int = _BPE_ROUNDS) -> str:
+    """Re-learn the merges, then count each word's final symbols (the
+    '(' count of its wrapped string) and aggregate per document."""
+    return _sql_bpe_chain(rounds, carry_word=True) + f""",
+vocab AS (
+  SELECT word,
+         CAST(length(s) - length(replace(s, '(', '')) AS BIGINT) AS n_sub
+  FROM w{rounds}
+),
+dt AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+agg AS (
+  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(v.n_sub) AS BIGINT) AS n_subwords
+  FROM dt d JOIN vocab v ON d.tok = v.word
+  GROUP BY d.doc_id
+)
+SELECT doc_id,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.n_subwords, 0) AS n_subwords
+FROM documents LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------
+# Gopher quality rules (engine addition; the Rae-et-al-2021 "Scaling
+# Language Models: Methods, Analysis & Insights from Training Gopher"
+# per-document repetition/quality rule set, the canonical rule-based
+# filter an LLM data pipeline runs before training).  Unlike
+# doc_quality's composite score, this emits each rule's signal plus the
+# conjunctive keep flag, so a user can tune thresholds per rule.
+# ---------------------------------------------------------------------
+
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 50, 100_000
+_GOPHER_MEAN_LO, _GOPHER_MEAN_HI = 3.0, 10.0
+_GOPHER_SYMBOL_MAX = 0.1      # '#' chars + '...' runs, per word
+_GOPHER_BULLET_MAX = 0.9      # fraction of lines starting with a bullet
+_GOPHER_ELLIPSIS_MAX = 0.3    # fraction of lines ending with '...'
+_GOPHER_ALPHA_MIN = 0.8       # fraction of words containing a letter
+# required-word set: the engine's frozen STOPWORDS contract (shared
+# with quality scoring / langid) rather than Gopher's original English
+# set {the,be,to,of,and,that,have,with} — same rule shape, but keyed to
+# the vocabulary the engine's corpora actually exercise; swap the
+# constant to retarget.
+_GOPHER_REQUIRED = STOPWORDS
+_GOPHER_MIN_REQUIRED = 2
+
+
+def q_gopher_rules(sf_dir: str):
+    """Per-document Gopher rule signals + keep flag over `documents`:
+    (doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_frac, n_required, keep).
+
+    Contract (each rule mirrored 1:1 in the SQL oracle): words are the
+    nonempty '\\s+'-split pieces of the raw text; lines are the
+    chr(10)-split pieces; a bullet line matches '^\\s*[-*•]'; an
+    ellipsis line matches '\\.\\.\\.\\s*$'; symbols are '#' characters
+    plus non-overlapping '...' runs; a required word is present when it
+    occurs as a full [a-z0-9]+ token of lower(text); keep is the
+    conjunction of the published Gopher bounds (module constants).
+    Fractions are IEEE doubles computed as the same int/int divisions
+    on both sides, so the keep comparisons are bit-identical.
+
+    Scale shape: stateless, zero-shuffle — one pruned-column read and
+    one Arrow-kernel map_batches (RE2 splits/matches + np.bincount
+    segment sums); documents never leave their block, so the stage
+    pipelines with the read at any corpus size."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    req_pats = [f"(^|[^a-z0-9]){w}([^a-z0-9]|$)" for w in _GOPHER_REQUIRED]
+
+    def rules(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        txt = b["text"].combine_chunks().cast(pa.string())
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        # -- words: nonempty whitespace-split pieces ------------------
+        wl = pc.split_pattern_regex(txt, pattern="\\s+")
+        offs = np.asarray(wl.offsets, dtype=np.int64)
+        vals = wl.values.slice(offs[0], offs[-1] - offs[0])
+        offs = offs - offs[0]
+        wlen = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
+        walpha = pc.match_substring_regex(vals, "[A-Za-z]").to_numpy(
+            zero_copy_only=False)
+        nonempty = wlen > 0
+        doc_of = np.repeat(np.arange(n), np.diff(offs))
+        nw = np.bincount(doc_of[nonempty], minlength=n).astype(np.int64)
+        chars = np.bincount(doc_of[nonempty], weights=wlen[nonempty],
+                            minlength=n)
+        nalpha = np.bincount(doc_of[nonempty],
+                             weights=walpha[nonempty].astype(np.float64),
+                             minlength=n)
+        nw_f = np.where(nw == 0, 1, nw).astype(np.float64)  # guarded below
+        mean_len = np.where(nw == 0, 0.0, chars / nw_f)
+        alpha_frac = np.where(nw == 0, 0.0, nalpha / nw_f)
+
+        # -- symbols: '#' chars + non-overlapping '...' runs ----------
+        sym = (pc.count_substring(txt, "#").to_numpy(zero_copy_only=False)
+               + pc.count_substring(txt, "...").to_numpy(
+                   zero_copy_only=False)).astype(np.float64)
+        symbol_ratio = np.where(nw == 0, 0.0, sym / nw_f)
+
+        # -- lines: bullet starts / ellipsis ends ---------------------
+        ll = pc.split_pattern(txt, "\n")
+        loffs = np.asarray(ll.offsets, dtype=np.int64)
+        lvals = ll.values.slice(loffs[0], loffs[-1] - loffs[0])
+        loffs = loffs - loffs[0]
+        nl = np.diff(loffs).astype(np.float64)  # >= 1 always
+        bullet = pc.match_substring_regex(lvals, "^\\s*[-*•]").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        ellip = pc.match_substring_regex(lvals, "\\.\\.\\.\\s*$").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        ldoc = np.repeat(np.arange(n), np.diff(loffs))
+        bullet_frac = np.bincount(ldoc, weights=bullet, minlength=n) / nl
+        ellipsis_frac = np.bincount(ldoc, weights=ellip, minlength=n) / nl
+
+        # -- required stop words as full tokens of lower(text) --------
+        lower = pc.utf8_lower(txt)
+        n_req = np.zeros(n, dtype=np.int64)
+        for pat in req_pats:
+            n_req += pc.match_substring_regex(lower, pat).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+
+        keep = ((nw >= _GOPHER_MIN_WORDS) & (nw <= _GOPHER_MAX_WORDS)
+                & (mean_len >= _GOPHER_MEAN_LO) & (mean_len <= _GOPHER_MEAN_HI)
+                & (symbol_ratio <= _GOPHER_SYMBOL_MAX)
+                & (bullet_frac <= _GOPHER_BULLET_MAX)
+                & (ellipsis_frac <= _GOPHER_ELLIPSIS_MAX)
+                & (alpha_frac >= _GOPHER_ALPHA_MIN)
+                & (n_req >= _GOPHER_MIN_REQUIRED))
+
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_words": pa.array(nw, type=pa.int64()),
+            "mean_word_len": _canon_round(mean_len.tolist(), 6),
+            "symbol_ratio": _canon_round(symbol_ratio.tolist(), 6),
+            "bullet_frac": _canon_round(bullet_frac.tolist(), 6),
+            "ellipsis_frac": _canon_round(ellipsis_frac.tolist(), 6),
+            "alpha_frac": _canon_round(alpha_frac.tolist(), 6),
+            "n_required": pa.array(n_req, type=pa.int64()),
+            "keep": pa.array(keep.astype(np.int64), type=pa.int64()),
+        })
+
+    return ds.map_batches(rules, batch_format="pyarrow")
+
+
+def _sql_gopher_rules() -> str:
+    from .queries import _sql_round
+
+    req = " + ".join(
+        f"(CASE WHEN regexp_matches(lt, '(^|[^a-z0-9]){w}([^a-z0-9]|$)')"
+        " THEN 1 ELSE 0 END)"
+        for w in _GOPHER_REQUIRED)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+           AS words,
+         string_split(text, chr(10)) AS lines,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) // 3 AS sym,
+         lower(text) AS lt
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CASE WHEN len(words) = 0 THEN 0.0
+              ELSE list_sum(list_transform(words, x -> length(x)))
+                   / CAST(len(words) AS DOUBLE) END AS mean_word_len,
+         CASE WHEN len(words) = 0 THEN 0.0
+              ELSE sym / CAST(len(words) AS DOUBLE) END AS symbol_ratio,
+         len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))
+           / CAST(len(lines) AS DOUBLE) AS bullet_frac,
+         len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$')))
+           / CAST(len(lines) AS DOUBLE) AS ellipsis_frac,
+         CASE WHEN len(words) = 0 THEN 0.0
+              ELSE len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                   / CAST(len(words) AS DOUBLE) END AS alpha_frac,
+         CAST({req} AS BIGINT) AS n_required
+  FROM base
+),
+k AS (
+  SELECT s.*,
+         CAST(CASE WHEN n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+               AND mean_word_len >= {_GOPHER_MEAN_LO}
+               AND mean_word_len <= {_GOPHER_MEAN_HI}
+               AND symbol_ratio <= {_GOPHER_SYMBOL_MAX}
+               AND bullet_frac <= {_GOPHER_BULLET_MAX}
+               AND ellipsis_frac <= {_GOPHER_ELLIPSIS_MAX}
+               AND alpha_frac >= {_GOPHER_ALPHA_MIN}
+               AND n_required >= {_GOPHER_MIN_REQUIRED}
+              THEN 1 ELSE 0 END AS BIGINT) AS keep
+  FROM s
+)
+SELECT doc_id, n_words,
+       {_sql_round('mean_word_len', 6)} AS mean_word_len,
+       {_sql_round('symbol_ratio', 6)} AS symbol_ratio,
+       {_sql_round('bullet_frac', 6)} AS bullet_frac,
+       {_sql_round('ellipsis_frac', 6)} AS ellipsis_frac,
+       {_sql_round('alpha_frac', 6)} AS alpha_frac,
+       n_required, keep
+FROM k
+"""
 
 
 # ---------------------------------------------------------------------
@@ -3210,6 +3504,8 @@ WEBTEXT_QUERIES = {
     "selfdup_lines": q_selfdup_lines,
     "host_boilerplate": q_host_boilerplate,
     "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
+    "gopher_rules": q_gopher_rules,
     "host_split": q_host_split,
     "exact_substring_spans": q_exact_substring_spans,
     "exact_substring_dedup": q_exact_substring_dedup,
@@ -3242,6 +3538,8 @@ WEBTEXT_ORACLES = {
     "selfdup_lines": SQL_SELFDUP_LINES,
     "host_boilerplate": SQL_HOST_BOILERPLATE,
     "bpe_merges": _sql_bpe_merges(),
+    "bpe_encode": _sql_bpe_encode(),
+    "gopher_rules": _sql_gopher_rules(),
     "host_split": _sql_host_split(),
     "exact_substring_spans": _sql_exact_substring_spans(),
     "exact_substring_dedup": _sql_exact_substring_dedup(),

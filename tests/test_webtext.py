@@ -720,3 +720,141 @@ def test_bpe_merges_run_overlap_and_tiebreak(ray_session, tmp_path):
     assert (got.lhs[0], got.rhs[0], got.cnt[0]) == ("a", "a", 9)
     assert (got.lhs[1], got.rhs[1]) == ("aa", "aa")
     assert (got.lhs[2], got.rhs[2]) == ("z", "x")
+
+
+def _bpe_reference_encode(word, merges):
+    """Apply learned merges in rank order with the same index walk as
+    _bpe_reference; returns the final symbol count."""
+    syms = tuple(word)
+    for lft, rgt, _c in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == lft and syms[i + 1] == rgt:
+                out.append(lft + rgt)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = tuple(out)
+    return len(syms)
+
+
+def test_bpe_encode_differential_vs_reference(ray_session):
+    """Engine encode (unique-word memoized vectorized merges) must
+    match the dict-based reference encoder on the real sf0.001 corpus:
+    per-doc token and subword counts."""
+    import pyarrow.parquet as pq
+
+    from refined_ray.functions.tokenize import tokenize
+    from refined_ray.pipelines.queries_webtext import (
+        _BPE_ROUNDS, q_bpe_encode)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_bpe_encode(sf).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+
+    t = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"])
+    docs = list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    wc = {}
+    for _did, txt in docs:
+        for w in tokenize(txt):
+            wc[w] = wc.get(w, 0) + 1
+    merges = _bpe_reference(wc, _BPE_ROUNDS)
+    cache = {}
+    want = {}
+    for did, txt in docs:
+        toks = tokenize(txt)
+        n_sub = 0
+        for w in toks:
+            if w not in cache:
+                cache[w] = _bpe_reference_encode(w, merges)
+            n_sub += cache[w]
+        want[did] = (len(toks), n_sub)
+
+    assert len(got) == len(want)
+    for row in got.itertuples(index=False):
+        assert (row.n_tokens, row.n_subwords) == want[row.doc_id], row.doc_id
+    # merging strictly reduces symbol counts vs characters and never
+    # goes below the token count
+    assert (got.n_subwords >= got.n_tokens).all()
+
+
+def test_bpe_encode_exhausted_vocab_matches_sql(ray_session, tmp_path):
+    """When the vocabulary fully merges before K rounds, the engine
+    breaks early and the SQL chain's LEFT JOIN carries the final state
+    through the remaining rounds — both sides must agree (this is the
+    degenerate case that would break a cross-join replay)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from refined_ray.pipelines.queries_webtext import (
+        _sql_bpe_encode, q_bpe_encode)
+
+    texts = ["aa aa b", "aa", ""]  # vocab {aa, b}: one merge then done
+    t = pa.table({"doc_id": pa.array(range(3), type=pa.int64()),
+                  "text": pa.array(texts)})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    got = q_bpe_encode(str(d), rounds=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{d / 'documents.parquet'}'")
+    want = con.execute(_sql_bpe_encode(rounds=4)).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(want), (got, want)
+    # the planted expectations: 'aa' -> 1 symbol after merge (a,a);
+    # 'b' stays 1; the empty doc reports zeros
+    assert list(got.n_tokens) == [3, 1, 0]
+    assert list(got.n_subwords) == [3, 1, 0]
+
+
+def test_gopher_rules_planted(ray_session, tmp_path):
+    """Hand-planted docs, one per rule: each failing doc trips exactly
+    the intended Gopher bound and the passing doc clears all of them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from refined_ray.pipelines.queries_webtext import q_gopher_rules
+
+    docs = {
+        # 0: 50 words 'the and ...', mean len 3.0, 2 required -> keep
+        0: ("the and " * 25).strip(),
+        # 1: too short (2 words)
+        1: "the and",
+        # 2: every line starts with a bullet -> bullet_frac 1.0
+        2: "\n".join(["- the and year maker"] * 10),
+        # 3: every line ends with ellipsis -> ellipsis_frac 1.0
+        3: "\n".join(["the and cat runs..."] * 13),
+        # 4: all-numeric words -> alpha_frac below 0.8
+        4: ("111 222 " * 24 + "the and").strip(),
+        # 5: hash-heavy -> symbol_ratio above 0.1
+        5: ("# the and " * 17).strip(),
+    }
+    t = pa.table({
+        "doc_id": pa.array(sorted(docs), type=pa.int64()),
+        "text": pa.array([docs[k] for k in sorted(docs)]),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    got = q_gopher_rules(str(d)).to_pandas().set_index("doc_id")
+
+    assert list(got.loc[[0, 1, 2, 3, 4, 5]].keep) == [1, 0, 0, 0, 0, 0]
+    assert got.loc[0].n_words == 50
+    assert got.loc[0].mean_word_len == 3.0
+    assert got.loc[0].n_required == 2
+    assert got.loc[1].n_words == 2
+    assert got.loc[2].bullet_frac == 1.0
+    assert got.loc[3].ellipsis_frac == 1.0
+    # doc 3's '...' runs also push symbol_ratio over the bound
+    assert got.loc[3].symbol_ratio > 0.1
+    assert got.loc[4].alpha_frac < 0.8
+    assert got.loc[5].symbol_ratio > 0.1
+    # every failing doc fails ONLY for planted reasons: words in bounds
+    # except doc 1
+    assert (got.loc[[2, 3, 4, 5]].n_words >= 50).all()
