@@ -58,6 +58,10 @@ HEADLINE = [
     # hashes -> global dup-key table -> probe -> span cut) — the last
     # big dedup family to gain a recorded wall
     "exact_substring_dedup",
+    # appended round 5: the tokenizer family end-to-end (learn K BPE
+    # merges, then encode the corpus with them) — the real
+    # tokens-under-the-trained-tokenizer measurement
+    "bpe_encode",
 ]
 
 # Single recorded runs of these swung 16-18% between rounds purely
