@@ -858,3 +858,116 @@ def test_gopher_rules_planted(ray_session, tmp_path):
     # every failing doc fails ONLY for planted reasons: words in bounds
     # except doc 1
     assert (got.loc[[2, 3, 4, 5]].n_words >= 50).all()
+
+
+def test_gopher_rules_random_corpus_python_replay(ray_session, tmp_path):
+    """Seeded random corpus (bullets, ellipses, hashes, digits, tabs,
+    CRs, unicode letters, empty docs) — every column must match a
+    pure-Python reference that mirrors the RE2 contract exactly
+    (explicit [\\t\\n\\f\\r ] classes: RE2's \\s, unlike Python's,
+    excludes \\v and unicode spaces)."""
+    import random
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from refined_ray.functions.tokenize import STOPWORDS
+    from refined_ray.pipelines.queries import _canon_round
+    from refined_ray.pipelines.queries_webtext import q_gopher_rules
+
+    rng = random.Random(20260820)
+    pool = (list(STOPWORDS)
+            + ["Maker", "year42", "7777", "...", "#", "-", "*", "•x",
+               "éclair", "Straße", "x" * 12, "ab", "..."])
+    clean = list(STOPWORDS) + ["maker", "window", "tables", "stream"]
+    texts = []
+    for k in range(150):
+        if k % 3 == 0:  # clean-prose mode so both keep outcomes occur
+            n = rng.randrange(50, 90)
+            texts.append(" ".join(rng.choice(clean) for _ in range(n)))
+            continue
+        n = rng.randrange(0, 120)
+        toks = [rng.choice(pool) for _ in range(n)]
+        seps = [rng.choice([" ", "  ", "\t", "\n", " \n- ", "\r\n"])
+                for _ in range(n)]
+        texts.append("".join(t + s for t, s in zip(toks, seps)))
+    texts += ["", "\n\n", "- a\n- b", "a..." ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    got = q_gopher_rules(str(d)).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+
+    WS = "[\t\n\f\r ]"
+    for i, text in enumerate(texts):
+        words = [w for w in re.split(WS + "+", text) if w]
+        nw = len(words)
+        mean = sum(len(w) for w in words) / nw if nw else 0.0
+        alpha = (sum(1 for w in words if re.search("[A-Za-z]", w)) / nw
+                 if nw else 0.0)
+        symr = ((text.count("#") + text.count("...")) / nw) if nw else 0.0
+        lines = text.split("\n")
+        bul = sum(1 for l in lines
+                  if re.match("^" + WS + "*[-*•]", l)) / len(lines)
+        ell = sum(1 for l in lines
+                  if re.search(r"\.\.\." + WS + r"*\Z", l)) / len(lines)
+        lt = text.lower()
+        nreq = sum(1 for w in STOPWORDS
+                   if re.search(f"(^|[^a-z0-9]){w}([^a-z0-9]|$)", lt))
+        keep = int(50 <= nw <= 100_000 and 3.0 <= mean <= 10.0
+                   and symr <= 0.1 and bul <= 0.9 and ell <= 0.3
+                   and alpha >= 0.8 and nreq >= 2)
+        row = got.iloc[i]
+        assert row.n_words == nw, (i, text[:60])
+        assert row.n_required == nreq, (i, text[:60])
+        assert row.keep == keep, (i, text[:60])
+        for col, val in [("mean_word_len", mean), ("symbol_ratio", symr),
+                         ("bullet_frac", bul), ("ellipsis_frac", ell),
+                         ("alpha_frac", alpha)]:
+            want = _canon_round([val], 6)[0].as_py()
+            assert row[col] == want, (i, col, row[col], want, text[:60])
+    # the corpus must exercise both keep outcomes
+    assert 0 < got.keep.sum() < len(got)
+
+
+def test_bpe_encode_random_corpus(ray_session, tmp_path):
+    """Random small corpus with heavy repeated-char words (the greedy
+    overlap edge) and enough rounds to exhaust some words completely:
+    engine == dict-based reference per doc."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from refined_ray.functions.tokenize import tokenize
+    from refined_ray.pipelines.queries_webtext import q_bpe_encode
+
+    rng = random.Random(7)
+    pool = ["aaaa", "aaa", "aa", "abab", "aba", "bb", "cab", "a1a1",
+            "zzz", "z"]
+    texts = [" ".join(rng.choice(pool) for _ in range(rng.randrange(0, 30)))
+             for _ in range(60)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    rounds = 6
+    got = q_bpe_encode(str(d), rounds=rounds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    wc = {}
+    for txt in texts:
+        for w in tokenize(txt):
+            wc[w] = wc.get(w, 0) + 1
+    merges = _bpe_reference(wc, rounds)
+    for i, txt in enumerate(texts):
+        toks = tokenize(txt)
+        want = sum(_bpe_reference_encode(w, merges) for w in toks)
+        assert (got.iloc[i].n_tokens, got.iloc[i].n_subwords) == \
+            (len(toks), want), (i, txt[:60])
