@@ -3800,6 +3800,201 @@ EXT_QUERIES["value_quantiles_by_type"] = q_value_quantiles_by_type
 EXT_ORACLES["value_quantiles_by_type"] = SQL_VALUE_QUANTILES_BY_TYPE
 
 
+# ---------------------------------------------------------------------
+# Deterministic distributed k-means over the embedding corpus (engine
+# addition; the curation-clustering primitive behind SemDeDup-style
+# cluster-then-dedup and domain-discovery pipelines).  Runs on an
+# INTEGER lattice so the whole Lloyd iteration is bit-replayable in
+# SQL: float dot products cannot be replayed across engines (summation
+# order perturbs the last ulp and argmin boundaries drift round over
+# round), but int64 squared distances and round-half-up integer
+# centroid updates are exact everywhere.
+# ---------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_SCALE = 1 << 20  # quantization: q = floor(x * 2^20 + 0.5)
+
+
+def _km_quantize(col) -> np.ndarray:
+    """Embedding list column -> (rows, dim) int64 lattice points.
+    float32 -> float64 is exact, * 2^20 and floor(x + 0.5) are the
+    same double ops DuckDB runs, so both sides land on identical
+    integers."""
+    E = np.array(col.to_pylist(), dtype=np.float64)
+    return np.floor(E * float(_KM_SCALE) + 0.5).astype(np.int64)
+
+
+def _km_assign(E: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(cluster, squared-distance) per row — all int64, ties to the
+    lowest cluster id (np.argmin first-min == SQL ORDER BY dist,
+    cluster LIMIT 1)."""
+    d2 = ((E * E).sum(axis=1)[:, None]
+          - 2 * (E @ C.T)
+          + (C * C).sum(axis=1)[None, :])
+    cell = np.argmin(d2, axis=1)
+    return cell, d2[np.arange(len(E)), cell]
+
+
+def q_embedding_kmeans(sf_dir: str, k: int = _KM_K, n_iters: int = _KM_ITERS):
+    """Distributed k-means cluster assignment over `embeddings`:
+    (vec_id, cluster, dist) after ``n_iters`` Lloyd updates from
+    deterministic seeds (the k smallest vec_ids).
+
+    Semantics (mirrored 1:1 in SQL): vectors quantize to the int64
+    lattice floor(x * 2^20 + 0.5); distance is exact integer squared
+    L2; argmin ties resolve to the lowest cluster id; the centroid
+    update is the round-half-up integer mean (2*sum + n) // (2*n)
+    per dimension (floor division — numpy's // on int64); a cluster
+    that loses every member keeps its previous centroid.
+
+    Scale shape (the ivf_centroids pattern): centroids broadcast via
+    ``ray.put`` each round; every block emits at most k partial rows
+    (cluster, int64 sum-vector bytes, count) — the vectors themselves
+    NEVER move; the driver folds ≤ k × blocks tiny rows (order-
+    independent integer sums, so block structure cannot perturb the
+    result) and re-broadcasts.  The final labeling pass is stateless
+    map_batches.  Seeds come from a bounded filtered read, not a
+    global sort.  At 100 TB the per-round exchange is k rows per
+    block — independent of corpus size."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    # seeds: the k smallest vec_ids via per-block partial top-k +
+    # driver fold (bounded: k rows per block cross, never the corpus)
+    def seed_partial(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        take = np.argsort(ids)[:k]
+        return pa.table({"vec_id": pa.array(ids[take], type=pa.int64()),
+                         "q": pa.array(
+                             [r.tobytes() for r in
+                              _km_quantize(b["embedding"].take(
+                                  pa.array(take)))],
+                             type=pa.binary())})
+
+    seed_rows = sorted(
+        ds.map_batches(seed_partial, batch_format="pyarrow").take_all(),
+        key=lambda r: r["vec_id"])[:k]
+    C = np.stack([np.frombuffer(r["q"], dtype=np.int64)
+                  for r in seed_rows])
+    dim = C.shape[1]
+
+    for _ in range(n_iters):
+        cref = ray.put(C)
+
+        def partial(b: pa.Table, _cref=cref) -> pa.Table:
+            empty = pa.table({"cluster": pa.array([], type=pa.int64()),
+                              "qsum": pa.array([], type=pa.binary()),
+                              "n": pa.array([], type=pa.int64())})
+            if b.num_rows == 0:
+                return empty
+            Cc = ray.get(_cref)
+            E = _km_quantize(b["embedding"])
+            cell, _ = _km_assign(E, Cc)
+            sums = np.zeros((len(Cc), E.shape[1]), dtype=np.int64)
+            np.add.at(sums, cell, E)
+            cnt = np.bincount(cell, minlength=len(Cc))
+            live = np.flatnonzero(cnt)
+            return pa.table({
+                "cluster": pa.array(live, type=pa.int64()),
+                "qsum": pa.array([sums[c].tobytes() for c in live],
+                                 type=pa.binary()),
+                "n": pa.array(cnt[live], type=pa.int64())})
+
+        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros((k, dim), dtype=np.int64)
+        cnt = np.zeros(k, dtype=np.int64)
+        for r in rows:  # ≤ k × blocks tiny rows; integer fold is exact
+            sums[r["cluster"]] += np.frombuffer(r["qsum"], dtype=np.int64)
+            cnt[r["cluster"]] += r["n"]
+        live = cnt > 0
+        newC = C.copy()
+        newC[live] = (2 * sums[live] + cnt[live, None]) \
+            // (2 * cnt[live, None])
+        C = newC
+
+    cref = ray.put(C)
+
+    def label(b: pa.Table, _cref=cref) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "cluster": pa.array([], type=pa.int64()),
+                             "dist": pa.array([], type=pa.int64())})
+        Cc = ray.get(_cref)
+        E = _km_quantize(b["embedding"])
+        cell, dist = _km_assign(E, Cc)
+        return pa.table({
+            "vec_id": b["vec_id"].cast(pa.int64()),
+            "cluster": pa.array(cell.astype(np.int64), type=pa.int64()),
+            "dist": pa.array(dist, type=pa.int64())})
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
+def _sql_embedding_kmeans(k: int = _KM_K, n_iters: int = _KM_ITERS) -> str:
+    """Unrolled Lloyd replay on the same integer lattice.  The
+    centroid update uses floor((2*s + n) / (2*n)) in DOUBLE: 2*s and
+    2*n are < 2^53 so the quotient's double error (~2^-32 absolute at
+    this magnitude) is far below the 1/(2n) >= 2^-17 granularity of
+    the exact rational, hence floor is exact — and DuckDB's integer
+    `//` truncates toward zero, which would diverge from numpy's
+    floor on negative sums."""
+    parts = [f"""
+WITH q AS (
+  SELECT vec_id,
+         unnest(range(1, len(embedding) + 1)) AS dim,
+         CAST(floor(unnest(embedding) * {float(_KM_SCALE)} + 0.5) AS BIGINT)
+           AS qv
+  FROM embeddings
+),
+sv AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+c0 AS (
+  SELECT s.cluster, q.dim, q.qv AS cq
+  FROM sv s JOIN q ON q.vec_id = s.vec_id
+)"""]
+    final = n_iters + 1
+    for r in range(1, final + 1):
+        parts.append(f""",
+d{r} AS (
+  SELECT q.vec_id, c.cluster,
+         CAST(sum((q.qv - c.cq) * (q.qv - c.cq)) AS BIGINT) AS dist
+  FROM q JOIN c{r - 1} c ON q.dim = c.dim
+  GROUP BY q.vec_id, c.cluster
+),
+a{r} AS (
+  SELECT vec_id, cluster, dist FROM d{r}
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY dist, cluster) = 1
+)""")
+        if r == final:
+            break
+        parts.append(f""",
+u{r} AS (
+  SELECT a.cluster, q.dim,
+         CAST(sum(q.qv) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM a{r} a JOIN q ON q.vec_id = a.vec_id
+  GROUP BY a.cluster, q.dim
+),
+c{r} AS (
+  SELECT p.cluster, p.dim,
+         COALESCE(CAST(floor((2.0 * u.s + u.n) / (2.0 * u.n)) AS BIGINT),
+                  p.cq) AS cq
+  FROM c{r - 1} p LEFT JOIN u{r} u USING (cluster, dim)
+)""")
+    parts.append(f"""
+SELECT vec_id, cluster, dist FROM a{final}
+""")
+    return "".join(parts)
+
+
+EXT_QUERIES["embedding_kmeans"] = q_embedding_kmeans
+EXT_ORACLES["embedding_kmeans"] = _sql_embedding_kmeans()
+
+
 # offline corpus-build DAG (≙ preprocess_all.py entry point): the end
 # artifact (PEM over synthesized anchor pages) is oracle-checked
 from .offline_build import SQL_OFFLINE_PEM, q_offline_pem  # noqa: E402
