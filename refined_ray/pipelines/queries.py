@@ -622,22 +622,34 @@ def _neardup_pairs(sf_dir: str, shingle_k: int, threshold: float, num_bands: int
     ).select_columns(["a", "b"]) \
      .repartition(num_blocks=nparts, keys=["a", "b"], sort=False)
 
-    def dedup(b: pa.Table) -> pa.Table:
-        a = b["a"].to_numpy(zero_copy_only=False)
-        bb = b["b"].to_numpy(zero_copy_only=False)
-        if len(a) == 0:
-            return pa.table({"a": pa.array([], type=pa.int64()),
-                             "b": pa.array([], type=pa.int64())})
-        order = np.lexsort((bb, a))
-        a, bb = a[order], bb[order]
-        keep = np.ones(len(a), dtype=bool)
-        keep[1:] = (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])
-        return pa.table({"a": pa.array(a[keep], type=pa.int64()),
-                         "b": pa.array(bb[keep], type=pa.int64())})
+    pairs = pairs.map_batches(_dedup_ab, batch_format="pyarrow", batch_size=None).materialize()
 
-    pairs = pairs.map_batches(dedup, batch_format="pyarrow", batch_size=None).materialize()
+    return payload, _verify_pairs(payload, pairs, threshold, nparts)
 
-    # Fully-empty candidate set (no band collisions at all): Ray's hash
+
+def _dedup_ab(b: pa.Table) -> pa.Table:
+    """Keyed-partition (a, b) pair dedupe (shared by the LSH and
+    prefix-filter candidate generators)."""
+    a = b["a"].to_numpy(zero_copy_only=False)
+    bb = b["b"].to_numpy(zero_copy_only=False)
+    if len(a) == 0:
+        return pa.table({"a": pa.array([], type=pa.int64()),
+                         "b": pa.array([], type=pa.int64())})
+    order = np.lexsort((bb, a))
+    a, bb = a[order], bb[order]
+    keep = np.ones(len(a), dtype=bool)
+    keep[1:] = (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])
+    return pa.table({"a": pa.array(a[keep], type=pa.int64()),
+                     "b": pa.array(bb[keep], type=pa.int64())})
+
+
+def _verify_pairs(payload, pairs, threshold: float, nparts: int):
+    """Deduped candidate (a, b) pairs -> exact-Jaccard-verified
+    (doc_a, doc_b, jaccard >= threshold) via two co-partitioned joins
+    against the payload's sorted-hash sets.  Shared by the LSH and
+    prefix-filter paths."""
+
+    # Fully-empty candidate set (no collisions at all): Ray's hash
     # join synthesizes zero-column blocks for an empty input dataset and
     # acero rejects the key reference — short-circuit.  count() on a
     # materialized dataset is metadata, not recompute.
@@ -647,7 +659,7 @@ def _neardup_pairs(sf_dir: str, shingle_k: int, threshold: float, num_bands: int
         empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
                           "doc_b": pa.array([], type=pa.int64()),
                           "jaccard": pa.array([], type=pa.float64())})
-        return payload, rd.from_arrow(empty)
+        return rd.from_arrow(empty)
 
     side = payload.select_columns(["doc_id", "set", "n_distinct"])
     a_side = side.rename_columns({"doc_id": "a", "set": "set_a", "n_distinct": "na"})
@@ -673,7 +685,112 @@ def _neardup_pairs(sf_dir: str, shingle_k: int, threshold: float, num_bands: int
                          "doc_b": pa.array(b_ids[m], type=pa.int64()),
                          "jaccard": pa.array(j[m], type=pa.float64())})
 
-    return payload, enriched.map_batches(verify, batch_format="pyarrow")
+    return enriched.map_batches(verify, batch_format="pyarrow")
+
+
+def q_set_similarity_join(sf_dir: str, num: int = 7, den: int = 10):
+    """EXACT set-similarity self-join via AllPairs/PPJoin prefix
+    filtering (Bayardo et al. 2007 lineage; distributed form after the
+    set-similarity-join family in PAPERS.md): every document pair with
+    3-token-shingle Jaccard >= num/den.  Unlike the MinHash-LSH path
+    (`neardup_shingle`) this has NO false negatives by construction.
+
+    Prefix-filter completeness: order each doc's distinct shingles by
+    a GLOBAL total order (ascending document frequency, ties by
+    hash); with prefix length n - ceil(t*n) + 1, any pair at J >= t
+    must share a prefix element — if A's intersection with B avoided
+    A's prefix it would fit inside A's ceil(t*n)-1 element suffix,
+    contradicting |A∩B| >= t*|A∪B| >= ceil(t*|A|).  So enumerating
+    pairs inside prefix-element postings is complete, and the exact
+    verification stage makes precision 1.  Completeness holds for ANY
+    total order, so the engine orders by shingle HASH while the SQL
+    oracle verifies against the full all-pairs join over shingle
+    strings.  ceil(t*n) is computed in integers ((num*n + den-1) //
+    den): float t*n rounds the wrong way at exact multiples (0.7*10
+    is 7.000000000000001 in doubles).
+
+    Scale shape: df build = per-batch partial counts + ONE hash-keyed
+    exchange (vocabulary rows, never shingle instances); df attach =
+    co-partitioned join on hash; prefix selection = ONE doc-keyed
+    exchange + the segment kernel; posting-list pair enumeration,
+    pair dedupe and exact verify REUSE the LSH pair machinery
+    (make_pairs_partition runs uncapped here — a pair cap would trade
+    away the exactness guarantee; production callers can lower it and
+    get the `capped` flag).  Prefix postings are naturally small: the
+    prefix keeps each doc's RAREST shingles, so hot shingles almost
+    never enter postings."""
+    from .. import default_num_partitions
+    from ..stages.pairs import make_pairs_partition
+
+    threshold = num / den
+    payload = _doc_sign(sf_dir, 3).materialize()
+    nparts = default_num_partitions()
+
+    def explode(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"h": pa.array([], type=pa.int64()),
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        sets = [np.frombuffer(x, dtype=np.uint64) for x in b["set"].to_pylist()]
+        lens = np.array([len(x) for x in sets], dtype=np.int64)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (np.concatenate(sets) if sets
+             else np.empty(0, dtype=np.uint64)).view(np.int64)
+        return pa.table({"h": pa.array(h, type=pa.int64()),
+                         "doc_id": pa.array(np.repeat(ids, lens), type=pa.int64()),
+                         "n": pa.array(np.repeat(lens, lens), type=pa.int64())})
+
+    postings = payload.map_batches(explode, batch_format="pyarrow")
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        h = b["h"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(u, type=pa.int64()),
+                         "df": pa.array(c.astype(np.int64), type=pa.int64())})
+
+    def df_fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"h": pa.array([], type=pa.int64()),
+                             "df": pa.array([], type=pa.int64())})
+        h = b["h"].to_numpy(zero_copy_only=False)
+        c = b["df"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h, c = h[order], c[order]
+        seg = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        return pa.table({"h": pa.array(h[seg], type=pa.int64()),
+                         "df": pa.array(np.add.reduceat(c, seg).astype(np.int64),
+                                        type=pa.int64())})
+
+    df = postings.map_batches(df_partial, batch_format="pyarrow")         .repartition(num_blocks=nparts, keys=["h"], sort=False)         .map_batches(df_fold, batch_format="pyarrow", batch_size=None)
+
+    enriched = postings.join(df, join_type="inner", num_partitions=nparts,
+                             on=("h",))
+
+    def prefix(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"block_key": pa.array([], type=pa.int64()),
+                             "page_id": pa.array([], type=pa.int64())})
+        doc = b["doc_id"].to_numpy(zero_copy_only=False)
+        h = b["h"].to_numpy(zero_copy_only=False)
+        dfv = b["df"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, dfv, doc))
+        doc_s, h_s, n_s = doc[order], h[order], n[order]
+        starts = np.flatnonzero(np.r_[True, doc_s[1:] != doc_s[:-1]])
+        sizes = np.diff(np.r_[starts, len(doc_s)])
+        rank = np.arange(len(doc_s)) - np.repeat(starts, sizes)
+        plen = n_s - ((num * n_s + den - 1) // den) + 1
+        keep = rank < plen
+        return pa.table({"block_key": pa.array(h_s[keep], type=pa.int64()),
+                         "page_id": pa.array(doc_s[keep], type=pa.int64())})
+
+    pre = enriched.repartition(num_blocks=nparts, keys=["doc_id"], sort=False)         .map_batches(prefix, batch_format="pyarrow", batch_size=None)
+
+    pairs = pre.repartition(num_blocks=nparts, keys=["block_key"], sort=False)         .map_batches(lambda t: make_pairs_partition(t, max_block_size=1 << 30),
+                     batch_format="pyarrow", batch_size=None)         .select_columns(["a", "b"])         .repartition(num_blocks=nparts, keys=["a", "b"], sort=False)         .map_batches(_dedup_ab, batch_format="pyarrow", batch_size=None)         .materialize()
+
+    return _verify_pairs(payload, pairs, threshold, nparts)
+
 
 
 def q_neardup_shingle(sf_dir: str):
@@ -691,6 +808,22 @@ def _sql_shingles(col: str = "text") -> str:
                  i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))
          ELSE [array_to_string({toks}, ' ')] END AS shingles
   FROM documents
+"""
+
+
+SQL_SET_SIMILARITY_JOIN = f"""
+WITH sh AS ({_sql_shingles()}),
+u AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+c AS (SELECT doc_id, len(shingles) AS n FROM sh),
+p AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+  FROM u x JOIN u y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       inter / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
+FROM p JOIN c ca ON ca.doc_id = doc_a JOIN c cb ON cb.doc_id = doc_b
+WHERE inter / CAST(ca.n + cb.n - inter AS DOUBLE) >= 0.7
 """
 
 
@@ -1241,6 +1374,7 @@ QUERIES = {
     "pem_injected": q_pem_injected,
     "mention_phrases": q_mention_phrases,
     "neardup_shingle": q_neardup_shingle,
+    "set_similarity_join": q_set_similarity_join,
     "neardup_token": q_neardup_token,
     "doc_clusters": q_doc_clusters,
     "ann_topk": q_ann_topk,
@@ -1314,6 +1448,7 @@ def oracles() -> dict[str, str]:
         "pem_injected": SQL_PEM_INJECTED,
         "mention_phrases": SQL_MENTION_PHRASES,
         "neardup_shingle": SQL_NEARDUP_SHINGLE,
+        "set_similarity_join": SQL_SET_SIMILARITY_JOIN,
         "neardup_token": SQL_NEARDUP_TOKEN,
         "doc_clusters": SQL_DOC_CLUSTERS,
         "ann_topk": SQL_ANN_TOPK,

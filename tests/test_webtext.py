@@ -971,3 +971,58 @@ def test_bpe_encode_random_corpus(ray_session, tmp_path):
         want = sum(_bpe_reference_encode(w, merges) for w in toks)
         assert (got.iloc[i].n_tokens, got.iloc[i].n_subwords) == \
             (len(toks), want), (i, txt[:60])
+
+
+def test_set_similarity_join_vs_bruteforce(ray_session, tmp_path):
+    """Prefix-filter completeness on a planted corpus: the engine's
+    pruned join must equal an all-pairs python brute force over shingle
+    STRINGS (also cross-validating the engine's hash-set representation
+    against string sets)."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from refined_ray.functions.tokenize import tokenize
+    from refined_ray.pipelines.queries import q_set_similarity_join
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(80)]
+    base = [" ".join(rng.choice(vocab) for _ in range(40)) for _ in range(20)]
+    texts = []
+    for t in base:
+        texts.append(t)
+        toks = t.split()
+        # near-dup twin: one token substituted (J stays high)
+        toks2 = list(toks)
+        toks2[5] = "zzz"
+        texts.append(" ".join(toks2))
+    texts += ["", "one two", "one two three"]
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    got = sorted(map(tuple, q_set_similarity_join(str(d)).to_pandas()
+                     [["doc_a", "doc_b", "jaccard"]].itertuples(
+                         index=False, name=None)))
+
+    def shingles(text):
+        toks = tokenize(text)
+        if len(toks) >= 3:
+            return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    S = [shingles(x) for x in texts]
+    want = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(S[i] & S[j])
+            union = len(S[i] | S[j])
+            jac = inter / union
+            if jac >= 0.7:
+                want.append((i, j, jac))
+    assert got == sorted(want)
+    assert len(want) >= 20  # every twin pair must be found
