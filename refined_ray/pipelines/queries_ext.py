@@ -3995,6 +3995,262 @@ EXT_QUERIES["embedding_kmeans"] = q_embedding_kmeans
 EXT_ORACLES["embedding_kmeans"] = _sql_embedding_kmeans()
 
 
+# ---------------------------------------------------------------------
+# Exact distributed k-NN classification over the embedding corpus
+# (engine addition; the label-propagation / weak-supervision probe —
+# classify every vector by majority vote of its k nearest labeled
+# neighbours, the standard curation baseline for label noise and
+# cluster-purity checks).  Same integer-lattice contract as
+# embedding_kmeans: distances are int64 squared L2 on
+# floor(x * 2^20 + 0.5) points, so the neighbour ranking AND the vote
+# are bit-replayable in SQL with no float rounding anywhere.
+# ---------------------------------------------------------------------
+
+_KNN_K = 5
+
+
+def q_knn_classify(sf_dir: str, k: int = _KNN_K, n_chunks: int = 8):
+    """Exact k-NN majority-vote classification: for every vector,
+    (vec_id, label, pred, correct) where pred is the modal label of
+    its k nearest neighbours (self excluded).
+
+    Semantics (mirrored 1:1 in SQL): int64 squared L2 on the
+    embedding_kmeans lattice; neighbour order is (dist ASC, vec_id
+    ASC); the vote breaks count ties to the SMALLEST label.
+
+    Scale shape: the all-pairs kNN graph is inherently O(N²) compute,
+    organized as the q_embedding_pairs chunk plan — vectors persist
+    once into hash chunks, a C·(C+1)/2 task list fans out block
+    compares with a per-actor chunk LRU, and each block emits at most
+    k candidate rows PER QUERY (never the full distance matrix).
+    Per-query candidates then co-locate with ONE keyed exchange and
+    fold to the global top-k + vote inside the partition — the
+    k-per-chunk partial top-k composes exactly because both levels
+    use the same (dist, vec_id) total order.  At 100 TB the ANN
+    family (q_ann_ivf / q_ann_pq) is the right tool; this is the
+    exact oracle-matched path, chunk-count-tunable to worker heap."""
+    import os
+    import shutil
+    import uuid
+
+    import hashlib
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .. import default_num_partitions
+    from ..stages.exchange import EXCHANGE_ROOT
+
+    root = os.path.join(EXCHANGE_ROOT, "knn-" + uuid.uuid4().hex)
+    for c in range(n_chunks):
+        os.makedirs(os.path.join(root, f"chunk={c}"), exist_ok=True)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def write_chunks(b: pa.Table) -> pa.Table:
+        vids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        labs = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        E = _km_quantize(b["embedding"])
+        chunk = (vids % n_chunks).astype(np.int64)
+        fid = hashlib.blake2b(vids.tobytes(), digest_size=16).hexdigest()
+        for c in np.unique(chunk):
+            m = chunk == c
+            sub = np.ascontiguousarray(E[m])
+            width = sub.shape[1] * 8
+            offs = (np.arange(sub.shape[0] + 1, dtype=np.int64)
+                    * width).astype(np.int32)
+            emb_arr = pa.Array.from_buffers(
+                pa.binary(), sub.shape[0],
+                [None, pa.py_buffer(offs.tobytes()),
+                 pa.py_buffer(sub.tobytes())])
+            tbl = pa.table({"vec_id": pa.array(vids[m], type=pa.int64()),
+                            "label": pa.array(labs[m], type=pa.int64()),
+                            "emb": emb_arr})
+            final = os.path.join(root, f"chunk={int(c)}", f"{fid}.parquet")
+            tmp = final + f".{uuid.uuid4().hex}.tmp"
+            pq.write_table(tbl, tmp, compression="none")
+            os.replace(tmp, final)
+        return pa.table({"n": pa.array([b.num_rows], type=pa.int64())})
+
+    ds.map_batches(write_chunks, batch_format="pyarrow").count()
+
+    _CAND = {"q": pa.int64(), "q_label": pa.int64(), "nb": pa.int64(),
+             "nb_label": pa.int64(), "dist": pa.int64()}
+
+    def _empty_cand() -> pa.Table:
+        return pa.table({n: pa.array([], type=t) for n, t in _CAND.items()})
+
+    class BlockKnn:
+        """q_embedding_pairs' chunk-LRU comparator, emitting per-query
+        per-block top-k candidates instead of thresholded pairs.
+        Chunks load id-ASCENDING so the stable argsort's positional
+        tie-break IS the (dist, vec_id) order the SQL replays."""
+
+        CACHE_CAP = 4
+
+        def __init__(self):
+            from collections import OrderedDict
+
+            self._cache: "OrderedDict[int, tuple]" = OrderedDict()
+
+        def _chunk(self, c: int):
+            got = self._cache.get(c)
+            if got is not None:
+                self._cache.move_to_end(c)
+                return got
+            d = os.path.join(root, f"chunk={c}")
+            files = [os.path.join(d, f) for f in os.listdir(d)
+                     if f.endswith(".parquet")]
+            if not files:
+                got = (np.array([], dtype=np.int64),
+                       np.array([], dtype=np.int64),
+                       np.zeros((0, 1), dtype=np.int64))
+            else:
+                t = pa.concat_tables([pq.read_table(f) for f in files])
+                ids = t["vec_id"].to_numpy(zero_copy_only=False)
+                labs = t["label"].to_numpy(zero_copy_only=False)
+                flat = np.frombuffer(b"".join(t["emb"].to_pylist()),
+                                     dtype=np.int64)
+                E = flat.reshape(len(ids), -1)
+                order = np.argsort(ids)  # ids unique -> deterministic
+                got = (ids[order], labs[order],
+                       np.ascontiguousarray(E[order]))
+            self._cache[c] = got
+            if len(self._cache) > self.CACHE_CAP:
+                self._cache.popitem(last=False)
+            return got
+
+        @staticmethod
+        def _topk(d2, qi, ql, ri, rl):
+            """Per-row top-k of an int64 distance matrix; stable sort
+            ties break by column position == ascending ref vec_id."""
+            kk = min(k, d2.shape[1])
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+            rows = np.repeat(np.arange(d2.shape[0]), kk)
+            cols = idx.ravel()
+            return (np.repeat(qi, kk), np.repeat(ql, kk),
+                    ri[cols], rl[cols], d2[rows, cols])
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            outs = []
+            for i, j in zip(b["i"].to_pylist(), b["j"].to_pylist()):
+                ia, la, Ea = self._chunk(i)
+                ib, lb, Eb = (ia, la, Ea) if i == j else self._chunk(j)
+                if not len(ia) or not len(ib):
+                    continue
+                # int64 ops only: |q| <= 2^20 -> d2 <= dim * 2^42,
+                # far inside int64
+                d2 = ((Ea * Ea).sum(axis=1)[:, None]
+                      - 2 * (Ea @ Eb.T)
+                      + (Eb * Eb).sum(axis=1)[None, :])
+                if i == j:
+                    d2[ia[:, None] == ib[None, :]] = np.iinfo(np.int64).max
+                outs.append(self._topk(d2, ia, la, ib, lb))
+                if i != j:
+                    outs.append(self._topk(
+                        np.ascontiguousarray(d2.T), ib, lb, ia, la))
+            if not outs:
+                return _empty_cand()
+            cat = [np.concatenate([o[c] for o in outs]) for c in range(5)]
+            return pa.table({n: pa.array(v, type=pa.int64())
+                             for n, v in zip(_CAND, cat)})
+
+    tasks = rd.from_items([{"i": i, "j": j}
+                           for i in range(n_chunks)
+                           for j in range(i, n_chunks)])
+    cand = tasks.map_batches(BlockKnn, batch_format="pyarrow",
+                             batch_size=max(2, n_chunks // 2),
+                             concurrency=(1, 4))
+
+    def vote(b: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                          "label": pa.array([], type=pa.int64()),
+                          "pred": pa.array([], type=pa.int64()),
+                          "correct": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        q = b["q"].to_numpy(zero_copy_only=False)
+        ql = b["q_label"].to_numpy(zero_copy_only=False)
+        nb = b["nb"].to_numpy(zero_copy_only=False)
+        nl = b["nb_label"].to_numpy(zero_copy_only=False)
+        d = b["dist"].to_numpy(zero_copy_only=False)
+        # global top-k per query under the same (dist, nb) total order
+        # the per-chunk partials used
+        order = np.lexsort((nb, d, q))
+        q, ql, nl = q[order], ql[order], nl[order]
+        starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+        sizes = np.diff(np.r_[starts, len(q)])
+        rank = np.arange(len(q)) - np.repeat(starts, sizes)
+        keep = rank < k
+        q, ql, nl = q[keep], ql[keep], nl[keep]
+        # modal label, count ties -> smallest label: count (q, label)
+        # runs, then first row per q under (count DESC, label ASC)
+        order = np.lexsort((nl, q))
+        q, ql, nl = q[order], ql[order], nl[order]
+        seg = np.flatnonzero(np.r_[True, (q[1:] != q[:-1])
+                                   | (nl[1:] != nl[:-1])])
+        cnt = np.diff(np.r_[seg, len(q)])
+        qs, qls, nls = q[seg], ql[seg], nl[seg]
+        order = np.lexsort((nls, -cnt, qs))
+        qs, qls, nls = qs[order], qls[order], nls[order]
+        first = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+        return pa.table({
+            "vec_id": pa.array(qs[first], type=pa.int64()),
+            "label": pa.array(qls[first], type=pa.int64()),
+            "pred": pa.array(nls[first], type=pa.int64()),
+            "correct": pa.array((qls[first] == nls[first])
+                                .astype(np.int64), type=pa.int64())})
+
+    out = cand.repartition(num_blocks=default_num_partitions(),
+                           keys=["q"], sort=False) \
+              .map_batches(vote, batch_format="pyarrow",
+                           batch_size=None).materialize()
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _sql_knn_classify(k: int = _KNN_K) -> str:
+    """All-pairs replay on the same integer lattice: per-dim join,
+    BIGINT distance sums (order-independent), QUALIFY top-k under
+    (dist, nb), modal label under (count DESC, label ASC)."""
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         unnest(range(1, len(embedding) + 1)) AS dim,
+         CAST(floor(unnest(embedding) * {float(_KM_SCALE)} + 0.5) AS BIGINT)
+           AS qv
+  FROM embeddings
+),
+d AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nb,
+         CAST(sum((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS dist
+  FROM q a JOIN q b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT qid, nb FROM d
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dist, nb) <= {k}
+),
+votes AS (
+  SELECT t.qid, CAST(e.label AS BIGINT) AS nb_label, count(*) AS c
+  FROM topk t JOIN embeddings e ON e.vec_id = t.nb
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT qid, nb_label AS pred FROM votes
+  QUALIFY row_number() OVER (PARTITION BY qid
+                             ORDER BY c DESC, nb_label) = 1
+)
+SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, p.pred,
+       CAST(CAST(e.label AS BIGINT) = p.pred AS BIGINT) AS correct
+FROM embeddings e JOIN pred p ON p.qid = e.vec_id
+"""
+
+
+EXT_QUERIES["knn_classify"] = q_knn_classify
+EXT_ORACLES["knn_classify"] = _sql_knn_classify()
+
+
 # offline corpus-build DAG (≙ preprocess_all.py entry point): the end
 # artifact (PEM over synthesized anchor pages) is oracle-checked
 from .offline_build import SQL_OFFLINE_PEM, q_offline_pem  # noqa: E402
