@@ -3479,7 +3479,177 @@ FROM clean c JOIN aug a USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------
+# BM25 ranked retrieval (engine addition): the keyword-search probe a
+# training-data pipeline runs for corpus QA ("what does the corpus say
+# about X?") and for building retrieval baselines.  Okapi BM25 with
+# the Lucene idf (ln(1 + (N - df + 0.5)/(df + 0.5))), k1=1.2, b=0.75.
+# Every float expression is written in ONE shape shared by the numpy
+# and SQL sides (same literals via repr, same parenthesization, same
+# left-assoc term sum), so the ranking replays bit-exactly; only the
+# OUTPUT score is canonicalized to 6 dp.
+# ---------------------------------------------------------------------
+
+_BM25_TERMS = ("dup", "hash", "merge", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPN = 20
+
+
+def q_bm25_topk(sf_dir: str, terms=_BM25_TERMS, topn: int = _BM25_TOPN):
+    """Top-``topn`` documents by BM25 score for a fixed term query,
+    (doc_id, score), ties at the boundary to the smaller doc_id.
+
+    Scale shape: ONE tokenize pass emits per-doc (dl, tf_j) — 2+|q|
+    narrow int columns, the text never moves; corpus constants
+    (N, Σdl, df_j) fold from ONE tiny per-block partial row each
+    (order-independent integer sums); idf/avgdl broadcast in the map
+    closure; scoring emits per-block partial top-n (n rows per block,
+    composing under the (score DESC, doc_id ASC) total order the
+    final single-block merge reuses) — the exchange moves topn×blocks
+    rows, never the corpus.  At 100 TB this is the standard
+    stats-pass + broadcast-scalars + partial-top-k plan; an inverted
+    index (posting lists keyed by term) only wins when queries vastly
+    outnumber corpus passes, and is what q_set_similarity_join's
+    posting machinery would supply."""
+    import math
+
+    from ..functions.tokenize import tokenize_arrow_offsets
+
+    terms = tuple(terms)
+    nt = len(terms)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        cols = {"doc_id": pa.array([], type=pa.int64()),
+                "dl": pa.array([], type=pa.int64())}
+        cols.update({f"tf{j}": pa.array([], type=pa.int64())
+                     for j in range(nt)})
+        if b.num_rows == 0:
+            return pa.table(cols)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, starts = tokenize_arrow_offsets(b["text"])
+        dl = np.diff(starts)
+        tf = np.zeros((len(ids), nt), dtype=np.int64)
+        if len(flat):
+            enc = pc.dictionary_encode(flat)
+            dic = enc.dictionary.to_pylist()
+            idx = enc.indices.to_numpy(zero_copy_only=False)
+            doc_of = np.repeat(np.arange(len(ids)), dl)
+            for j, term in enumerate(terms):
+                if term in dic:
+                    m = idx == dic.index(term)
+                    if m.any():
+                        tf[:, j] = np.bincount(doc_of[m],
+                                               minlength=len(ids))
+        cols = {"doc_id": pa.array(ids, type=pa.int64()),
+                "dl": pa.array(dl, type=pa.int64())}
+        cols.update({f"tf{j}": pa.array(tf[:, j], type=pa.int64())
+                     for j in range(nt)})
+        return pa.table(cols)
+
+    st = ds.map_batches(stats, batch_format="pyarrow").materialize()
+
+    def partial(b: pa.Table) -> pa.Table:
+        dl = b["dl"].to_numpy(zero_copy_only=False)
+        cols = {"n": pa.array([len(dl)], type=pa.int64()),
+                "sumdl": pa.array([int(dl.sum())], type=pa.int64())}
+        for j in range(nt):
+            tf = b[f"tf{j}"].to_numpy(zero_copy_only=False)
+            cols[f"df{j}"] = pa.array([int((tf > 0).sum())],
+                                      type=pa.int64())
+        return pa.table(cols)
+
+    rows = st.map_batches(partial, batch_format="pyarrow").take_all()
+    n_docs = sum(r["n"] for r in rows)
+    sumdl = sum(r["sumdl"] for r in rows)
+    df = [sum(r[f"df{j}"] for r in rows) for j in range(nt)]
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "score": pa.array([], type=pa.float64())})
+    if n_docs == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    avgdl = sumdl / n_docs
+    idf = [math.log(1 + (n_docs - df[j] + 0.5) / (df[j] + 0.5))
+           for j in range(nt)]
+
+    def score_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        dl = b["dl"].to_numpy(zero_copy_only=False)
+        base = _BM25_K1 * ((1 - _BM25_B) + _BM25_B * (dl / avgdl))
+        s = None
+        for j in range(nt):
+            tf = b[f"tf{j}"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            term = idf[j] * ((tf * (_BM25_K1 + 1)) / (tf + base))
+            s = term if s is None else s + term
+        order = np.lexsort((ids, -s))[:topn]
+        return pa.table({"doc_id": pa.array(ids[order], type=pa.int64()),
+                         "score": pa.array(s[order], type=pa.float64())})
+
+    def final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        s = b["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -s))[:topn]
+        return pa.table({"doc_id": pa.array(ids[order], type=pa.int64()),
+                         "score": _canon_round(list(s[order]), 6)})
+
+    return st.map_batches(score_topk, batch_format="pyarrow",
+                          batch_size=None) \
+             .repartition(num_blocks=1) \
+             .map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def _sql_bm25_topk(terms=_BM25_TERMS, topn: int = _BM25_TOPN) -> str:
+    from .queries import _sql_round
+
+    k1, b = repr(_BM25_K1), repr(_BM25_B)
+    k1p1, omb = repr(_BM25_K1 + 1), repr(1 - _BM25_B)
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    joins, term_exprs = [], []
+    for j, t in enumerate(terms):
+        joins.append(f"LEFT JOIN tf t{j} ON t{j}.doc_id = d.doc_id "
+                     f"AND t{j}.t = '{t}'")
+        dfj = f"(SELECT count(*) FROM tf WHERE t = '{t}')"
+        term_exprs.append(
+            f"ln(1 + (g.n - {dfj} + 0.5) / ({dfj} + 0.5))"
+            f" * ((COALESCE(t{j}.tf, 0) * {k1p1})"
+            f" / (COALESCE(t{j}.tf, 0) + {k1} * ({omb} + {b}"
+            f" * (d.dl / (CAST(g.sumdl AS DOUBLE) / g.n)))))")
+    score = term_exprs[0]
+    for e in term_exprs[1:]:
+        score = f"({score} + {e})"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+),
+dl AS (
+  SELECT d.doc_id, COALESCE(c.c, CAST(0 AS BIGINT)) AS dl
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, count(*) AS c FROM tok GROUP BY 1) c USING (doc_id)
+),
+g AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM tok
+  WHERE t IN ({in_list}) GROUP BY 1, 2
+),
+s AS (
+  SELECT d.doc_id, {score} AS score_raw
+  FROM dl d CROSS JOIN g
+  {' '.join(joins)}
+)
+SELECT doc_id, {_sql_round('score_raw', 6)} AS score FROM s
+QUALIFY row_number() OVER (ORDER BY score_raw DESC, doc_id) <= {topn}
+"""
+
+
 WEBTEXT_QUERIES = {
+    "bm25_topk": q_bm25_topk,
     "pii_redact": q_pii_redact,
     "url_dedup": q_url_dedup,
     "line_dedup": q_line_dedup,
@@ -3518,6 +3688,7 @@ WEBTEXT_ORACLES = {
     # (equals the exact join at 64 bits/key); its SQL registers from
     # queries_ext's EXT_ORACLES to avoid a module-scope cross import
     # (the circular-import registration pattern).
+    "bm25_topk": _sql_bm25_topk(),
     "pii_redact": SQL_PII_REDACT,
     "url_dedup": SQL_URL_DEDUP,
     "line_dedup": SQL_LINE_DEDUP,

@@ -1026,3 +1026,62 @@ def test_set_similarity_join_vs_bruteforce(ray_session, tmp_path):
                 want.append((i, j, jac))
     assert got == sorted(want)
     assert len(want) >= 20  # every twin pair must be found
+
+
+def test_bm25_topk_vs_bruteforce(ray_session, tmp_path):
+    """BM25 ranking vs a pure-python reference over a random small
+    corpus with planted DUPLICATE docs (identical scores force the
+    doc_id tie-break at the top-n boundary) and an empty doc."""
+    import math
+    import random
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from refined_ray.pipelines.queries_webtext import (
+        _BM25_B, _BM25_K1, q_bm25_topk)
+
+    rng = random.Random(31)
+    vocab = ["dup", "hash", "merge", "vector", "scan", "row", "the"]
+    texts = [" ".join(rng.choice(vocab)
+                      for _ in range(rng.randrange(3, 30)))
+             for _ in range(40)]
+    texts += [texts[0], texts[0], ""]  # score ties + zero-dl doc
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    terms = ("dup", "hash", "merge", "vector")
+    topn = 10
+    got = q_bm25_topk(str(d), terms=terms, topn=topn).to_pandas()
+
+    toks = [re.findall(r"[a-z0-9]+", s.lower()) for s in texts]
+    N = len(texts)
+    avgdl = sum(len(x) for x in toks) / N
+    df = {q: sum(q in x for x in toks) for q in terms}
+    idf = {q: math.log(1 + (N - df[q] + 0.5) / (df[q] + 0.5))
+           for q in terms}
+
+    def score(i):
+        dl = len(toks[i])
+        base = _BM25_K1 * ((1 - _BM25_B) + _BM25_B * (dl / avgdl))
+        s = None
+        for q in terms:
+            tf = toks[i].count(q)
+            term = idf[q] * ((tf * (_BM25_K1 + 1)) / (tf + base))
+            s = term if s is None else s + term
+        return s
+
+    want = sorted(range(N), key=lambda i: (-score(i), i))[:topn]
+    assert list(got.doc_id) == want
+    for r in got.itertuples(index=False):
+        assert r.score == float(f"{score(r.doc_id):.6f}"), r.doc_id
+    # the planted duplicates must rank adjacently by doc_id
+    dups = [i for i in (0, 40, 41) if i in set(got.doc_id)]
+    if len(dups) >= 2:
+        pos = [list(got.doc_id).index(i) for i in dups]
+        assert pos == sorted(pos)
