@@ -12,8 +12,8 @@ import sys
 
 import pytest
 
-N_QUERIES = 123
-N_ORACLES = 102
+N_QUERIES = 124
+N_ORACLES = 103
 
 _FIRST = ["queries", "queries_ext", "queries_webtext", "queries_readers",
           "entity_resolution", "evaluation", "offline_build", "table_linking"]
