@@ -3244,6 +3244,121 @@ EXT_QUERIES["events_asof_order"] = q_events_asof_order
 EXT_ORACLES["events_asof_order"] = SQL_EVENTS_ASOF_ORDER
 
 
+# ---------------------------------------------------------------------
+# Conversion-funnel analysis (engine addition): the event-sequence
+# operator of product analytics — how many users progress through an
+# ordered stage sequence, each transition inside a conversion window.
+# Greedy earliest-completion semantics (the standard): stage k's
+# timestamp is the EARLIEST qualifying event strictly after stage
+# k-1's, within the window.
+# ---------------------------------------------------------------------
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+_FUNNEL_WINDOW_US = 2 * 86_400 * 1_000_000  # 2 days
+
+
+def q_event_funnel(sf_dir: str, stages=_FUNNEL_STAGES,
+                   window_us: int = _FUNNEL_WINDOW_US):
+    """(stage, event_type, n_users) for a greedy earliest-completion
+    funnel: t_1 = min ts of a stage-1 event; t_k = min ts of a
+    stage-k event with t_{k-1} < ts <= t_{k-1} + window.
+
+    Scale shape: ONE keyed exchange on user_id co-locates each user's
+    history, then the whole funnel runs vectorized inside the
+    partition (per-user segment mins via np.minimum.at — no python
+    loop over users, no per-user pandas); each block then emits |K|
+    tiny (stage, count) partial rows and the fold sums integers.
+    Timestamps compare as exact int64 microseconds, so the window
+    arithmetic replays bit-exactly against DuckDB INTERVAL math."""
+    from .. import default_num_partitions
+
+    stages = tuple(stages)
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    parted = ev.map_batches(lambda b: b.drop_null(),
+                            batch_format="pyarrow") \
+        .repartition(num_blocks=default_num_partitions(),
+                     keys=["user_id"], sort=False)
+
+    def partial(b: pa.Table) -> pa.Table:
+        counts = np.zeros(len(stages), dtype=np.int64)
+        if b.num_rows:
+            u = b["user_id"].to_numpy(zero_copy_only=False)
+            ts = b["ts"].to_numpy(zero_copy_only=False) \
+                .astype("datetime64[us]").astype(np.int64)
+            et = b["event_type"].to_numpy(zero_copy_only=False)
+            uu = np.unique(u)
+            uid = np.searchsorted(uu, u)
+            imax = np.iinfo(np.int64).max
+            # stage 1 has no lower bound: prev = -inf, window unbounded
+            prev = np.full(len(uu), np.iinfo(np.int64).min)
+            hi = np.full(len(uu), imax)
+            for s, name in enumerate(stages):
+                sel = (et == name) & (ts > prev[uid]) & (ts <= hi[uid])
+                smin = np.full(len(uu), imax)
+                np.minimum.at(smin, uid[sel], ts[sel])
+                reached = smin < imax
+                counts[s] = int(reached.sum())
+                prev = smin  # unreached users hold imax -> later fail
+                hi = smin.copy()
+                hi[reached] += window_us
+                hi[~reached] = np.iinfo(np.int64).min
+        return pa.table({
+            "stage": pa.array(np.arange(1, len(stages) + 1),
+                              type=pa.int64()),
+            "event_type": pa.array(list(stages), type=pa.string()),
+            "n_users": pa.array(counts, type=pa.int64())})
+
+    partials = parted.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=None)
+
+    def fold(b: pa.Table) -> pa.Table:
+        st = b["stage"].to_numpy(zero_copy_only=False)
+        n = b["n_users"].to_numpy(zero_copy_only=False)
+        tot = np.zeros(len(stages), dtype=np.int64)
+        np.add.at(tot, st - 1, n)
+        return pa.table({
+            "stage": pa.array(np.arange(1, len(stages) + 1),
+                              type=pa.int64()),
+            "event_type": pa.array(list(stages), type=pa.string()),
+            "n_users": pa.array(tot, type=pa.int64())})
+
+    return partials.repartition(num_blocks=1) \
+        .map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+
+def _sql_event_funnel(stages=_FUNNEL_STAGES,
+                      window_us: int = _FUNNEL_WINDOW_US) -> str:
+    parts = [f"""
+WITH e AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL
+),
+s1 AS (
+  SELECT user_id, min(ts) AS t FROM e
+  WHERE event_type = '{stages[0]}' GROUP BY 1
+)"""]
+    for i in range(1, len(stages)):
+        parts.append(f""",
+s{i + 1} AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM e JOIN s{i} p ON e.user_id = p.user_id
+  WHERE e.event_type = '{stages[i]}'
+    AND e.ts > p.t AND epoch_us(e.ts) <= epoch_us(p.t) + {window_us}
+  GROUP BY 1
+)""")
+    selects = [f"SELECT CAST({i + 1} AS BIGINT) AS stage, "
+               f"'{s}' AS event_type, count(*) AS n_users FROM s{i + 1}"
+               for i, s in enumerate(stages)]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
+EXT_QUERIES["event_funnel"] = q_event_funnel
+EXT_ORACLES["event_funnel"] = _sql_event_funnel()
+
+
 def q_events_range_join(sf_dir: str):
     """Range join (engine addition — see stages/rangejoin.py): each
     event matched to every OTHER event-type's activity window

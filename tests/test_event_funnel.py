@@ -1,0 +1,79 @@
+"""event_funnel: greedy earliest-completion funnel with a window."""
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _reference_funnel(rows, stages, window_us):
+    """Pure-python greedy replay over (user, ts_us, type) rows."""
+    by_user = {}
+    for u, t, e in rows:
+        by_user.setdefault(u, []).append((t, e))
+    counts = [0] * len(stages)
+    for evs in by_user.values():
+        prev, hi = None, None
+        for s, name in enumerate(stages):
+            cand = [t for t, e in evs
+                    if e == name and (prev is None or
+                                      (t > prev and t <= hi))]
+            if not cand:
+                break
+            prev = min(cand)
+            hi = prev + window_us
+            counts[s] += 1
+    return counts
+
+
+def test_event_funnel_vs_bruteforce(ray_session, tmp_path):
+    """Planted edge cases: a transition landing EXACTLY at
+    prev + window (inclusive), a same-instant next-stage event
+    (strict >, excluded), stage skips, and out-of-order arrival."""
+    import random
+
+    from refined_ray.pipelines.queries_ext import q_event_funnel
+
+    rng = random.Random(23)
+    stages = ("view", "click", "purchase")
+    W = 1000  # 1 ms window, microsecond granularity
+    rows = []
+    for u in range(40):
+        t0 = 1_700_000_000_000_000 + u * 10_000_000
+        n = rng.randrange(2, 12)
+        for _ in range(n):
+            rows.append((u, t0 + rng.randrange(0, 3 * W),
+                         rng.choice(stages)))
+    # user 100: click exactly at view + W (inclusive boundary -> counts)
+    rows += [(100, 10_000, "view"), (100, 10_000 + W, "click")]
+    # user 101: click at the SAME instant as view (strict > -> excluded)
+    rows += [(101, 20_000, "view"), (101, 20_000, "click")]
+    # user 102: purchase without click (stage skip)
+    rows += [(102, 30_000, "view"), (102, 30_100, "purchase")]
+    # user 103: full funnel, events arriving shuffled
+    rows += [(103, 40_300, "purchase"), (103, 40_000, "view"),
+             (103, 40_100, "click")]
+    rng.shuffle(rows)
+
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array([""] * len(rows)),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+
+    got = q_event_funnel(str(d), stages=stages, window_us=W) \
+        .to_pandas().sort_values("stage")
+    want = _reference_funnel(rows, stages, W)
+    assert list(got.n_users) == want
+    assert list(got.event_type) == list(stages)
+    # the planted users behave as designed
+    one_user = _reference_funnel([r for r in rows if r[0] == 100],
+                                 stages, W)
+    assert one_user[:2] == [1, 1]
+    assert _reference_funnel([r for r in rows if r[0] == 101],
+                             stages, W)[1] == 0
