@@ -62,6 +62,14 @@ HEADLINE = [
     # merges, then encode the corpus with them) — the real
     # tokens-under-the-trained-tokenizer measurement
     "bpe_encode",
+    # appended round 5 (late): the EXACT similarity-join family —
+    # AllPairs prefix-filtered set-similarity self-join (the lossless
+    # counterpart to neardup_shingle's MinHash-LSH) and the
+    # integer-lattice exact kNN-graph classifier (the exact
+    # counterpart to ann_topk) — recorded walls for the round's new
+    # operators
+    "set_similarity_join",
+    "knn_classify",
 ]
 
 # Single recorded runs of these swung 16-18% between rounds purely

@@ -3359,6 +3359,113 @@ EXT_QUERIES["event_funnel"] = q_event_funnel
 EXT_ORACLES["event_funnel"] = _sql_event_funnel()
 
 
+# ---------------------------------------------------------------------
+# Cohort retention (engine addition): the other canonical
+# event-sequence report — users grouped by first-seen day, counted on
+# each later day they return.  All-integer (epoch days), so the replay
+# is trivially exact.
+# ---------------------------------------------------------------------
+
+_RETENTION_MAX_OFFSET = 7
+
+
+def q_user_retention(sf_dir: str, max_offset: int = _RETENTION_MAX_OFFSET):
+    """(cohort_day, day_offset, n_users): users whose FIRST event fell
+    on epoch day ``cohort_day`` and who had >= 1 event on
+    ``cohort_day + day_offset``, for offsets 0..max_offset.
+
+    Scale shape: ONE keyed exchange on user_id co-locates each user's
+    history; per partition the cohort day and the distinct active-day
+    set compute vectorized (lexsort + segment boundaries); each block
+    then emits (cohort, offset) partial counts — at most
+    days x (max_offset+1) tiny rows — and a single-block integer fold
+    finishes.  The user dimension never leaves its partition."""
+    from .. import default_num_partitions
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    us_per_day = 86_400 * 1_000_000
+
+    parted = ev.map_batches(lambda b: b.drop_null(),
+                            batch_format="pyarrow") \
+        .repartition(num_blocks=default_num_partitions(),
+                     keys=["user_id"], sort=False)
+
+    empty = pa.table({"cohort_day": pa.array([], type=pa.int64()),
+                      "day_offset": pa.array([], type=pa.int64()),
+                      "n_users": pa.array([], type=pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        day = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // us_per_day
+        # distinct (user, day), user-sorted -> per-user segments
+        order = np.lexsort((day, u))
+        u, day = u[order], day[order]
+        keep = np.ones(len(u), dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (day[1:] != day[:-1])
+        u, day = u[keep], day[keep]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        sizes = np.diff(np.r_[starts, len(u)])
+        cohort = np.repeat(day[starts], sizes)  # first day per user
+        off = day - cohort
+        m = off <= max_offset
+        key = cohort[m] * (max_offset + 1) + off[m]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "cohort_day": pa.array(uk // (max_offset + 1),
+                                   type=pa.int64()),
+            "day_offset": pa.array(uk % (max_offset + 1),
+                                   type=pa.int64()),
+            "n_users": pa.array(cnt.astype(np.int64), type=pa.int64())})
+
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        c = b["cohort_day"].to_numpy(zero_copy_only=False)
+        o = b["day_offset"].to_numpy(zero_copy_only=False)
+        n = b["n_users"].to_numpy(zero_copy_only=False)
+        key = c * (max_offset + 1) + o
+        order = np.argsort(key, kind="stable")
+        key, n = key[order], n[order]
+        seg = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        tot = np.add.reduceat(n, seg)
+        return pa.table({
+            "cohort_day": pa.array(key[seg] // (max_offset + 1),
+                                   type=pa.int64()),
+            "day_offset": pa.array(key[seg] % (max_offset + 1),
+                                   type=pa.int64()),
+            "n_users": pa.array(tot.astype(np.int64), type=pa.int64())})
+
+    return parted.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None) \
+        .repartition(num_blocks=1) \
+        .map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+
+def _sql_user_retention(max_offset: int = _RETENTION_MAX_OFFSET) -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+a AS (SELECT DISTINCT user_id, day FROM e),
+f AS (SELECT user_id, min(day) AS cohort FROM a GROUP BY 1)
+SELECT f.cohort AS cohort_day, a.day - f.cohort AS day_offset,
+       count(*) AS n_users
+FROM a JOIN f USING (user_id)
+WHERE a.day - f.cohort <= {max_offset}
+GROUP BY 1, 2
+"""
+
+
+EXT_QUERIES["user_retention"] = q_user_retention
+EXT_ORACLES["user_retention"] = _sql_user_retention()
+
+
 def q_events_range_join(sf_dir: str):
     """Range join (engine addition — see stages/rangejoin.py): each
     event matched to every OTHER event-type's activity window
