@@ -1811,6 +1811,197 @@ SELECT v AS host_id, {_sql_round('r', 6)} AS rank FROM ({body}) final
 
 
 # ---------------------------------------------------------------------
+# Triangle counting over the host link graph (engine addition; the
+# third classic distributed-graph primitive after PageRank and
+# connected components — the clustering-coefficient / community-
+# density signal link-spam filters use).  Compact-forward / oriented
+# wedge counting (Latapy 2008 lineage).
+# ---------------------------------------------------------------------
+
+_TRI_RELS = ((7, 3), (11, 5), (17, 2))
+
+
+def q_host_triangles(sf_dir: str):
+    """(host, n_triangles) for every host on >= 1 triangle of the
+    UNDIRECTED simple host graph.  Edge synth: THREE deterministic
+    link relations per document, doc_id % 30 -> (a·doc_id + b) % 30
+    for (a, b) in _TRI_RELS — host_pagerank's single relation yields
+    a functional (out-degree-1) graph, which is triangle-FREE; the
+    three-relation union carries 16 triangles, so the oracle
+    comparison is non-degenerate.
+
+    Scale shape (oriented wedge counting): the edge multiset streams
+    once and dedupes to undirected simple edges with ONE keyed
+    exchange; degrees fold from per-block partials (node rows, never
+    edges); edges orient low->high under the (degree, id) TOTAL
+    order, so every triangle has exactly one apex owning both its
+    out-edges and out-degrees are O(sqrt(m))-bounded — hub nodes
+    cannot blow up the per-apex pair enumeration; wedges enumerate
+    inside ONE src-keyed exchange and the closing edge matches via a
+    co-partitioned join on (u, v); matched triangles explode three
+    credit rows and fold.  The degree->rank table is node-dimension
+    state and broadcasts via ray.put (the pagerank rank-vector
+    budget note applies); edges and wedges never sit on the driver."""
+    import ray
+
+    from .. import default_num_partitions
+    from .queries import _dedup_ab
+
+    nparts = default_num_partitions()
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def und_edges(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        aa, bb = [], []
+        for fa, fb in _TRI_RELS:
+            src = (did % _PR_MOD).astype(np.int64)
+            dst = ((did * fa + fb) % _PR_MOD).astype(np.int64)
+            m = src != dst
+            aa.append(np.minimum(src[m], dst[m]))
+            bb.append(np.maximum(src[m], dst[m]))
+        return pa.table({"a": pa.array(np.concatenate(aa)),
+                         "b": pa.array(np.concatenate(bb))})
+
+    edges = ds.map_batches(und_edges, batch_format="pyarrow") \
+        .repartition(num_blocks=nparts, keys=["a", "b"], sort=False) \
+        .map_batches(_dedup_ab, batch_format="pyarrow",
+                     batch_size=None).materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        n = np.concatenate([b["a"].to_numpy(zero_copy_only=False),
+                            b["b"].to_numpy(zero_copy_only=False)])
+        u, c = np.unique(n, return_counts=True)
+        return pa.table({"node": pa.array(u, type=pa.int64()),
+                         "deg": pa.array(c.astype(np.int64),
+                                         type=pa.int64())})
+
+    rows = edges.map_batches(deg_partial, batch_format="pyarrow") \
+        .take_all()
+    agg: dict[int, int] = {}
+    for r in rows:  # <= nodes x blocks tiny rows
+        agg[r["node"]] = agg.get(r["node"], 0) + r["deg"]
+    node_ids = np.array(sorted(agg), dtype=np.int64)
+    degs = np.array([agg[n] for n in node_ids], dtype=np.int64)
+    # dense rank under the (degree, id) total order
+    rank = np.empty(len(node_ids), dtype=np.int64)
+    rank[np.lexsort((node_ids, degs))] = np.arange(len(node_ids))
+    rref = ray.put((node_ids, rank))
+
+    def _ranks(ids: np.ndarray, table) -> np.ndarray:
+        nid, rk = table
+        return rk[np.searchsorted(nid, ids)]
+
+    def orient(b: pa.Table, _r=rref) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"src": pa.array([], type=pa.int64()),
+                             "dst": pa.array([], type=pa.int64())})
+        t = ray.get(_r)
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        swap = _ranks(a, t) > _ranks(bb, t)
+        return pa.table({
+            "src": pa.array(np.where(swap, bb, a), type=pa.int64()),
+            "dst": pa.array(np.where(swap, a, bb), type=pa.int64())})
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow") \
+        .materialize()
+
+    def wedges(b: pa.Table, _r=rref) -> pa.Table:
+        empty = pa.table({"u": pa.array([], type=pa.int64()),
+                          "v": pa.array([], type=pa.int64()),
+                          "apex": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        t = ray.get(_r)
+        src = b["src"].to_numpy(zero_copy_only=False)
+        dst = b["dst"].to_numpy(zero_copy_only=False)
+        # per apex: out-neighbours sorted by rank; emit ordered pairs
+        order = np.lexsort((_ranks(dst, t), src))
+        src, dst = src[order], dst[order]
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        sizes = np.diff(np.r_[starts, len(src)])
+        us, vs, ap = [], [], []
+        for s, n in zip(starts, sizes):
+            if n < 2:
+                continue
+            nb = dst[s:s + n]
+            ii, jj = np.triu_indices(n, k=1)
+            us.append(nb[ii])
+            vs.append(nb[jj])
+            ap.append(np.full(len(ii), src[s], dtype=np.int64))
+        if not us:
+            return empty
+        return pa.table({"u": pa.array(np.concatenate(us)),
+                         "v": pa.array(np.concatenate(vs)),
+                         "apex": pa.array(np.concatenate(ap))})
+
+    w = oriented.repartition(num_blocks=nparts, keys=["src"], sort=False) \
+        .map_batches(wedges, batch_format="pyarrow", batch_size=None)
+
+    closing = oriented.rename_columns({"src": "u", "dst": "v"})
+    w = w.materialize()
+    empty_out = pa.table({"host": pa.array([], type=pa.int64()),
+                          "n_triangles": pa.array([], type=pa.int64())})
+    if w.count() == 0:
+        # triangle-free graph: Ray's hash join would synthesize
+        # zero-COLUMN blocks from the empty side (the _verify_pairs
+        # quirk) — short-circuit with a typed empty result
+        import ray.data as rd
+
+        return rd.from_arrow(empty_out)
+    tri = w.join(closing, join_type="inner", num_partitions=nparts,
+                 on=("u", "v"))
+
+    def credit(b: pa.Table) -> pa.Table:
+        n = np.concatenate([b["u"].to_numpy(zero_copy_only=False),
+                            b["v"].to_numpy(zero_copy_only=False),
+                            b["apex"].to_numpy(zero_copy_only=False)])
+        u, c = np.unique(n, return_counts=True)
+        return pa.table({"host": pa.array(u, type=pa.int64()),
+                         "n_triangles": pa.array(c.astype(np.int64),
+                                                 type=pa.int64())})
+
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"host": pa.array([], type=pa.int64()),
+                             "n_triangles": pa.array([],
+                                                     type=pa.int64())})
+        h = b["host"].to_numpy(zero_copy_only=False)
+        c = b["n_triangles"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h, c = h[order], c[order]
+        seg = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        return pa.table({
+            "host": pa.array(h[seg], type=pa.int64()),
+            "n_triangles": pa.array(
+                np.add.reduceat(c, seg).astype(np.int64),
+                type=pa.int64())})
+
+    return tri.map_batches(credit, batch_format="pyarrow") \
+        .repartition(num_blocks=1) \
+        .map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+
+SQL_HOST_TRIANGLES = f"""
+WITH e0 AS ({" UNION ALL ".join(
+    f"SELECT doc_id % {_PR_MOD} AS src, "
+    f"(doc_id * {fa} + {fb}) % {_PR_MOD} AS dst FROM documents"
+    for fa, fb in _TRI_RELS)}),
+e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM e0 WHERE src <> dst),
+t AS (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM e a JOIN e b ON b.u = a.u AND b.v > a.v
+  JOIN e c ON c.u = a.v AND c.v = b.v
+),
+cr AS (SELECT x AS host FROM t
+       UNION ALL SELECT y FROM t
+       UNION ALL SELECT z FROM t)
+SELECT host, count(*) AS n_triangles FROM cr GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------
 # Fuzzy cross-corpus decontamination (engine addition;
 # RefinedWeb/FineWeb near-dup decontamination family)
 # ---------------------------------------------------------------------
@@ -3670,6 +3861,7 @@ WEBTEXT_QUERIES = {
     "blocking_quality": q_blocking_quality,
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
     "host_pagerank": q_host_pagerank,
+    "host_triangles": q_host_triangles,
     "dsir_select": q_dsir_select,
     "selfdup_lines": q_selfdup_lines,
     "host_boilerplate": q_host_boilerplate,
@@ -3705,6 +3897,7 @@ WEBTEXT_ORACLES = {
     "blocking_quality": _sql_blocking_quality(),
     "fuzzy_decontaminate": _sql_fuzzy_decontaminate(),
     "host_pagerank": _sql_host_pagerank(),
+    "host_triangles": SQL_HOST_TRIANGLES,
     "dsir_select": _sql_dsir_select(),
     "selfdup_lines": SQL_SELFDUP_LINES,
     "host_boilerplate": SQL_HOST_BOILERPLATE,
