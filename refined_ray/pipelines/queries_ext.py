@@ -3466,6 +3466,107 @@ EXT_QUERIES["user_retention"] = q_user_retention
 EXT_ORACLES["user_retention"] = _sql_user_retention()
 
 
+# ---------------------------------------------------------------------
+# Event-transition counting (engine addition): the first-order Markov
+# matrix of per-user event sequences — sequence mining's base
+# operator (next-action prediction features, UX flow analysis).
+# ---------------------------------------------------------------------
+
+
+def q_event_transitions(sf_dir: str):
+    """(prev_type, event_type, n): global counts of consecutive
+    event-type pairs within each user's timeline, ordered by
+    (ts, event_id) — event_id breaks same-instant ties exactly like
+    the SQL window's ORDER BY.
+
+    Scale shape: ONE keyed exchange on user_id; transitions come from
+    one in-partition lexsort + a shifted comparison (no python per
+    event); types dictionary-encode so pair counting is integer
+    np.unique on codes; each block emits at most |types|² tiny
+    partial rows into a single-block fold."""
+    from .. import default_num_partitions
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    parted = ev.map_batches(lambda b: b.drop_null(),
+                            batch_format="pyarrow") \
+        .repartition(num_blocks=default_num_partitions(),
+                     keys=["user_id"], sort=False)
+
+    empty = pa.table({"prev_type": pa.array([], type=pa.string()),
+                      "event_type": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows < 2:
+            return empty
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        ts = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        col = b["event_type"]
+        enc = pc.dictionary_encode(col.combine_chunks()
+                                   if isinstance(col, pa.ChunkedArray)
+                                   else col)
+        dic = enc.dictionary.to_pylist()
+        code = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, code = u[order], code[order]
+        same = u[1:] == u[:-1]
+        key = code[:-1][same] * len(dic) + code[1:][same]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "prev_type": pa.array([dic[k // len(dic)] for k in uk],
+                                  type=pa.string()),
+            "event_type": pa.array([dic[k % len(dic)] for k in uk],
+                                   type=pa.string()),
+            "n": pa.array(cnt.astype(np.int64), type=pa.int64())})
+
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        p = np.array(b["prev_type"].to_pylist(), dtype=object)
+        e = np.array(b["event_type"].to_pylist(), dtype=object)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e.astype("U"), p.astype("U")))
+        p, e, n = p[order], e[order], n[order]
+        seg = np.flatnonzero(np.r_[True, (p[1:] != p[:-1])
+                                   | (e[1:] != e[:-1])])
+        return pa.table({
+            "prev_type": pa.array(p[seg], type=pa.string()),
+            "event_type": pa.array(e[seg], type=pa.string()),
+            "n": pa.array(np.add.reduceat(n, seg).astype(np.int64),
+                          type=pa.int64())})
+
+    return parted.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None) \
+        .repartition(num_blocks=1) \
+        .map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND event_type IS NOT NULL
+),
+s AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM e
+)
+SELECT prev_type, event_type, count(*) AS n
+FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
+EXT_QUERIES["event_transitions"] = q_event_transitions
+EXT_ORACLES["event_transitions"] = SQL_EVENT_TRANSITIONS
+
+
 def q_events_range_join(sf_dir: str):
     """Range join (engine addition — see stages/rangejoin.py): each
     event matched to every OTHER event-type's activity window

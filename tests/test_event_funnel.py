@@ -77,3 +77,49 @@ def test_event_funnel_vs_bruteforce(ray_session, tmp_path):
     assert one_user[:2] == [1, 1]
     assert _reference_funnel([r for r in rows if r[0] == 101],
                              stages, W)[1] == 0
+
+
+def test_event_transitions_vs_bruteforce(ray_session, tmp_path):
+    """Same-instant events must order by event_id (the SQL window's
+    tie-break); single-event users contribute nothing."""
+    import random
+
+    from refined_ray.pipelines.queries_ext import q_event_transitions
+
+    rng = random.Random(13)
+    types = ["a", "b", "c"]
+    rows = []  # (event_id, user, ts_us, type)
+    eid = 0
+    for u in range(25):
+        n = rng.randrange(1, 10)
+        for _ in range(n):
+            rows.append((eid, u, 1_000_000 * rng.randrange(0, 5),
+                         rng.choice(types)))  # heavy ts collisions
+            eid += 1
+    rng.shuffle(rows)
+
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array(np.array([r[2] for r in rows],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array([""] * len(rows)),
+    })
+    d = tmp_path / "sft"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet", row_group_size=11)
+
+    got = sorted(map(tuple, q_event_transitions(str(d)).to_pandas()
+                     .itertuples(index=False, name=None)))
+
+    by_user = {}
+    for e, u, ts, et in rows:
+        by_user.setdefault(u, []).append((ts, e, et))
+    want = {}
+    for evs in by_user.values():
+        evs.sort()
+        for (_, _, p), (_, _, c) in zip(evs, evs[1:]):
+            want[(p, c)] = want.get((p, c), 0) + 1
+    assert got == sorted((p, c, n) for (p, c), n in want.items())
