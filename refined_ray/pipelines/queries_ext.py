@@ -3567,6 +3567,170 @@ EXT_QUERIES["event_transitions"] = q_event_transitions
 EXT_ORACLES["event_transitions"] = SQL_EVENT_TRANSITIONS
 
 
+# ---------------------------------------------------------------------
+# Rate-anomaly detection (engine addition): flag hours whose per-type
+# event rate sits >= 2 standard deviations from that type's mean —
+# the monitoring/alerting primitive over event streams.  All moments
+# accumulate as exact integers; the float expressions share one shape
+# with the SQL so the z-scores (and the >= 2 cut) replay bit-exactly.
+# ---------------------------------------------------------------------
+
+_ANOMALY_Z = 2.0
+
+
+def q_event_rate_anomaly(sf_dir: str, z_cut: float = _ANOMALY_Z):
+    """(event_type, hour, cnt, z) for hours where
+    |cnt - mean_type| / std_type >= z_cut, statistics over the hours
+    in which the type occurs; population variance, var > 0 guard.
+
+    Scale shape: per-block partial (type, hour) counts pre-aggregate
+    BEFORE one keyed exchange (hour rows, never events); per-type
+    moments (n, Σc, Σc²) fold from per-block integer partials —
+    order-independent, type-dimension tiny — and broadcast in the
+    scoring closure; the anomaly cut is a stateless map over the
+    count table."""
+    from .. import default_num_partitions
+    from .queries import _canon_round
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    us_h = 3_600 * 1_000_000
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                          "hour": pa.array([], type=pa.int64()),
+                          "cnt": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        b = b.drop_null()
+        et = np.array(b["event_type"].to_pylist(), dtype=object)
+        h = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // us_h
+        order = np.lexsort((h, et.astype("U")))
+        et, h = et[order], h[order]
+        seg = np.flatnonzero(np.r_[True, (et[1:] != et[:-1])
+                                   | (h[1:] != h[:-1])])
+        cnt = np.diff(np.r_[seg, len(h)])
+        return pa.table({"event_type": pa.array(et[seg],
+                                                type=pa.string()),
+                         "hour": pa.array(h[seg], type=pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64),
+                                         type=pa.int64())})
+
+    def cnt_fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"event_type": pa.array([],
+                                                    type=pa.string()),
+                             "hour": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        et = np.array(b["event_type"].to_pylist(), dtype=object)
+        h = b["hour"].to_numpy(zero_copy_only=False)
+        c = b["cnt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, et.astype("U")))
+        et, h, c = et[order], h[order], c[order]
+        seg = np.flatnonzero(np.r_[True, (et[1:] != et[:-1])
+                                   | (h[1:] != h[:-1])])
+        return pa.table({
+            "event_type": pa.array(et[seg], type=pa.string()),
+            "hour": pa.array(h[seg], type=pa.int64()),
+            "cnt": pa.array(np.add.reduceat(c, seg).astype(np.int64),
+                            type=pa.int64())})
+
+    counts = ev.map_batches(cnt_partial, batch_format="pyarrow") \
+        .repartition(num_blocks=default_num_partitions(),
+                     keys=["event_type", "hour"], sort=False) \
+        .map_batches(cnt_fold, batch_format="pyarrow",
+                     batch_size=None).materialize()
+
+    def mom_partial(b: pa.Table) -> pa.Table:
+        et = np.array(b["event_type"].to_pylist(), dtype=object)
+        c = b["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(et.astype("U"), kind="stable")
+        et, c = et[order], c[order]
+        seg = np.flatnonzero(np.r_[True, et[1:] != et[:-1]]) \
+            if len(et) else np.empty(0, dtype=np.int64)
+        n = np.diff(np.r_[seg, len(et)]) if len(et) else []
+        return pa.table({
+            "event_type": pa.array(et[seg] if len(et) else [],
+                                   type=pa.string()),
+            "n": pa.array(np.asarray(n, dtype=np.int64),
+                          type=pa.int64()),
+            "sn": pa.array(np.add.reduceat(c, seg).astype(np.int64)
+                           if len(et) else [], type=pa.int64()),
+            "sq": pa.array(np.add.reduceat(c * c, seg).astype(np.int64)
+                           if len(et) else [], type=pa.int64())})
+
+    rows = counts.map_batches(mom_partial,
+                              batch_format="pyarrow").take_all()
+    mom: dict[str, list[int]] = {}
+    for r in rows:  # <= types x blocks tiny rows, integer fold
+        m = mom.setdefault(r["event_type"], [0, 0, 0])
+        m[0] += r["n"]
+        m[1] += r["sn"]
+        m[2] += r["sq"]
+    stats = {}
+    for t, (n, sn, sq) in mom.items():
+        mean = sn / n
+        var = (sq / n) - (mean * mean)
+        stats[t] = (mean, var)
+
+    def flag(b: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                          "hour": pa.array([], type=pa.timestamp("us")),
+                          "cnt": pa.array([], type=pa.int64()),
+                          "z": pa.array([], type=pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        et = b["event_type"].to_pylist()
+        h = b["hour"].to_numpy(zero_copy_only=False)
+        c = b["cnt"].to_numpy(zero_copy_only=False)
+        import math
+
+        keep, zs = [], []
+        for i, t in enumerate(et):
+            mean, var = stats[t]
+            if var > 0:
+                z = (c[i] - mean) / math.sqrt(var)
+                if abs(z) >= z_cut:
+                    keep.append(i)
+                    zs.append(z)
+        return pa.table({
+            "event_type": pa.array([et[i] for i in keep],
+                                   type=pa.string()),
+            "hour": pa.array((h[keep] * us_h)
+                             .astype("datetime64[us]")),
+            "cnt": pa.array(c[keep], type=pa.int64()),
+            "z": _canon_round(zs, 6)})
+
+    return counts.map_batches(flag, batch_format="pyarrow")
+
+
+def _sql_event_rate_anomaly(z_cut: float = _ANOMALY_Z) -> str:
+    from .queries import _sql_round
+
+    mean = "(CAST(s.sn AS DOUBLE) / s.n)"
+    var = f"((CAST(s.sq AS DOUBLE) / s.n) - ({mean} * {mean}))"
+    z = f"((c.cnt - {mean}) / sqrt({var}))"
+    return f"""
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, count(*) AS n, CAST(sum(cnt) AS BIGINT) AS sn,
+         CAST(sum(cnt * cnt) AS BIGINT) AS sq
+  FROM c GROUP BY 1
+)
+SELECT c.event_type, c.hour, c.cnt, {_sql_round(z, 6)} AS z
+FROM c JOIN s USING (event_type)
+WHERE {var} > 0 AND abs({z}) >= {z_cut!r}
+"""
+
+
+EXT_QUERIES["event_rate_anomaly"] = q_event_rate_anomaly
+EXT_ORACLES["event_rate_anomaly"] = _sql_event_rate_anomaly()
+
+
 def q_events_range_join(sf_dir: str):
     """Range join (engine addition — see stages/rangejoin.py): each
     event matched to every OTHER event-type's activity window

@@ -123,3 +123,55 @@ def test_event_transitions_vs_bruteforce(ray_session, tmp_path):
         for (_, _, p), (_, _, c) in zip(evs, evs[1:]):
             want[(p, c)] = want.get((p, c), 0) + 1
     assert got == sorted((p, c, n) for (p, c), n in want.items())
+
+
+def test_event_rate_anomaly_vs_bruteforce(ray_session, tmp_path):
+    """A planted spike hour must flag; a flat type must flag nothing
+    (var = 0 guard); z replays the exact float shape."""
+    import math
+    import random
+
+    from refined_ray.pipelines.queries_ext import q_event_rate_anomaly
+
+    rng = random.Random(3)
+    US_H = 3_600 * 1_000_000
+    rows = []  # (ts_us, type)
+    for h in range(48):
+        for _ in range(rng.randrange(5, 9)):
+            rows.append((h * US_H + rng.randrange(0, US_H), "steady"))
+        rows.append((h * US_H + 1, "flat"))  # exactly 1/hour: var 0
+    for _ in range(80):  # the spike
+        rows.append((10 * US_H + rng.randrange(0, US_H), "steady"))
+    rng.shuffle(rows)
+
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array(np.array([r[0] for r in rows],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([0] * len(rows), type=pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array([""] * len(rows)),
+    })
+    d = tmp_path / "sfa"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet", row_group_size=37)
+
+    got = q_event_rate_anomaly(str(d)).to_pandas()
+    assert set(got.event_type) == {"steady"}  # flat: var-0 guarded
+
+    cnt = {}
+    for ts, et in rows:
+        if et == "steady":
+            cnt[ts // US_H] = cnt.get(ts // US_H, 0) + 1
+    n = len(cnt)
+    sn, sq = sum(cnt.values()), sum(c * c for c in cnt.values())
+    mean = sn / n
+    var = (sq / n) - (mean * mean)
+    want = {(h, c, float(f"{(c - mean) / math.sqrt(var):.6f}"))
+            for h, c in cnt.items()
+            if abs((c - mean) / math.sqrt(var)) >= 2.0}
+    got_set = {(int(r.hour.timestamp() * 1_000_000) // US_H, r.cnt, r.z)
+               for r in got.itertuples()}
+    assert got_set == want
+    assert any(h == 10 for h, _, _ in got_set)  # the planted spike

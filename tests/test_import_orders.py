@@ -12,8 +12,8 @@ import sys
 
 import pytest
 
-N_QUERIES = 128
-N_ORACLES = 107
+N_QUERIES = 129
+N_ORACLES = 108
 
 _FIRST = ["queries", "queries_ext", "queries_webtext", "queries_readers",
           "entity_resolution", "evaluation", "offline_build", "table_linking"]
