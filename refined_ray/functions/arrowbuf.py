@@ -64,3 +64,25 @@ def exact_jaccard_pairs(col_a, col_b) -> np.ndarray:
     inter = np.bincount(p[1:][dup], minlength=n)
     union = na + nb - inter
     return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+
+
+def exact_containment_pairs(col_a, col_b) -> np.ndarray:
+    """Row-wise EXACT containment |A∩B| / |A| between two binary
+    columns of sorted-distinct uint64 sets (the asymmetric twin of
+    ``exact_jaccard_pairs``, same lexsort+bincount kernel).  Empty A →
+    containment 1.0 (vacuously contained, matching the convention
+    that two empty sets are identical)."""
+    n = len(col_a)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    A, offa = u64_segments(col_a)
+    B, offb = u64_segments(col_b)
+    na, nb = np.diff(offa), np.diff(offb)
+    pid = np.concatenate([np.repeat(np.arange(n), na),
+                          np.repeat(np.arange(n), nb)])
+    vals = np.concatenate([A, B])
+    order = np.lexsort((vals, pid))
+    p, v = pid[order], vals[order]
+    dup = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
+    inter = np.bincount(p[1:][dup], minlength=n)
+    return np.where(na > 0, inter / np.maximum(na, 1), 1.0)

@@ -661,10 +661,19 @@ def _verify_pairs(payload, pairs, threshold: float, nparts: int):
                           "jaccard": pa.array([], type=pa.float64())})
         return rd.from_arrow(empty)
 
+    from .. import scrub_empty_blocks
+
     side = payload.select_columns(["doc_id", "set", "n_distinct"])
     a_side = side.rename_columns({"doc_id": "a", "set": "set_a", "n_distinct": "na"})
     b_side = side.rename_columns({"doc_id": "b", "set": "set_b", "n_distinct": "nb"})
-    enriched = pairs.join(a_side, join_type="inner", num_partitions=nparts, on=("a",))
+    # scrub zero-column empty blocks between the chained joins — the
+    # engine-wide contract (scrub_empty_blocks): sparse pair sets leave
+    # unpopulated join partitions whose schemaless empties flakily
+    # crash the SECOND join's finalization
+    pairs = scrub_empty_blocks(pairs)
+    enriched = scrub_empty_blocks(
+        pairs.join(a_side, join_type="inner", num_partitions=nparts,
+                   on=("a",)).materialize())
     enriched = enriched.join(b_side, join_type="inner", num_partitions=nparts, on=("b",)).materialize()
 
     def verify(b: pa.Table) -> pa.Table:
@@ -824,6 +833,151 @@ SELECT doc_a, doc_b,
        inter / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
 FROM p JOIN c ca ON ca.doc_id = doc_a JOIN c cb ON cb.doc_id = doc_b
 WHERE inter / CAST(ca.n + cb.n - inter AS DOUBLE) >= 0.7
+"""
+
+
+def q_containment_join(sf_dir: str, num: int = 4, den: int = 5):
+    """EXACT set-containment join (the ASYMMETRIC twin of
+    q_set_similarity_join — quote/subset detection): every DIRECTED
+    document pair (a, b) with |shingles(a) ∩ shingles(b)| /
+    |shingles(a)| >= num/den, i.e. a's content appears (almost)
+    wholly inside b.
+
+    Completeness: containment >= t means |A∩B| >= ceil(t·|A|) (an
+    integer count); if B avoided ALL of A's first |A| - ceil(t·|A|)
+    + 1 shingles under the global hash order, the intersection would
+    fit inside A's ceil(t·|A|) - 1 element suffix — contradiction.
+    So A-side posts its PREFIX and, because containment puts no bound
+    on B's extra elements, B-side posts its FULL set (the inverted-
+    index shape every quote-detection system carries; a production
+    deployment df-caps the B postings at a measured recall cost —
+    here it stays uncapped because the oracle demands exactness).
+    Directed dedupe (not min/max) since (a in b) and (b in a) are
+    different facts.  ceil in integers: (num*n + den-1) // den."""
+    from .. import default_num_partitions
+
+    threshold = num / den
+    payload = _doc_sign(sf_dir, 3).materialize()
+    nparts = default_num_partitions()
+
+    def postings(b: pa.Table) -> pa.Table:
+        empty = pa.table({"block_key": pa.array([], type=pa.int64()),
+                          "doc_id": pa.array([], type=pa.int64()),
+                          "role": pa.array([], type=pa.int8())})
+        if b.num_rows == 0:
+            return empty
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sets = [np.frombuffer(x, dtype=np.uint64)
+                for x in b["set"].to_pylist()]
+        keys, docs, roles = [], [], []
+        for d, s in zip(ids, sets):
+            h = np.sort(s).view(np.int64)  # global order = hash asc
+            n = len(h)
+            plen = n - ((num * n + den - 1) // den) + 1
+            keys.append(h)
+            docs.append(np.full(n, d, dtype=np.int64))
+            r = np.ones(n, dtype=np.int8)
+            r[:plen] = 0  # 0 = prefix (query side), 1 = full (index)
+            roles.append(r)
+        return pa.table({
+            "block_key": pa.array(np.concatenate(keys), type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(docs), type=pa.int64()),
+            "role": pa.array(np.concatenate(roles), type=pa.int8())})
+
+    post = payload.map_batches(postings, batch_format="pyarrow")
+
+    def enumerate_pairs(b: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        k = b["block_key"].to_numpy(zero_copy_only=False)
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        r = b["role"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, r, k))
+        k, d, r = k[order], d[order], r[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        sizes = np.diff(np.r_[starts, len(k)])
+        a_out, b_out = [], []
+        for s, n in zip(starts, sizes):
+            rr, dd = r[s:s + n], d[s:s + n]
+            # prefix occurrences of the gram pair with EVERY document
+            # containing it (a doc's prefix grams are also in its own
+            # full posting — the a != b mask drops the self pair)
+            qa = dd[rr == 0]
+            if not len(qa):
+                continue
+            ii, jj = np.meshgrid(qa, dd, indexing="ij")
+            m = ii != jj
+            a_out.append(ii[m])
+            b_out.append(jj[m])
+        if not a_out:
+            return empty
+        return pa.table({"a": pa.array(np.concatenate(a_out),
+                                       type=pa.int64()),
+                         "b": pa.array(np.concatenate(b_out),
+                                       type=pa.int64())})
+
+    from .. import scrub_empty_blocks
+
+    pairs = scrub_empty_blocks(
+        post.repartition(num_blocks=nparts, keys=["block_key"],
+                         sort=False)
+        .map_batches(enumerate_pairs, batch_format="pyarrow",
+                     batch_size=None)
+        .repartition(num_blocks=nparts, keys=["a", "b"], sort=False)
+        .map_batches(_dedup_ab, batch_format="pyarrow",
+                     batch_size=None).materialize())
+
+    import ray.data as rd
+
+    empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                      "doc_b": pa.array([], type=pa.int64()),
+                      "containment": pa.array([], type=pa.float64())})
+    if pairs.count() == 0:
+        return rd.from_arrow(empty)
+
+    side = payload.select_columns(["doc_id", "set", "n_distinct"])
+    a_side = side.rename_columns({"doc_id": "a", "set": "set_a",
+                                  "n_distinct": "na"})
+    b_side = side.select_columns(["doc_id", "set"]) \
+        .rename_columns({"doc_id": "b", "set": "set_b"})
+    enriched = scrub_empty_blocks(
+        pairs.join(a_side, join_type="inner",
+                   num_partitions=nparts, on=("a",)).materialize())
+    enriched = enriched.join(b_side, join_type="inner",
+                             num_partitions=nparts,
+                             on=("b",)).materialize()
+
+    def verify(t: pa.Table) -> pa.Table:
+        from ..functions.arrowbuf import exact_containment_pairs
+
+        if t.num_rows == 0:
+            return empty
+        c = exact_containment_pairs(t["set_a"], t["set_b"])
+        a_ids = t["a"].to_numpy(zero_copy_only=False)
+        b_ids = t["b"].to_numpy(zero_copy_only=False)
+        m = c >= threshold
+        return pa.table({"doc_a": pa.array(a_ids[m], type=pa.int64()),
+                         "doc_b": pa.array(b_ids[m], type=pa.int64()),
+                         "containment": pa.array(c[m],
+                                                 type=pa.float64())})
+
+    return enriched.map_batches(verify, batch_format="pyarrow")
+
+
+SQL_CONTAINMENT_JOIN = f"""
+WITH sh AS ({_sql_shingles()}),
+u AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+c AS (SELECT doc_id, len(shingles) AS n FROM sh),
+p AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+  FROM u x JOIN u y ON x.s = y.s AND x.doc_id <> y.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter / CAST(ca.n AS DOUBLE) AS containment
+FROM p JOIN c ca ON ca.doc_id = doc_a
+WHERE inter / CAST(ca.n AS DOUBLE) >= 0.8
 """
 
 
@@ -1375,6 +1529,7 @@ QUERIES = {
     "mention_phrases": q_mention_phrases,
     "neardup_shingle": q_neardup_shingle,
     "set_similarity_join": q_set_similarity_join,
+    "containment_join": q_containment_join,
     "neardup_token": q_neardup_token,
     "doc_clusters": q_doc_clusters,
     "ann_topk": q_ann_topk,
@@ -1449,6 +1604,7 @@ def oracles() -> dict[str, str]:
         "mention_phrases": SQL_MENTION_PHRASES,
         "neardup_shingle": SQL_NEARDUP_SHINGLE,
         "set_similarity_join": SQL_SET_SIMILARITY_JOIN,
+        "containment_join": SQL_CONTAINMENT_JOIN,
         "neardup_token": SQL_NEARDUP_TOKEN,
         "doc_clusters": SQL_DOC_CLUSTERS,
         "ann_topk": SQL_ANN_TOPK,

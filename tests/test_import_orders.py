@@ -12,8 +12,8 @@ import sys
 
 import pytest
 
-N_QUERIES = 129
-N_ORACLES = 108
+N_QUERIES = 130
+N_ORACLES = 109
 
 _FIRST = ["queries", "queries_ext", "queries_webtext", "queries_readers",
           "entity_resolution", "evaluation", "offline_build", "table_linking"]

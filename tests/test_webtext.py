@@ -1085,3 +1085,58 @@ def test_bm25_topk_vs_bruteforce(ray_session, tmp_path):
     if len(dups) >= 2:
         pos = [list(got.doc_id).index(i) for i in dups]
         assert pos == sorted(pos)
+
+
+def test_containment_join_vs_bruteforce(ray_session, tmp_path):
+    """Asymmetric containment: a short doc planted INSIDE a long one
+    must be found in that direction only; plus random corpus parity
+    against shingle-STRING brute force (cross-validating the hash-set
+    representation)."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from refined_ray.functions.tokenize import tokenize
+    from refined_ray.pipelines.queries import q_containment_join
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(30))
+             for _ in range(15)]
+    # quote: doc 15 is a verbatim slice of doc 0 (fully contained)
+    texts.append(" ".join(texts[0].split()[4:16]))
+    # near-quote: one token changed inside the slice
+    toks = texts[0].split()[4:16]
+    toks[3] = "zzz"
+    texts.append(" ".join(toks))
+    texts += ["", "one two"]
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    d = tmp_path / "sfc"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    got = sorted(map(tuple, q_containment_join(str(d)).to_pandas()
+                     [["doc_a", "doc_b", "containment"]]
+                     .itertuples(index=False, name=None)))
+
+    def shingles(text):
+        tk = tokenize(text)
+        if len(tk) >= 3:
+            return {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
+        return {" ".join(tk)}
+
+    S = [shingles(x) for x in texts]
+    want = []
+    for i in range(len(texts)):
+        for j in range(len(texts)):
+            if i == j:
+                continue
+            c = len(S[i] & S[j]) / len(S[i])
+            if c >= 0.8:
+                want.append((i, j, c))
+    assert got == sorted(want)
+    assert (15, 0) in {(a, b) for a, b, _ in got}      # the quote
+    assert (0, 15) not in {(a, b) for a, b, _ in got}  # not reversed
