@@ -3731,6 +3731,80 @@ EXT_QUERIES["event_rate_anomaly"] = q_event_rate_anomaly
 EXT_ORACLES["event_rate_anomaly"] = _sql_event_rate_anomaly()
 
 
+# ---------------------------------------------------------------------
+# Skyline / Pareto-dominance filter (engine addition; the classic
+# multi-criteria DB operator, Börzsönyi et al. 2001): rows not
+# dominated on (minimize price, minimize size).  The distributed
+# 2-phase plan is provably lossless: a row dominated inside its block
+# is dominated globally (dominance needs only ONE witness), and every
+# global skyline row survives its block's local pass — so local
+# frontiers shrink each block before the single-block merge, and the
+# exchange moves frontier rows only.
+# ---------------------------------------------------------------------
+
+
+def _skyline2d_local(b: pa.Table) -> pa.Table:
+    """Vectorized 2D skyline of one batch, minimizing
+    (p_retailprice, p_size).  dominated(p) ⟺ min size among strictly
+    cheaper rows <= p.size, OR min size among equal-priced rows <
+    p.size — covers all strict/tie combinations; duplicate
+    (price, size) points dominate neither each other and ALL stay
+    (matching SQL NOT EXISTS with the one-strict clause).  No
+    arithmetic on the values, only comparisons, so float exactness is
+    a non-issue."""
+    empty = pa.table({"p_partkey": pa.array([], type=pa.int64()),
+                      "p_retailprice": pa.array([], type=pa.float64()),
+                      "p_size": pa.array([], type=pa.int32())})
+    if b.num_rows == 0:
+        return empty
+    b = b.drop_null()
+    if b.num_rows == 0:
+        return empty
+    price = b["p_retailprice"].to_numpy(zero_copy_only=False)
+    size = b["p_size"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((size, price))
+    p, s = price[order], size[order]
+    gstart = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+    gsizes = np.diff(np.r_[gstart, len(p)])
+    gmin = np.minimum.reduceat(s, gstart)
+    prev_min = np.minimum.accumulate(
+        np.r_[np.iinfo(np.int64).max, gmin])[:-1]
+    dominated = (np.repeat(prev_min, gsizes) <= s) \
+        | (np.repeat(gmin, gsizes) < s)
+    keep = np.sort(order[~dominated])  # original batch order
+    return b.take(pa.array(keep))
+
+
+def q_part_skyline(sf_dir: str):
+    """(p_partkey, p_retailprice, p_size) of every part on the Pareto
+    frontier minimizing both price and size.  Scale shape: local
+    skyline per block (frontier-sized output), ONE single-block merge
+    running the same kernel — see the 2-phase losslessness note
+    above; at 100 TB the d=2 frontier is tiny relative to the corpus,
+    so the merge side never grows with the data."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+    return ds.map_batches(_skyline2d_local, batch_format="pyarrow") \
+        .repartition(num_blocks=1) \
+        .map_batches(_skyline2d_local, batch_format="pyarrow",
+                     batch_size=None)
+
+
+SQL_PART_SKYLINE = """
+SELECT p_partkey, p_retailprice, p_size
+FROM part p
+WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_retailprice IS NOT NULL AND q.p_size IS NOT NULL
+      AND q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+"""
+
+
+EXT_QUERIES["part_skyline"] = q_part_skyline
+EXT_ORACLES["part_skyline"] = SQL_PART_SKYLINE
+
+
 def q_events_range_join(sf_dir: str):
     """Range join (engine addition — see stages/rangejoin.py): each
     event matched to every OTHER event-type's activity window
