@@ -2002,6 +2002,193 @@ SELECT host, count(*) AS n_triangles FROM cr GROUP BY 1
 
 
 # ---------------------------------------------------------------------
+# PMI collocation mining (engine addition): the top adjacent-token
+# bigrams by pointwise mutual information — the corpus-analytics
+# probe behind phrase detection and tokenizer-merge diagnostics.
+# All probabilities come from ONE bigram-count table (N = total
+# bigrams, marginals = left/right sums), so the float PMI has a
+# single shared expression shape: ln((c·N) / (cl·cr)).
+# ---------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPN = 20
+
+
+def q_token_pmi(sf_dir: str, min_count: int = _PMI_MIN_COUNT,
+                topn: int = _PMI_TOPN):
+    """Top-``topn`` adjacent-token bigrams by PMI (count >= min_count),
+    ties to (left, right) ascending; (left, right, c, pmi).
+
+    Scale shape: per-block bigram partial counts (vocabulary-pair
+    rows, never token instances) -> ONE keyed exchange folds exact
+    counts; marginals reduce from the folded table per block and the
+    tiny per-block partials fold on the driver (vocab-dimension —
+    the broadcast-budget note of host_pagerank applies; the
+    distributed alternative is two more keyed joins); N folds the
+    same way; scoring + per-block partial top-n then composes under
+    (pmi DESC, left, right) into a single-block merge.  Integer
+    products stay < 2^63 for corpora up to ~10^9 bigrams with
+    per-pair counts <= 10^9 — document-scale guards, not row ops."""
+    import math
+
+    from .. import default_num_partitions
+    from ..functions.tokenize import tokenize_arrow_offsets
+    from .queries import _canon_round
+
+    ds = _read(sf_dir, "documents", ["text"])
+    nparts = default_num_partitions()
+
+    empty_big = pa.table({"l": pa.array([], type=pa.string()),
+                          "r": pa.array([], type=pa.string()),
+                          "c": pa.array([], type=pa.int64())})
+
+    def bigram_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty_big
+        flat, starts = tokenize_arrow_offsets(b["text"])
+        if len(flat) == 0:
+            return empty_big
+        enc = pc.dictionary_encode(flat)
+        dic = np.array(enc.dictionary.to_pylist(), dtype=object)
+        code = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        doc_of = np.repeat(np.arange(len(starts) - 1), np.diff(starts))
+        same = doc_of[1:] == doc_of[:-1]
+        key = code[:-1][same] * len(dic) + code[1:][same]
+        if not len(key):
+            return empty_big
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "l": pa.array(dic[uk // len(dic)], type=pa.string()),
+            "r": pa.array(dic[uk % len(dic)], type=pa.string()),
+            "c": pa.array(cnt.astype(np.int64), type=pa.int64())})
+
+    def fold_lr(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty_big
+        l = np.array(b["l"].to_pylist(), dtype=object)
+        r = np.array(b["r"].to_pylist(), dtype=object)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((r.astype("U"), l.astype("U")))
+        l, r, c = l[order], r[order], c[order]
+        seg = np.flatnonzero(np.r_[True, (l[1:] != l[:-1])
+                                   | (r[1:] != r[:-1])])
+        return pa.table({
+            "l": pa.array(l[seg], type=pa.string()),
+            "r": pa.array(r[seg], type=pa.string()),
+            "c": pa.array(np.add.reduceat(c, seg).astype(np.int64),
+                          type=pa.int64())})
+
+    bigrams = ds.map_batches(bigram_partial, batch_format="pyarrow") \
+        .repartition(num_blocks=nparts, keys=["l", "r"], sort=False) \
+        .map_batches(fold_lr, batch_format="pyarrow",
+                     batch_size=None).materialize()
+
+    def marg_partial(b: pa.Table) -> pa.Table:
+        out = {}
+        l = b["l"].to_pylist()
+        r = b["r"].to_pylist()
+        c = b["c"].to_numpy(zero_copy_only=False)
+        lm, rm = {}, {}
+        for i in range(len(l)):
+            lm[l[i]] = lm.get(l[i], 0) + int(c[i])
+            rm[r[i]] = rm.get(r[i], 0) + int(c[i])
+        toks = sorted(set(lm) | set(rm))
+        return pa.table({
+            "tok": pa.array(toks, type=pa.string()),
+            "cl": pa.array([lm.get(t, 0) for t in toks],
+                           type=pa.int64()),
+            "cr": pa.array([rm.get(t, 0) for t in toks],
+                           type=pa.int64()),
+            "n": pa.array([int(c.sum())] + [0] * (len(toks) - 1)
+                          if toks else [], type=pa.int64())})
+
+    rows = bigrams.map_batches(marg_partial,
+                               batch_format="pyarrow").take_all()
+    cl: dict[str, int] = {}
+    cr: dict[str, int] = {}
+    n_total = 0
+    for row in rows:  # vocab-dimension fold, exact integers
+        cl[row["tok"]] = cl.get(row["tok"], 0) + row["cl"]
+        cr[row["tok"]] = cr.get(row["tok"], 0) + row["cr"]
+        n_total += row["n"]
+
+    empty_out = pa.table({"left": pa.array([], type=pa.string()),
+                          "right": pa.array([], type=pa.string()),
+                          "c": pa.array([], type=pa.int64()),
+                          "pmi": pa.array([], type=pa.float64())})
+    if n_total == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty_out)
+
+    def score_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty_out
+        l = np.array(b["l"].to_pylist(), dtype=object)
+        r = np.array(b["r"].to_pylist(), dtype=object)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        m = c >= min_count
+        l, r, c = l[m], r[m], c[m]
+        if not len(c):
+            return empty_out
+        pmi = np.array([math.log((int(cc) * n_total)
+                                 / (cl[ll] * cr[rr]))
+                        for ll, rr, cc in zip(l, r, c)])
+        order = np.lexsort((r.astype("U"), l.astype("U"), -pmi))[:topn]
+        return pa.table({"left": pa.array(l[order], type=pa.string()),
+                         "right": pa.array(r[order], type=pa.string()),
+                         "c": pa.array(c[order], type=pa.int64()),
+                         "pmi": pa.array(pmi[order],
+                                         type=pa.float64())})
+
+    def final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty_out
+        l = np.array(b["left"].to_pylist(), dtype=object)
+        r = np.array(b["right"].to_pylist(), dtype=object)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        pmi = b["pmi"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((r.astype("U"), l.astype("U"), -pmi))[:topn]
+        return pa.table({"left": pa.array(l[order], type=pa.string()),
+                         "right": pa.array(r[order], type=pa.string()),
+                         "c": pa.array(c[order], type=pa.int64()),
+                         "pmi": _canon_round(list(pmi[order]), 6)})
+
+    return bigrams.map_batches(score_topk, batch_format="pyarrow",
+                               batch_size=None) \
+        .repartition(num_blocks=1) \
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def _sql_token_pmi(min_count: int = _PMI_MIN_COUNT,
+                   topn: int = _PMI_TOPN) -> str:
+    from .queries import _sql_round
+
+    pmi = "ln((b.c * g.n) / (lm.cl * rm.cr))"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS t,
+         generate_subscripts({_TOKS}, 1) AS i
+  FROM documents
+),
+bi AS (
+  SELECT a.t AS l, b.t AS r FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+b AS (SELECT l, r, count(*) AS c FROM bi GROUP BY 1, 2),
+g AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM b),
+lm AS (SELECT l, CAST(sum(c) AS BIGINT) AS cl FROM b GROUP BY 1),
+rm AS (SELECT r, CAST(sum(c) AS BIGINT) AS cr FROM b GROUP BY 1)
+SELECT b.l AS "left", b.r AS "right", b.c, {_sql_round(pmi, 6)} AS pmi
+FROM b CROSS JOIN g
+JOIN lm ON lm.l = b.l JOIN rm ON rm.r = b.r
+WHERE b.c >= {min_count}
+QUALIFY row_number() OVER (ORDER BY {pmi} DESC, b.l, b.r) <= {topn}
+"""
+
+
+# ---------------------------------------------------------------------
 # Fuzzy cross-corpus decontamination (engine addition;
 # RefinedWeb/FineWeb near-dup decontamination family)
 # ---------------------------------------------------------------------
@@ -3862,6 +4049,7 @@ WEBTEXT_QUERIES = {
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
     "host_pagerank": q_host_pagerank,
     "host_triangles": q_host_triangles,
+    "token_pmi": q_token_pmi,
     "dsir_select": q_dsir_select,
     "selfdup_lines": q_selfdup_lines,
     "host_boilerplate": q_host_boilerplate,
@@ -3898,6 +4086,7 @@ WEBTEXT_ORACLES = {
     "fuzzy_decontaminate": _sql_fuzzy_decontaminate(),
     "host_pagerank": _sql_host_pagerank(),
     "host_triangles": SQL_HOST_TRIANGLES,
+    "token_pmi": _sql_token_pmi(),
     "dsir_select": _sql_dsir_select(),
     "selfdup_lines": SQL_SELFDUP_LINES,
     "host_boilerplate": SQL_HOST_BOILERPLATE,

@@ -1140,3 +1140,55 @@ def test_containment_join_vs_bruteforce(ray_session, tmp_path):
     assert got == sorted(want)
     assert (15, 0) in {(a, b) for a, b, _ in got}      # the quote
     assert (0, 15) not in {(a, b) for a, b, _ in got}  # not reversed
+
+
+def test_token_pmi_vs_bruteforce(ray_session, tmp_path):
+    """PMI collocations vs a pure-python reference: a planted frozen
+    phrase must rank top; doc boundaries must NOT produce bigrams."""
+    import math
+    import random
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from refined_ray.pipelines.queries_webtext import q_token_pmi
+
+    rng = random.Random(19)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = []
+    for _ in range(60):
+        toks = [rng.choice(vocab) for _ in range(rng.randrange(5, 25))]
+        # plant the collocation: "alpha beta" always adjacent
+        if rng.random() < 0.6:
+            pos = rng.randrange(0, len(toks))
+            toks[pos:pos] = ["alpha", "beta"]
+        texts.append(" ".join(toks))
+    texts += ["alpha", "beta"]  # boundary: no cross-doc bigram
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    d = tmp_path / "sfp"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet", row_group_size=7)
+
+    got = q_token_pmi(str(d), min_count=3, topn=10).to_pandas()
+
+    big = {}
+    for s in texts:
+        toks = re.findall(r"[a-z0-9]+", s.lower())
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    n = sum(big.values())
+    cl, cr = {}, {}
+    for (a, b), c in big.items():
+        cl[a] = cl.get(a, 0) + c
+        cr[b] = cr.get(b, 0) + c
+    scored = sorted(
+        ((a, b, c, math.log((c * n) / (cl[a] * cr[b])))
+         for (a, b), c in big.items() if c >= 3),
+        key=lambda x: (-x[3], x[0], x[1]))[:10]
+    want = [(a, b, c, float(f"{p:.6f}")) for a, b, c, p in scored]
+    assert list(map(tuple, got.itertuples(index=False, name=None))) \
+        == want
+    assert (got.iloc[0].left, got.iloc[0].right) == ("alpha", "beta")
