@@ -3805,6 +3805,182 @@ EXT_QUERIES["part_skyline"] = q_part_skyline
 EXT_ORACLES["part_skyline"] = SQL_PART_SKYLINE
 
 
+# ---------------------------------------------------------------------
+# Grouped trend regression (engine addition): per-type OLS slope over
+# daily event counts — the drift/trend detector behind traffic
+# dashboards.  Every moment (n, Σx, Σy, Σxy, Σx²) accumulates as an
+# exact integer, so the slope/intercept floats have one shared
+# expression shape and replay bit-exactly.
+# ---------------------------------------------------------------------
+
+
+def q_event_trend(sf_dir: str):
+    """(event_type, n_days, slope, intercept): ordinary least squares
+    of daily count (y) on epoch day (x) per event type, over the days
+    where the type occurs; types with a singular system (n < 2 or
+    zero x-variance) are dropped on both sides.
+
+    Scale shape: per-block (type, day) partial counts -> ONE keyed
+    exchange folds exact daily counts; the five regression moments
+    reduce per block to |types| integer rows and fold on the driver
+    (type-dimension); slope/intercept are a stateless final compute.
+    Day indexes are re-based to each type's min day before squaring so
+    Σx² stays far inside int64 (epoch-day magnitudes ~2e4 would still
+    fit at ~4e8·days² but re-basing keeps the bound independent of the
+    calendar)."""
+    from .. import default_num_partitions
+    from .queries import _canon_round
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    us_day = 86_400 * 1_000_000
+
+    empty_cnt = pa.table({"event_type": pa.array([], type=pa.string()),
+                          "day": pa.array([], type=pa.int64()),
+                          "cnt": pa.array([], type=pa.int64())})
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty_cnt
+        b = b.drop_null()
+        et = np.array(b["event_type"].to_pylist(), dtype=object)
+        day = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // us_day
+        order = np.lexsort((day, et.astype("U")))
+        et, day = et[order], day[order]
+        seg = np.flatnonzero(np.r_[True, (et[1:] != et[:-1])
+                                   | (day[1:] != day[:-1])])
+        cnt = np.diff(np.r_[seg, len(day)])
+        return pa.table({"event_type": pa.array(et[seg],
+                                                type=pa.string()),
+                         "day": pa.array(day[seg], type=pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64),
+                                         type=pa.int64())})
+
+    def cnt_fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty_cnt
+        et = np.array(b["event_type"].to_pylist(), dtype=object)
+        day = b["day"].to_numpy(zero_copy_only=False)
+        c = b["cnt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, et.astype("U")))
+        et, day, c = et[order], day[order], c[order]
+        seg = np.flatnonzero(np.r_[True, (et[1:] != et[:-1])
+                                   | (day[1:] != day[:-1])])
+        return pa.table({
+            "event_type": pa.array(et[seg], type=pa.string()),
+            "day": pa.array(day[seg], type=pa.int64()),
+            "cnt": pa.array(np.add.reduceat(c, seg).astype(np.int64),
+                            type=pa.int64())})
+
+    counts = ev.map_batches(cnt_partial, batch_format="pyarrow") \
+        .repartition(num_blocks=default_num_partitions(),
+                     keys=["event_type", "day"], sort=False) \
+        .map_batches(cnt_fold, batch_format="pyarrow",
+                     batch_size=None).materialize()
+
+    def mom_partial(b: pa.Table) -> pa.Table:
+        cols = {k: [] for k in ("event_type", "n", "sx", "sy",
+                                "sxy", "sxx", "minday")}
+        if b.num_rows:
+            et = np.array(b["event_type"].to_pylist(), dtype=object)
+            day = b["day"].to_numpy(zero_copy_only=False)
+            c = b["cnt"].to_numpy(zero_copy_only=False)
+            order = np.argsort(et.astype("U"), kind="stable")
+            et, day, c = et[order], day[order], c[order]
+            seg = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+            for i, s in enumerate(seg):
+                e = seg[i + 1] if i + 1 < len(seg) else len(et)
+                d, cc = day[s:e], c[s:e]
+                cols["event_type"].append(et[s])
+                cols["n"].append(int(e - s))
+                cols["sx"].append(int(d.sum()))
+                cols["sy"].append(int(cc.sum()))
+                cols["sxy"].append(int((d * cc).sum()))
+                cols["sxx"].append(int((d * d).sum()))
+                cols["minday"].append(int(d.min()))
+        return pa.table({
+            "event_type": pa.array(cols["event_type"],
+                                   type=pa.string()),
+            **{k: pa.array(cols[k], type=pa.int64())
+               for k in ("n", "sx", "sy", "sxy", "sxx", "minday")}})
+
+    rows = counts.map_batches(mom_partial,
+                              batch_format="pyarrow").take_all()
+    # type-dimension integer fold; moments over RAW epoch days first,
+    # then shifted to x - minday via binomial identities (exact ints)
+    agg: dict[str, list[int]] = {}
+    for r in rows:
+        m = agg.setdefault(r["event_type"],
+                           [0, 0, 0, 0, 0, 1 << 62])
+        m[0] += r["n"]
+        m[1] += r["sx"]
+        m[2] += r["sy"]
+        m[3] += r["sxy"]
+        m[4] += r["sxx"]
+        m[5] = min(m[5], r["minday"])
+    out_rows = []
+    for t in sorted(agg):
+        n, sx, sy, sxy, sxx, d0 = agg[t]
+        # shift x -> x - d0: Σx' = Σx - n·d0; Σx'y = Σxy - d0·Σy;
+        # Σx'² = Σx² - 2·d0·Σx + n·d0²  (all exact int64 at day scale)
+        sx2 = sx - n * d0
+        sxy2 = sxy - d0 * sy
+        sxx2 = sxx - 2 * d0 * sx + n * d0 * d0
+        det = n * sxx2 - sx2 * sx2
+        if n < 2 or det == 0:
+            continue
+        slope = (n * sxy2 - sx2 * sy) / det
+        intercept = (sy - slope * sx2) / n
+        out_rows.append((t, n, slope, intercept))
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array([r[0] for r in out_rows],
+                               type=pa.string()),
+        "n_days": pa.array([r[1] for r in out_rows], type=pa.int64()),
+        "slope": _canon_round([r[2] for r in out_rows], 6),
+        "intercept": _canon_round([r[3] for r in out_rows], 6)}))
+
+
+def _sql_event_trend() -> str:
+    from .queries import _sql_round
+
+    slope = "((s.n * s.sxy - s.sx * s.sy) / CAST(s.det AS DOUBLE))"
+    intercept = f"((s.sy - {slope} * s.sx) / s.n)"
+    return f"""
+WITH c AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day,
+         count(*) AS cnt
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+),
+x AS (
+  SELECT event_type, day - min(day) OVER (PARTITION BY event_type)
+           AS xd, cnt
+  FROM c
+),
+s AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(xd) AS BIGINT) AS sx, CAST(sum(cnt) AS BIGINT) AS sy,
+         CAST(sum(xd * cnt) AS BIGINT) AS sxy,
+         CAST(sum(xd * xd) AS BIGINT) AS sxx,
+         CAST(count(*) * sum(xd * xd) - sum(xd) * sum(xd) AS BIGINT)
+           AS det
+  FROM x GROUP BY 1
+)
+SELECT event_type, n AS n_days, {_sql_round(slope, 6)} AS slope,
+       {_sql_round(intercept, 6)} AS intercept
+FROM s WHERE n >= 2 AND det <> 0
+"""
+
+
+EXT_QUERIES["event_trend"] = q_event_trend
+EXT_ORACLES["event_trend"] = _sql_event_trend()
+
+
 def q_events_range_join(sf_dir: str):
     """Range join (engine addition — see stages/rangejoin.py): each
     event matched to every OTHER event-type's activity window

@@ -175,3 +175,64 @@ def test_event_rate_anomaly_vs_bruteforce(ray_session, tmp_path):
                for r in got.itertuples()}
     assert got_set == want
     assert any(h == 10 for h, _, _ in got_set)  # the planted spike
+
+
+def test_event_trend_vs_bruteforce(ray_session, tmp_path):
+    """OLS slope/intercept per type vs numpy.polyfit (to float
+    tolerance) and vs the exact integer-moment formula (bit-exact);
+    single-day and zero-variance types must drop."""
+    import random
+
+    from refined_ray.pipelines.queries_ext import q_event_trend
+
+    rng = random.Random(29)
+    US_DAY = 86_400 * 1_000_000
+    rows = []
+    for day in range(20):
+        for _ in range(3 + 2 * day + rng.randrange(0, 3)):  # up-trend
+            rows.append((day * US_DAY + rng.randrange(0, US_DAY),
+                         "growing"))
+        for _ in range(5):
+            rows.append((day * US_DAY + rng.randrange(0, US_DAY),
+                         "flat"))
+    rows.append((3 * US_DAY, "oneday"))  # n=1 -> dropped
+    rng.shuffle(rows)
+
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array(np.array([r[0] for r in rows],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([0] * len(rows), type=pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array([""] * len(rows)),
+    })
+    d = tmp_path / "sfr"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet", row_group_size=41)
+
+    got = q_event_trend(str(d)).to_pandas().set_index("event_type")
+    assert set(got.index) == {"growing", "flat"}
+
+    for typ in ("growing", "flat"):
+        cnt = {}
+        for ts, et in rows:
+            if et == typ:
+                cnt[ts // US_DAY] = cnt.get(ts // US_DAY, 0) + 1
+        d0 = min(cnt)
+        xs = [day - d0 for day in sorted(cnt)]
+        ys = [cnt[day + d0] for day in xs]
+        n, sx, sy = len(xs), sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        det = n * sxx - sx * sx
+        slope = (n * sxy - sx * sy) / det
+        intercept = (sy - slope * sx) / n
+        r = got.loc[typ]
+        assert r.n_days == n
+        assert r.slope == float(f"{slope:.6f}")
+        assert r.intercept == float(f"{intercept:.6f}")
+        pf = np.polyfit(xs, ys, 1)
+        assert abs(pf[0] - slope) < 1e-9 and abs(pf[1] - intercept) < 1e-9
+    assert got.loc["growing"].slope > 1.5
+    assert abs(got.loc["flat"].slope) < 1e-9
