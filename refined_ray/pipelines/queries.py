@@ -704,15 +704,22 @@ def q_set_similarity_join(sf_dir: str, num: int = 7, den: int = 10):
     3-token-shingle Jaccard >= num/den.  Unlike the MinHash-LSH path
     (`neardup_shingle`) this has NO false negatives by construction.
 
-    Prefix-filter completeness: order each doc's distinct shingles by
-    a GLOBAL total order (ascending document frequency, ties by
-    hash); with prefix length n - ceil(t*n) + 1, any pair at J >= t
-    must share a prefix element — if A's intersection with B avoided
-    A's prefix it would fit inside A's ceil(t*n)-1 element suffix,
-    contradicting |A∩B| >= t*|A∪B| >= ceil(t*|A|).  So enumerating
-    pairs inside prefix-element postings is complete, and the exact
-    verification stage makes precision 1.  Completeness holds for ANY
-    total order, so the engine orders by shingle HASH while the SQL
+    Prefix-filter completeness (the PPJoin two-prefix lemma — both
+    sides post only prefixes, so the shared element must lie in BOTH):
+    order every doc's distinct shingles by one GLOBAL total order
+    (ascending document frequency, ties by hash) and post the first
+    p_X = |X| - ceil(t·|X|) + 1 of each doc X.  J(A,B) >= t gives the
+    integer overlap α = |A∩B| >= ceil(t·max(|A|,|B|)) (|A∪B| >= max),
+    so p_X >= |X| - α + 1 for both sides.  Suppose the prefixes were
+    disjoint; wlog the last prefix element of A precedes B's in the
+    global order.  Then every element of A∩B lies strictly after A's
+    prefix (common elements inside A's prefix would precede B's
+    prefix end, hence — being in B and before B's prefix boundary —
+    sit in B's prefix too, contradicting disjointness), so
+    α <= |A| - p_A = ceil(t·|A|) - 1 < α.  Contradiction — the
+    prefixes intersect, the bucket join finds the pair, and exact
+    verification makes precision 1.  Completeness holds for ANY total
+    order, so the engine orders by (df, shingle HASH) while the SQL
     oracle verifies against the full all-pairs join over shingle
     strings.  ceil(t*n) is computed in integers ((num*n + den-1) //
     den): float t*n rounds the wrong way at exact multiples (0.7*10

@@ -5042,18 +5042,19 @@ def q_edit_distance_join(sf_dir: str, tau: int = _EDJ_TAU):
     test): one edit operation destroys at most q of a string's
     DISTINCT q-gram types (only the ≤q windows overlapping the edit
     position can disappear; shifted windows keep their content), so
-    ed(a,b) <= tau implies |grams(x) \\ grams(y)| <= q·tau from BOTH
-    sides.  With a common total order (hash) and prefix length
-    q·tau+1 per side, disjoint prefixes would put all of one prefix
-    in that side's difference set — at least q·tau+1 types, a
-    contradiction — PROVIDED the pair shares a gram at all, which
-    the overlap bound |a∩b| >= max(|grams a|,|grams b|) - q·tau only
-    guarantees when some side has > q·tau distinct grams.  Strings
-    with <= q·tau distinct grams (short OR highly repetitive — at
-    ed 2 with bigrams, 'abcd'/'dbbd' share zero grams) therefore
-    post to ONE sentinel bucket as well: a qualifying partner either
-    also has <= q·tau grams (both in the sentinel) or has more (the
-    prefix lemma applies).  Exact verification makes precision 1.
+    ed(a,b) <= tau gives the overlap bound α = |grams(a) ∩ grams(b)|
+    >= max(|grams a|, |grams b|) - q·tau.  When α >= 1, the PPJoin
+    two-prefix lemma applies (see q_set_similarity_join for the full
+    proof): under a common total order (hash), prefixes of length
+    |x| - α + 1 per side must intersect, and q·tau + 1 >= |x| - α + 1
+    for both sides — so the bucket join finds the pair.  α >= 1 is
+    only guaranteed when some side has > q·tau distinct grams;
+    strings with <= q·tau distinct grams (short OR highly repetitive
+    — at ed 2 with bigrams, 'abcd'/'dbbd' share zero grams)
+    therefore post to ONE sentinel bucket as well: a qualifying
+    partner either also has <= q·tau grams (both in the sentinel) or
+    has more (the lemma applies).  Exact verification makes
+    precision 1.
 
     Scale shape: vocabulary-first (the scale-correct ER move — the
     join runs over DISTINCT values, row fan-in/fan-out stays with the
