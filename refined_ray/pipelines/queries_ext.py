@@ -4860,13 +4860,19 @@ def q_knn_classify(sf_dir: str, k: int = _KNN_K, n_chunks: int = 8):
         @staticmethod
         def _topk(d2, qi, ql, ri, rl):
             """Per-row top-k of an int64 distance matrix; stable sort
-            ties break by column position == ascending ref vec_id."""
+            ties break by column position == ascending ref vec_id.
+            Rows at the int64.max sentinel (the masked self diagonal)
+            are DROPPED — with fewer than k real candidates they would
+            otherwise survive the global fold and let a vector vote
+            for itself (real distances are bounded by dim·2^42)."""
             kk = min(k, d2.shape[1])
             idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]
             rows = np.repeat(np.arange(d2.shape[0]), kk)
             cols = idx.ravel()
-            return (np.repeat(qi, kk), np.repeat(ql, kk),
-                    ri[cols], rl[cols], d2[rows, cols])
+            dist = d2[rows, cols]
+            keep = dist < np.iinfo(np.int64).max
+            return (np.repeat(qi, kk)[keep], np.repeat(ql, kk)[keep],
+                    ri[cols][keep], rl[cols][keep], dist[keep])
 
         def __call__(self, b: pa.Table) -> pa.Table:
             outs = []

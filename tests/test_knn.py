@@ -87,3 +87,24 @@ def test_knn_chunk_and_block_invariance(ray_session, tmp_path):
         .sort_values("vec_id").reset_index(drop=True)
 
     assert one.equals(many)
+
+
+def test_knn_fewer_candidates_than_k(ray_session, tmp_path):
+    """3 vectors with k=5: every vector has only 2 real neighbours;
+    the masked self-distance sentinel must NOT leak into the vote
+    (regression — singleton chunks emitted dist=int64.max self rows
+    that let a vector vote for itself when < k candidates existed)."""
+    from refined_ray.pipelines.queries_ext import q_knn_classify
+
+    vecs = {0: np.array([0.1, 0.2], dtype=np.float32),
+            1: np.array([0.1, 0.21], dtype=np.float32),
+            2: np.array([0.9, 0.9], dtype=np.float32)}
+    labels = {0: 7, 1: 7, 2: 3}
+    sf = _write(tmp_path, vecs, labels)
+    got = q_knn_classify(sf, k=5).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    # vec0: neighbours {1:7, 2:3} -> count tie -> smallest label 3
+    # vec1: same -> 3;  vec2: {0:7, 1:7} -> 7
+    assert list(got.pred) == [3, 3, 7]
+    want = _reference_knn(vecs, labels, k=5)
+    assert {r.vec_id: r.pred for r in got.itertuples()} == want
