@@ -777,7 +777,16 @@ def q_set_similarity_join(sf_dir: str, num: int = 7, den: int = 10):
                          "df": pa.array(np.add.reduceat(c, seg).astype(np.int64),
                                         type=pa.int64())})
 
-    df = postings.map_batches(df_partial, batch_format="pyarrow")         .repartition(num_blocks=nparts, keys=["h"], sort=False)         .map_batches(df_fold, batch_format="pyarrow", batch_size=None)
+    from .. import scrub_empty_blocks
+
+    # df went through a keyed shuffle — scrub the zero-column empty
+    # blocks of unpopulated partitions before feeding a hash join
+    # (the engine-wide contract; see scrub_empty_blocks)
+    df = scrub_empty_blocks(
+        postings.map_batches(df_partial, batch_format="pyarrow")
+        .repartition(num_blocks=nparts, keys=["h"], sort=False)
+        .map_batches(df_fold, batch_format="pyarrow", batch_size=None)
+        .materialize())
 
     enriched = postings.join(df, join_type="inner", num_partitions=nparts,
                              on=("h",))

@@ -1938,8 +1938,12 @@ def q_host_triangles(sf_dir: str):
     w = oriented.repartition(num_blocks=nparts, keys=["src"], sort=False) \
         .map_batches(wedges, batch_format="pyarrow", batch_size=None)
 
+    from .. import scrub_empty_blocks
+
     closing = oriented.rename_columns({"src": "u", "dst": "v"})
-    w = w.materialize()
+    # w went through a keyed shuffle — scrub zero-column empty blocks
+    # before the hash join (engine-wide contract)
+    w = scrub_empty_blocks(w.materialize())
     empty_out = pa.table({"host": pa.array([], type=pa.int64()),
                           "n_triangles": pa.array([], type=pa.int64())})
     if w.count() == 0:
