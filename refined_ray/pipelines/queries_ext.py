@@ -3981,6 +3981,88 @@ EXT_QUERIES["event_trend"] = q_event_trend
 EXT_ORACLES["event_trend"] = _sql_event_trend()
 
 
+# ---------------------------------------------------------------------
+# Running (cumulative) window aggregates (engine addition): the
+# SUM/COUNT OVER (PARTITION BY user ORDER BY ts) family.  The running
+# value sum accumulates in integer CENTS (floor(value·100)) — float
+# running sums are summation-order-defined and window engines are free
+# to use segment trees, so cross-engine float replay would be flaky by
+# construction; integers are exact under ANY association.
+# ---------------------------------------------------------------------
+
+
+def q_user_cumulative(sf_dir: str):
+    """Per event: (event_id, user_id, ts, running_n, running_cents)
+    where the running aggregates cover the user's events up to and
+    including this one under the (ts, event_id) order.
+
+    Scale shape: ONE keyed exchange on user_id; the cumulative pass is
+    an in-partition lexsort + vectorized segmented cumsum (global
+    cumsum minus each segment's offset — no python per row or per
+    user).  Output is row-per-event but needs no further exchange."""
+    from .. import default_num_partitions
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    parted = ev.map_batches(lambda b: b.drop_null(),
+                            batch_format="pyarrow") \
+        .repartition(num_blocks=default_num_partitions(),
+                     keys=["user_id"], sort=False)
+
+    def cumulate(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "ts": pa.array([], type=pa.timestamp("us")),
+            "running_n": pa.array([], type=pa.int64()),
+            "running_cents": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        ts = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        cents = np.floor(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        eid, u, ts, cents = eid[order], u[order], ts[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        sizes = np.diff(np.r_[starts, len(u)])
+        run_n = np.arange(1, len(u) + 1) \
+            - np.repeat(starts, sizes)
+        csum = np.cumsum(cents)
+        seg_base = np.repeat(csum[starts] - cents[starts], sizes)
+        run_c = csum - seg_base
+        return pa.table({
+            "event_id": pa.array(eid, type=pa.int64()),
+            "user_id": pa.array(u, type=pa.int64()),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "running_n": pa.array(run_n.astype(np.int64),
+                                  type=pa.int64()),
+            "running_cents": pa.array(run_c, type=pa.int64())})
+
+    return parted.map_batches(cumulate, batch_format="pyarrow",
+                              batch_size=None)
+
+
+SQL_USER_CUMULATIVE = """
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS running_n,
+       CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) OVER w
+            AS BIGINT) AS running_cents
+FROM events
+WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+  AND ts IS NOT NULL AND value IS NOT NULL
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+EXT_QUERIES["user_cumulative"] = q_user_cumulative
+EXT_ORACLES["user_cumulative"] = SQL_USER_CUMULATIVE
+
+
 def q_events_range_join(sf_dir: str):
     """Range join (engine addition — see stages/rangejoin.py): each
     event matched to every OTHER event-type's activity window

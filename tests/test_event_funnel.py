@@ -236,3 +236,51 @@ def test_event_trend_vs_bruteforce(ray_session, tmp_path):
         assert abs(pf[0] - slope) < 1e-9 and abs(pf[1] - intercept) < 1e-9
     assert got.loc["growing"].slope > 1.5
     assert abs(got.loc["flat"].slope) < 1e-9
+
+
+def test_user_cumulative_vs_bruteforce(ray_session, tmp_path):
+    """Running aggregates vs python replay: same-instant ties order by
+    event_id; negative values floor toward -inf in cents."""
+    import random
+
+    from refined_ray.pipelines.queries_ext import q_user_cumulative
+
+    rng = random.Random(53)
+    rows = []
+    eid = 0
+    for u in range(12):
+        for _ in range(rng.randrange(1, 15)):
+            rows.append((eid, u, 1_000_000 * rng.randrange(0, 4),
+                         rng.uniform(-5, 5)))
+            eid += 1
+    rng.shuffle(rows)
+
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array(np.array([r[2] for r in rows],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "event_type": pa.array(["x"] * len(rows)),
+        "value": pa.array([r[3] for r in rows]),
+        "props": pa.array([""] * len(rows)),
+    })
+    d = tmp_path / "sfc2"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet", row_group_size=17)
+
+    got = {r.event_id: (r.running_n, r.running_cents)
+           for r in q_user_cumulative(str(d)).to_pandas().itertuples()}
+
+    import math
+    by_user = {}
+    for e, u, ts, v in rows:
+        by_user.setdefault(u, []).append((ts, e, v))
+    want = {}
+    for evs in by_user.values():
+        evs.sort(key=lambda r: (r[0], r[1]))
+        n = c = 0
+        for ts, e, v in evs:
+            n += 1
+            c += math.floor(v * 100.0)
+            want[e] = (n, c)
+    assert got == want
