@@ -742,6 +742,17 @@ def q_set_similarity_join(sf_dir: str, num: int = 7, den: int = 10):
     payload = _doc_sign(sf_dir, 3).materialize()
     nparts = default_num_partitions()
 
+    if payload.count() == 0:
+        # empty corpus: the df-attach join would see the empty read's
+        # schemaless blocks (the zero-column trap) — short-circuit
+        # with the oracle's 0-row result
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table(
+            {"doc_a": pa.array([], type=pa.int64()),
+             "doc_b": pa.array([], type=pa.int64()),
+             "jaccard": pa.array([], type=pa.float64())}))
+
     def explode(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return pa.table({"h": pa.array([], type=pa.int64()),

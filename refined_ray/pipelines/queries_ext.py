@@ -3310,7 +3310,23 @@ def q_event_funnel(sf_dir: str, stages=_FUNNEL_STAGES,
             "n_users": pa.array(counts, type=pa.int64())})
 
     partials = parted.map_batches(partial, batch_format="pyarrow",
-                                  batch_size=None)
+                                  batch_size=None).materialize()
+
+    def zero_rows() -> pa.Table:
+        return pa.table({
+            "stage": pa.array(np.arange(1, len(stages) + 1),
+                              type=pa.int64()),
+            "event_type": pa.array(list(stages), type=pa.string()),
+            "n_users": pa.array(np.zeros(len(stages), dtype=np.int64),
+                                type=pa.int64())})
+
+    if partials.count() == 0:
+        # empty events: the SQL's per-stage count(*) still emits one
+        # 0-count row per stage — match it (map UDFs are not invoked
+        # on empty inputs, so the fold alone cannot)
+        import ray.data as rd
+
+        return rd.from_arrow(zero_rows())
 
     def fold(b: pa.Table) -> pa.Table:
         st = b["stage"].to_numpy(zero_copy_only=False)
