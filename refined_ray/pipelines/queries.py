@@ -45,6 +45,38 @@ def _read(sf_dir: str, table: str, columns=None):
     return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _empty_guard(sf_dir: str, tables, schema: dict):
+    """Typed-empty short-circuit when any input table has zero rows.
+
+    An empty read feeds SCHEMALESS blocks into downstream shuffles and
+    joins (the zero-column trap — see scrub_empty_blocks), map UDFs
+    are never invoked to repair them, and driver-side folds divide by
+    zero — so operators whose oracle returns 0 rows on an empty corpus
+    short-circuit here instead.  Costs one parquet FOOTER read per
+    table (row count is metadata; no data is scanned; a directory
+    counts its fragment footers).  Returns the typed-empty Dataset, or
+    None when every input has rows."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    for t in ([tables] if isinstance(tables, str) else tables):
+        path = f"{sf_dir}/{t}.parquet"
+        if _os.path.isdir(path):
+            n = sum(_pq.read_metadata(f).num_rows
+                    for f in _glob.glob(_os.path.join(path, "*.parquet")))
+        else:
+            n = _pq.read_metadata(path).num_rows
+        if n == 0:
+            import ray.data as rd
+
+            return rd.from_arrow(pa.table(
+                {name: pa.array([], type=typ)
+                 for name, typ in schema.items()}))
+    return None
+
+
 # =====================================================================
 # Relational core: aggregations, joins, sort/limit, filters, windows
 # =====================================================================
@@ -129,6 +161,13 @@ def q_top_customers(sf_dir: str):
 
     from .. import default_num_partitions
 
+    empty = _empty_guard(sf_dir, ["orders", "customer"],
+                         {"c_custkey": pa.int64(),
+                          "c_name": pa.string(),
+                          "revenue": pa.float64()})
+    if empty is not None:
+        return empty
+
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     rev = orders.groupby("o_custkey").aggregate(Sum("o_totalprice", alias_name="revenue"))
@@ -199,6 +238,12 @@ FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 15
 def q_supplier_per_region(sf_dir: str):
     """Join chain across 3 tables + grouped count (≙ J2 2-step chain)."""
     from ray.data.aggregate import Count
+
+    empty = _empty_guard(sf_dir, ["supplier", "nation", "region"],
+                         {"r_name": pa.string(),
+                          "n_suppliers": pa.int64()})
+    if empty is not None:
+        return empty
 
     sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
@@ -1110,6 +1155,13 @@ def q_ann_topk(sf_dir: str, k: int = 5, max_qid: int = 10):
     centroid instead — same stages)."""
     import pandas as pd
     import ray
+
+    empty = _empty_guard(sf_dir, "embeddings",
+                         {"query_id": pa.int64(),
+                          "neighbor_id": pa.int64(),
+                          "rank": pa.int64()})
+    if empty is not None:
+        return empty
 
     qids, Q = _load_query_matrix(sf_dir, max_qid)
     q_ref = ray.put((qids, Q))

@@ -938,6 +938,15 @@ FROM documents
 
 
 def q_csv_customers(sf_dir: str):
+    from .queries import _empty_guard
+
+    empty = _empty_guard(sf_dir, ["customer", "nation"],
+                         {"c_custkey": pa.int64(), "c_name": pa.string(),
+                          "nation": pa.string(),
+                          "c_acctbal": pa.float64()})
+    if empty is not None:
+        return empty
+
     import os
 
     import pyarrow.csv as pacsv
@@ -1050,6 +1059,14 @@ def q_global_pad(sf_dir: str):
     from ray.data.aggregate import Max
 
     from ..functions.tokenize import tokenize_batch
+    from .queries import _empty_guard
+
+    empty = _empty_guard(sf_dir, "documents",
+                         {"doc_id": pa.int64(), "n_tokens": pa.int64(),
+                          "padded_width": pa.int64(),
+                          "n_pad": pa.int64()})
+    if empty is not None:
+        return empty
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -1941,6 +1958,13 @@ def q_decontaminate(sf_dir: str, n: int = 5):
     from ray.data.aggregate import Count
 
     from .. import default_num_partitions
+    from .queries import _empty_guard
+
+    empty = _empty_guard(sf_dir, "documents",
+                         {"doc_id": pa.int64(),
+                          "n_contaminated": pa.int64()})
+    if empty is not None:
+        return empty
 
     pairs = _split_shingle_pairs(sf_dir, n)
     nparts = default_num_partitions()
@@ -3211,6 +3235,16 @@ def q_events_asof_order(sf_dir: str):
     enriched with the user's most recent order at event time.  The
     oracle is DuckDB's native ASOF JOIN."""
     from ..stages.asof import asof_join
+    from .queries import _empty_guard
+
+    empty = _empty_guard(sf_dir, ["events", "orders"],
+                         {"event_id": pa.int64(), "user_id": pa.int64(),
+                          "ts": pa.timestamp("us"),
+                          "o_orderkey": pa.int64(),
+                          "o_orderdate": pa.timestamp("us"),
+                          "o_totalprice": pa.float64()})
+    if empty is not None:
+        return empty
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     orders = _read(sf_dir, "orders",
@@ -4089,6 +4123,15 @@ def q_events_range_join(sf_dir: str):
 
     from .. import default_num_partitions, scrub_empty_blocks
     from ..stages.rangejoin import interval_join
+    from .queries import _empty_guard
+
+    empty = _empty_guard(sf_dir, "events",
+                         {"event_id": pa.int64(), "user_id": pa.int64(),
+                          "ts": pa.timestamp("us"),
+                          "event_type": pa.string(),
+                          "other_type": pa.string()})
+    if empty is not None:
+        return empty
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
@@ -4693,6 +4736,14 @@ def q_embedding_kmeans(sf_dir: str, k: int = _KM_K, n_iters: int = _KM_ITERS):
     global sort.  At 100 TB the per-round exchange is k rows per
     block — independent of corpus size."""
     import ray
+
+    from .queries import _empty_guard
+
+    empty = _empty_guard(sf_dir, "embeddings",
+                         {"vec_id": pa.int64(), "cluster": pa.int64(),
+                          "dist": pa.int64()})
+    if empty is not None:
+        return empty
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 

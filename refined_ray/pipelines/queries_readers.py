@@ -857,7 +857,27 @@ def q_el_eval(sf_dir: str):
     pipelines/el_benchmark.py)."""
     from ..sources.benchmarks import read_el_docs_standard
     from .el_benchmark import evaluate_benchmarks
-    from .queries import q_pem_table
+    from .queries import _empty_guard, q_pem_table
+
+    if _empty_guard(sf_dir, "documents",
+                    {"__sentinel": pa.int64()}) is not None:
+        # replicate the SQL's degenerate rows: one all-zero Metrics
+        # row per (dataset, mode), epsilon-floored ratios = 0.0
+        import ray.data as rd
+
+        rows = [{"dataset": d, "mode": m, "num_docs": 0,
+                 "num_gold_spans": 0, "gold_in_cand": 0, "tp": 0,
+                 "fp": 0, "fn": 0, "tp_md": 0, "fp_md": 0, "fn_md": 0,
+                 "precision": 0.0, "recall": 0.0, "f1": 0.0,
+                 "accuracy": 0.0, "gold_recall": 0.0, "f1_md": 0.0}
+                for m in ("EL", "ED")
+                for d in ("AIDA", "MSNBC", "WIKI")]
+        t = pa.Table.from_pylist(rows)
+        for c in ("num_docs", "num_gold_spans", "gold_in_cand", "tp",
+                  "fp", "fn", "tp_md", "fp_md", "fn_md"):
+            t = t.set_column(t.schema.get_field_index(c), c,
+                             t[c].cast(pa.int64()))
+        return rd.from_arrow(t)
 
     path, t2q, redirects = _stage_el_eval_fixture(sf_dir)
     mentions = read_el_docs_standard(

@@ -419,7 +419,15 @@ def q_neardup_keep(sf_dir: str):
     attach n_chars, then ONE repartition keyed on the cluster id + a
     lexsort/segment argmax."""
     from .. import default_num_partitions
-    from .queries import q_doc_clusters
+    from .queries import _empty_guard, q_doc_clusters
+
+    empty = _empty_guard(sf_dir, "documents",
+                         {"cluster_doc_id": pa.int64(),
+                          "keep_doc_id": pa.int64(),
+                          "n_chars": pa.int64(),
+                          "cluster_size": pa.int64()})
+    if empty is not None:
+        return empty
 
     nparts = default_num_partitions()
     labels = q_doc_clusters(sf_dir)
@@ -1157,7 +1165,14 @@ def q_corpus_clean(sf_dir: str):
     doc_id-keyed hash joins of already-filtered (shrunken) sides."""
     from .. import default_num_partitions
     from ..functions.textstats import langid_batch, quality_score_batch, token_stats_batch
-    from .queries import _canon_round
+    from .queries import _canon_round, _empty_guard
+
+    empty = _empty_guard(sf_dir, "documents",
+                         {"doc_id": pa.int64(),
+                          "quality": pa.float64(),
+                          "n_tokens": pa.int64()})
+    if empty is not None:
+        return empty
     from .queries_ext import q_doc_repetition
 
     nparts = default_num_partitions()
@@ -1550,6 +1565,24 @@ def q_blocking_quality(sf_dir: str):
     keys.  No all-pairs materialization anywhere."""
     from ray.data.aggregate import Count
 
+    from .queries import _empty_guard
+
+    empty = _empty_guard(sf_dir, "documents", {"__sentinel": pa.int64()})
+    if empty is not None:
+        # replicate the SQL's degenerate summary row exactly: counts
+        # over empty sets are 0, min/avg aggregates are NULL, and the
+        # completeness ratio's COALESCE floor is 1.0
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "n_docs": pa.array([None], type=pa.int64()),
+            "n_blocks": pa.array([0], type=pa.int64()),
+            "n_candidate_pairs": pa.array([None], type=pa.int64()),
+            "reduction_ratio": pa.array([None], type=pa.float64()),
+            "n_true_pairs": pa.array([0], type=pa.int64()),
+            "n_true_coblocked": pa.array([0], type=pa.int64()),
+            "pair_completeness": pa.array([1.0], type=pa.float64())}))
+
     from .. import default_num_partitions
     from .queries import q_neardup_shingle
 
@@ -1673,6 +1706,13 @@ def q_host_pagerank(sf_dir: str, n_iters: int = _PR_ITERS,
     import ray
 
     from .. import default_num_partitions
+    from .queries import _empty_guard
+
+    empty = _empty_guard(sf_dir, "documents",
+                         {"host_id": pa.int64(),
+                          "rank": pa.float64()})
+    if empty is not None:
+        return empty
 
     ds = _read(sf_dir, "documents", ["doc_id"])
 

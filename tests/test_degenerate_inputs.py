@@ -1,9 +1,9 @@
-"""Degenerate-input parity: every session-added operator must agree
-with its DuckDB oracle on an EMPTY corpus (schema-correct, 0-row
-tables).  The sf fixtures can never exercise this edge: empty reads
-produce schemaless blocks (the zero-column trap), map UDFs are not
-invoked on empty inputs, and SQL aggregates still emit rows — three
-independent ways engine and oracle can silently diverge."""
+"""Degenerate-input parity: operators must agree with their DuckDB
+oracle on an EMPTY corpus (schema-correct, 0-row tables).  The sf
+fixtures can never exercise this edge: empty reads produce schemaless
+blocks (the zero-column trap), map UDFs are not invoked on empty
+inputs, and SQL aggregates still emit rows — three independent ways
+engine and oracle can silently diverge."""
 import os
 
 import duckdb
@@ -12,44 +12,64 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+# session-2 operators + every previously-crashing computational query
+# hardened with the _empty_guard short-circuit
 OPS = ["set_similarity_join", "containment_join", "knn_classify",
        "bm25_topk", "edit_distance_join", "event_funnel",
        "user_retention", "event_transitions", "event_rate_anomaly",
        "host_triangles", "token_pmi", "event_trend", "part_skyline",
-       "user_cumulative"]
+       "user_cumulative",
+       "ann_topk", "blocking_quality", "corpus_clean", "csv_customers",
+       "decontaminate", "el_eval", "embedding_kmeans",
+       "events_asof_order", "events_range_join", "global_pad",
+       "host_pagerank", "neardup_keep", "supplier_per_region",
+       "top_customers"]
+
+TABLES = {
+    "documents": {"doc_id": pa.int64(), "text": pa.string(),
+                  "lang": pa.string(), "source": pa.string(),
+                  "n_chars": pa.int64()},
+    "events": {"event_id": pa.int64(), "ts": pa.timestamp("us"),
+               "user_id": pa.int64(), "event_type": pa.string(),
+               "value": pa.float64(), "props": pa.string()},
+    "part": {"p_partkey": pa.int64(), "p_name": pa.string(),
+             "p_brand": pa.string(), "p_type": pa.string(),
+             "p_size": pa.int32(), "p_retailprice": pa.float64()},
+    "embeddings": {"vec_id": pa.int64(),
+                   "embedding": pa.list_(pa.float32()),
+                   "label": pa.int32()},
+    "region": {"r_regionkey": pa.int32(), "r_name": pa.string()},
+    "nation": {"n_nationkey": pa.int32(), "n_name": pa.string(),
+               "n_regionkey": pa.int32()},
+    "customer": {"c_custkey": pa.int64(), "c_name": pa.string(),
+                 "c_nationkey": pa.int32(), "c_acctbal": pa.float64(),
+                 "c_mktsegment": pa.string()},
+    "supplier": {"s_suppkey": pa.int64(), "s_name": pa.string(),
+                 "s_nationkey": pa.int32(), "s_acctbal": pa.float64()},
+    "orders": {"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
+               "o_orderstatus": pa.string(),
+               "o_totalprice": pa.float64(),
+               "o_orderdate": pa.timestamp("us"),
+               "o_orderpriority": pa.string()},
+    "lineitem": {"l_orderkey": pa.int64(), "l_partkey": pa.int64(),
+                 "l_suppkey": pa.int64(), "l_linenumber": pa.int32(),
+                 "l_quantity": pa.float64(),
+                 "l_extendedprice": pa.float64(),
+                 "l_discount": pa.float64(), "l_tax": pa.float64(),
+                 "l_shipdate": pa.timestamp("us"),
+                 "l_returnflag": pa.string(),
+                 "l_linestatus": pa.string()},
+}
 
 
 @pytest.fixture(scope="module")
 def empty_sf(tmp_path_factory):
     d = tmp_path_factory.mktemp("empty_sf")
-    pq.write_table(pa.table({
-        "doc_id": pa.array([], type=pa.int64()),
-        "text": pa.array([], type=pa.string()),
-        "lang": pa.array([], type=pa.string()),
-        "source": pa.array([], type=pa.string()),
-        "n_chars": pa.array([], type=pa.int64())}),
-        d / "documents.parquet")
-    pq.write_table(pa.table({
-        "event_id": pa.array([], type=pa.int64()),
-        "ts": pa.array([], type=pa.timestamp("us")),
-        "user_id": pa.array([], type=pa.int64()),
-        "event_type": pa.array([], type=pa.string()),
-        "value": pa.array([], type=pa.float64()),
-        "props": pa.array([], type=pa.string())}),
-        d / "events.parquet")
-    pq.write_table(pa.table({
-        "p_partkey": pa.array([], type=pa.int64()),
-        "p_name": pa.array([], type=pa.string()),
-        "p_brand": pa.array([], type=pa.string()),
-        "p_type": pa.array([], type=pa.string()),
-        "p_size": pa.array([], type=pa.int32()),
-        "p_retailprice": pa.array([], type=pa.float64())}),
-        d / "part.parquet")
-    pq.write_table(pa.table({
-        "vec_id": pa.array([], type=pa.int64()),
-        "embedding": pa.array([], type=pa.list_(pa.float32())),
-        "label": pa.array([], type=pa.int32())}),
-        d / "embeddings.parquet")
+    for name, schema in TABLES.items():
+        pq.write_table(
+            pa.table({c: pa.array([], type=t)
+                      for c, t in schema.items()}),
+            d / f"{name}.parquet")
     return str(d)
 
 
@@ -61,7 +81,7 @@ def test_empty_corpus_parity(ray_session, empty_sf, name):
     eng = res if isinstance(res, pd.DataFrame) else res.to_pandas()
 
     con = duckdb.connect()
-    for tbl in ("documents", "events", "part", "embeddings"):
+    for tbl in TABLES:
         con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM "
                     f"read_parquet('{os.path.join(empty_sf, tbl)}"
                     f".parquet')")
@@ -69,10 +89,8 @@ def test_empty_corpus_parity(ray_session, empty_sf, name):
 
     assert len(eng) == len(want), (len(eng), len(want))
     if len(want):
-        a = eng.sort_index(axis=1).sort_values(
-            list(sorted(eng.columns))).reset_index(drop=True)
-        b = want.sort_index(axis=1).sort_values(
-            list(sorted(want.columns))).reset_index(drop=True)
-        assert list(a.columns) == list(b.columns)
-        for c in a.columns:
-            assert list(a[c]) == list(b[c]), c
+        cols = sorted(want.columns)
+        assert sorted(eng.columns) == cols
+        a = eng[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
