@@ -1041,6 +1041,15 @@ def q_wet_records(sf_dir: str, docs_per_shard: int = 200):
     import pyarrow.parquet as pq
 
     from ..sources.wet import read_wet_files, write_wet_shard
+    from .queries import _empty_guard
+
+    empty = _empty_guard(sf_dir, "documents",
+                         {"url": pa.string(), "warc_date": pa.string(),
+                          "n_bytes": pa.int64(), "text": pa.string()})
+    if empty is not None:
+        # zero docs -> zero shards; read_binary_files refuses an
+        # empty path list, so short-circuit with the oracle's 0 rows
+        return empty
 
     d = os.path.join(_fixture_dir(sf_dir), "wetdump")
     # the marker records the staging layout (docs_per_shard + doc
@@ -1099,6 +1108,15 @@ def q_wet_ingest(sf_dir: str):
     count is one dictionary-encode + (doc, code) lexsort/neighbor-mask
     per batch — no per-doc Python."""
     from ..functions.tokenize import tokenize_arrow_offsets
+    from .queries import _empty_guard
+
+    empty = _empty_guard(sf_dir, "documents",
+                         {"doc_id": pa.int64(), "url": pa.string(),
+                          "n_bytes": pa.int64(),
+                          "n_tokens": pa.int64(),
+                          "n_unique": pa.int64()})
+    if empty is not None:
+        return empty
 
     ds = q_wet_records(sf_dir)
 
@@ -1278,6 +1296,13 @@ def q_wikidata_fanout(sf_dir: str):
 
     from ..functions.wikidata import RELATIONS
     from ..stages.wikidata_fanout import FANOUT_SINKS, read_sink
+    from .queries import _empty_guard
+
+    empty = _empty_guard(sf_dir, "part",
+                         {"sink": pa.string(), "qcode": pa.string(),
+                          "value": pa.string()})
+    if empty is not None:
+        return empty
 
     fan_dir = stage_wikidata_dump(sf_dir)
 

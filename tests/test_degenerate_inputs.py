@@ -23,7 +23,12 @@ OPS = ["set_similarity_join", "containment_join", "knn_classify",
        "decontaminate", "el_eval", "embedding_kmeans",
        "events_asof_order", "events_range_join", "global_pad",
        "host_pagerank", "neardup_keep", "supplier_per_region",
-       "top_customers"]
+       "top_customers",
+       "wet_records", "wet_ingest", "wikidata_fanout"]
+# intentionally absent: wiki_redirects — its staged .sql.gz fixture is
+# degenerate without documents and the reader's short-line gate raises
+# LOUDLY by contract (the reference drops short INSERT lines; silently
+# fabricating the oracle's planted decoy row would defeat the gate)
 
 TABLES = {
     "documents": {"doc_id": pa.int64(), "text": pa.string(),
