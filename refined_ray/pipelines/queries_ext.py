@@ -739,8 +739,14 @@ def q_class_prune(sf_dir: str):
             for k, nk in zip(b["c_custkey"].to_pylist(),
                              b["c_nationkey"].to_pylist()):
                 other = (nk + 7) % 25
-                other_region = next(iter(self.dag.parents.get(f"n{other}", ["r?"])))
-                direct = frozenset([f"c{k}", f"n{nk}", f"n{other}", other_region])
+                # no fabricated placeholder when the other nation is
+                # absent from the DAG: the SQL's region arm is an
+                # inner join, so a missing nation contributes NO
+                # region element to the direct set
+                parents = self.dag.parents.get(f"n{other}")
+                direct = frozenset(
+                    [f"c{k}", f"n{nk}", f"n{other}"]
+                    + ([next(iter(parents))] if parents else []))
                 for c in sorted(self.dag.prune(direct)):
                     ent.append(k)
                     cls.append(c)

@@ -99,3 +99,38 @@ def test_empty_corpus_parity(ray_session, empty_sf, name):
         a = eng[cols].sort_values(cols).reset_index(drop=True)
         b = want[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_class_prune_partial_empty_nation(ray_session, tmp_path):
+    """PARTIAL-empty parity (regression): with `nation` empty but
+    `customer` populated, the engine fabricated a 'r?' placeholder
+    class for the unknown region; the SQL's region arm is an inner
+    join and contributes nothing — both sides must emit exactly
+    {own class, other nation} per customer (own nation pruned via the
+    customer->nation DAG edge, which needs no nation row)."""
+    import shutil
+
+    import __ray_entry__ as entry
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t, schema in TABLES.items():
+        s = os.path.join(src, f"{t}.parquet")
+        if t == "nation":
+            pq.write_table(pa.table({c: pa.array([], type=ty)
+                                     for c, ty in schema.items()}),
+                           d / "nation.parquet")
+        elif os.path.exists(s):
+            shutil.copy(s, d / f"{t}.parquet")
+
+    got = entry.queries()["class_prune"](str(d)).to_pandas()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{d / t}.parquet')")
+    want = con.execute(entry.oracle_sql()["class_prune"]).fetchdf()
+    a = sorted(map(tuple, got.itertuples(index=False, name=None)))
+    b = sorted(map(tuple, want.itertuples(index=False, name=None)))
+    assert a == b
+    assert not any(c == "r?" for _, c in a)
