@@ -491,6 +491,15 @@ def q_wiki_redirects(sf_dir: str):
                             columns=["n_nationkey", "n_name", "n_regionkey"])
         reg = pq.read_table(os.path.join(sf_dir, "region.parquet"),
                             columns=["r_regionkey", "r_name"])
+        if nat.num_rows == 0 or reg.num_rows == 0:
+            # a degenerate dump cannot satisfy the reference's
+            # short-line gate (INSERT lines must exceed 500 bytes) —
+            # fail loudly and say why, instead of a KeyError deep in
+            # the fixture synth
+            raise ValueError(
+                "wiki_redirects fixture needs non-empty nation/region "
+                "tables: the enwiki dump format's short-line gate "
+                "drops any INSERT a degenerate corpus could produce")
         rname = dict(zip(reg["r_regionkey"].to_pylist(),
                          reg["r_name"].to_pylist()))
         pages, reds = [], []
