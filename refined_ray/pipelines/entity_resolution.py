@@ -68,7 +68,22 @@ def build_payload(sf_dir: str, amplify: int = 1, fatten: int = 1,
 
 
 def payload_from_pages(pages, emit_sets: bool = False):
-    """(url, html) pages Dataset → payload Dataset (extract + sign)."""
+    """(url, html) pages Dataset → payload Dataset (extract + sign).
+
+    Crawl hygiene at the ingest boundary: real Common-Crawl parquet
+    carries records with a NULL url or payload (truncated fetches,
+    redirect stubs); they are unusable for linkage — a page without a
+    url cannot join ground truth or receive a cluster id — so they are
+    scrubbed HERE, once, instead of crashing three stages later inside
+    signing.  The synthetic corpora are null-free, so this is a no-op
+    on every benchmark path."""
+    import pyarrow.compute as _pc
+
+    def drop_unusable(b):
+        return b.filter(_pc.and_(_pc.is_valid(b["url"]),
+                                 _pc.is_valid(b["html"])))
+
+    pages = pages.map_batches(drop_unusable, batch_format="pyarrow")
     extracted = extract_pages(pages)
     return sign_pages(extracted, emit_sets=emit_sets)
 

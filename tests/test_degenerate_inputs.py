@@ -134,3 +134,25 @@ def test_class_prune_partial_empty_nation(ray_session, tmp_path):
     b = sorted(map(tuple, want.itertuples(index=False, name=None)))
     assert a == b
     assert not any(c == "r?" for _, c in a)
+
+
+def test_flagship_scrubs_null_pages(ray_session):
+    """Crawl hygiene: records with a NULL url or html (truncated
+    fetches, redirect stubs — routine in real Common-Crawl parquet)
+    must be scrubbed at the ingest boundary, not crash signing."""
+    import ray.data as rd
+
+    from refined_ray.pipelines.entity_resolution import payload_from_pages
+    from refined_ray.sources.webpages import ensure_webpages
+
+    path = ensure_webpages("/root/testdata/sf0.001")
+    base = pq.read_table(path, columns=["url", "html"])
+    nulls = pa.table({
+        "url": pa.array([None, "https://x.example/p", None],
+                        type=pa.string()),
+        "html": pa.array([b"<html><body>hi</body></html>", None, None],
+                         type=pa.binary()),
+    })
+    pages = rd.from_arrow(pa.concat_tables([base, nulls]))
+    payload = payload_from_pages(pages).materialize()
+    assert payload.count() == base.num_rows  # the 3 null rows dropped
