@@ -2046,6 +2046,140 @@ SELECT host, count(*) AS n_triangles FROM cr GROUP BY 1
 
 
 # ---------------------------------------------------------------------
+# Robust winnowing fingerprints (engine addition; Schleimer et al.
+# 2003, the MOSS algorithm): per document, the rightmost-minimum
+# k-gram hash of every w-window — the guarantee-bearing fingerprint
+# selection (any shared substring of >= w+k-1 tokens shares >= 1
+# fingerprint) behind plagiarism/clone detection.  Upgrades the
+# fingerprint family from rows-only (doc_fingerprints) to
+# oracle-gated: hashes are md5-derived, which DuckDB replays exactly.
+# ---------------------------------------------------------------------
+
+_WIN_K = 3  # token k-gram width
+_WIN_W = 4  # winnow window
+
+
+def q_doc_winnow(sf_dir: str, k: int = _WIN_K, w: int = _WIN_W):
+    """(doc_id, pos, h): the DISTINCT winnowed fingerprints of every
+    document — for each window of ``w`` consecutive k-gram positions,
+    the rightmost minimum hash; documents with 1..w-1 k-grams
+    contribute their single whole-doc window; ties break to the
+    RIGHTMOST position (the Schleimer robust-winnowing rule).
+
+    Scale shape: winnowing is strictly per-document — ONE stateless
+    map pass, zero shuffle; k-grams build via the Arrow binary-join
+    kernel over shifted slices (no python per token) and the md5 runs
+    over the batch k-gram VOCABULARY (dictionary-encode first);
+    window minima come from one sliding_window_view argmin over the
+    reversed window axis (first-min of the reversal IS the rightmost
+    minimum)."""
+    import hashlib
+
+    from ..functions.tokenize import tokenize_arrow_offsets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "pos": pa.array([], type=pa.int64()),
+                      "h": pa.array([], type=pa.int64())})
+
+    def winnow(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, starts = tokenize_arrow_offsets(b["text"])
+        n_tok = np.diff(starts)
+        if len(flat) < k:
+            return empty
+        # k-gram strings from shifted slices (arrow kernel, no python
+        # per instance); in-doc mask keeps windows that do not cross
+        # a document boundary
+        parts = [flat.slice(j, len(flat) - k + 1) for j in range(k)]
+        joined = pc.binary_join_element_wise(
+            *parts, " ")
+        doc_of = np.repeat(np.arange(len(ids)), n_tok)
+        valid = doc_of[:len(flat) - k + 1] == doc_of[k - 1:]
+        if not valid.any():
+            return empty
+        # md5 over the k-gram VOCABULARY, gathered to instances
+        enc = pc.dictionary_encode(joined.filter(pa.array(valid)))
+        dic = enc.dictionary.to_pylist()
+        vocab_h = np.array(
+            [int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+             for s in dic], dtype=np.int64)
+        h = vocab_h[enc.indices.to_numpy(zero_copy_only=False)
+                    .astype(np.int64)]
+        gdoc = doc_of[:len(flat) - k + 1][valid]
+        # per-doc 1-based k-gram positions
+        gstarts = np.flatnonzero(np.r_[True, gdoc[1:] != gdoc[:-1]])
+        gsizes = np.diff(np.r_[gstarts, len(gdoc)])
+        pos = np.arange(len(gdoc)) - np.repeat(gstarts, gsizes) + 1
+
+        picks = []  # global indices of selected fingerprints
+        if len(h) >= w:
+            win = np.lib.stride_tricks.sliding_window_view(h, w)
+            ok = gdoc[: len(h) - w + 1] == gdoc[w - 1:]
+            if ok.any():
+                where = np.flatnonzero(ok)
+                arg = w - 1 - np.argmin(win[where, ::-1], axis=1)
+                picks.append(where + arg)
+        # short docs (1..w-1 grams): one whole-doc window each
+        short = np.flatnonzero(gsizes < w)
+        for s in short:
+            lo = gstarts[s]
+            seg = h[lo:lo + gsizes[s]]
+            picks.append(np.array(
+                [lo + (len(seg) - 1 - np.argmin(seg[::-1]))],
+                dtype=np.int64))
+        if not picks:
+            return empty
+        sel = np.unique(np.concatenate(picks))
+        return pa.table({
+            "doc_id": pa.array(ids[gdoc[sel]], type=pa.int64()),
+            "pos": pa.array(pos[sel], type=pa.int64()),
+            "h": pa.array(h[sel], type=pa.int64())})
+
+    return ds.map_batches(winnow, batch_format="pyarrow")
+
+
+def _sql_doc_winnow(k: int = _WIN_K, w: int = _WIN_W) -> str:
+    gram = " || ' ' || ".join(
+        f"t{j}.t" for j in range(k))
+    joins = " ".join(
+        f"JOIN tok t{j} ON t{j}.doc_id = t0.doc_id "
+        f"AND t{j}.i = t0.i + {j}" for j in range(1, k))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS t,
+         generate_subscripts({_TOKS}, 1) AS i
+  FROM documents
+),
+g AS (
+  SELECT t0.doc_id, t0.i AS pos,
+         CAST(concat('0x', substr(md5({gram}), 1, 15)) AS BIGINT) AS h
+  FROM tok t0 {joins}
+),
+n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+ws AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(1, ng - {w} + 1) + 1)) AS j
+  FROM n
+),
+m AS (
+  SELECT ws.doc_id, ws.j, g.pos, g.h
+  FROM ws JOIN g ON g.doc_id = ws.doc_id
+              AND g.pos >= ws.j AND g.pos <= ws.j + {w} - 1
+),
+sel AS (
+  SELECT doc_id, pos, h FROM m
+  QUALIFY row_number() OVER (PARTITION BY doc_id, j
+                             ORDER BY h, pos DESC) = 1
+)
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h FROM sel
+"""
+
+
+# ---------------------------------------------------------------------
 # PMI collocation mining (engine addition): the top adjacent-token
 # bigrams by pointwise mutual information — the corpus-analytics
 # probe behind phrase detection and tokenizer-merge diagnostics.
@@ -4094,6 +4228,7 @@ WEBTEXT_QUERIES = {
     "host_pagerank": q_host_pagerank,
     "host_triangles": q_host_triangles,
     "token_pmi": q_token_pmi,
+    "doc_winnow": q_doc_winnow,
     "dsir_select": q_dsir_select,
     "selfdup_lines": q_selfdup_lines,
     "host_boilerplate": q_host_boilerplate,
@@ -4131,6 +4266,7 @@ WEBTEXT_ORACLES = {
     "host_pagerank": _sql_host_pagerank(),
     "host_triangles": SQL_HOST_TRIANGLES,
     "token_pmi": _sql_token_pmi(),
+    "doc_winnow": _sql_doc_winnow(),
     "dsir_select": _sql_dsir_select(),
     "selfdup_lines": SQL_SELFDUP_LINES,
     "host_boilerplate": SQL_HOST_BOILERPLATE,

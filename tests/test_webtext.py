@@ -1192,3 +1192,63 @@ def test_token_pmi_vs_bruteforce(ray_session, tmp_path):
     assert list(map(tuple, got.itertuples(index=False, name=None))) \
         == want
     assert (got.iloc[0].left, got.iloc[0].right) == ("alpha", "beta")
+
+
+def test_doc_winnow_vs_bruteforce(ray_session, tmp_path):
+    """Winnowing vs a pure-python replay on random corpora with
+    REPEATED tokens (equal-hash grams inside one window exercise the
+    rightmost tie rule), plus the Schleimer guarantee: two docs
+    sharing a run of >= w+k-1 tokens share >= 1 fingerprint hash."""
+    import hashlib
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from refined_ray.functions.tokenize import tokenize
+    from refined_ray.pipelines.queries_webtext import (
+        _WIN_K, _WIN_W, q_doc_winnow)
+
+    k, w = _WIN_K, _WIN_W
+    rng = random.Random(61)
+    vocab = ["a", "b", "c", "d", "e"]  # tiny -> many repeated grams
+    texts = [" ".join(rng.choice(vocab)
+                      for _ in range(rng.randrange(0, 20)))
+             for _ in range(40)]
+    shared = " ".join(rng.choice(vocab) for _ in range(w + k - 1))
+    texts += [f"e d c {shared} a b", f"b a {shared} c d e",
+              "a a a a a a a a"]  # all-equal hashes: pure tie chains
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    d = tmp_path / "sfw"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet", row_group_size=7)
+
+    got = {}
+    for r in q_doc_winnow(str(d)).to_pandas().itertuples():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.h))
+
+    def ref_winnow(text):
+        toks = tokenize(text)
+        grams = [" ".join(toks[i:i + k])
+                 for i in range(len(toks) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+              for g in grams]
+        out = set()
+        if not hs:
+            return out
+        windows = ([range(j, j + w)
+                    for j in range(len(hs) - w + 1)]
+                   if len(hs) >= w else [range(len(hs))])
+        for win in windows:
+            best = max(win, key=lambda i: (-hs[i], i))  # rightmost min
+            out.add((best + 1, hs[best]))
+        return out
+
+    for i, txt in enumerate(texts):
+        assert got.get(i, set()) == ref_winnow(txt), i
+    # the guarantee: the two planted docs share a fingerprint hash
+    ha = {h for _, h in got[len(texts) - 3]}
+    hb = {h for _, h in got[len(texts) - 2]}
+    assert ha & hb
