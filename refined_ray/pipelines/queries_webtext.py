@@ -2179,6 +2179,112 @@ SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h FROM sel
 """
 
 
+_WC_MIN_SHARED = 2
+
+
+def q_winnow_candidates(sf_dir: str, min_shared: int = _WC_MIN_SHARED):
+    """MOSS step 2 — the fingerprint-index join: all document pairs
+    sharing >= ``min_shared`` DISTINCT winnowed fingerprint hashes,
+    (doc_a, doc_b, n_shared) with doc_a < doc_b.
+
+    Scale shape: fingerprints (already a tiny sample of each doc)
+    dedupe per doc in-map, pairs enumerate inside ONE hash-keyed
+    exchange (a bucket is exactly the docs sharing that fingerprint;
+    per-bucket pair fan-out is the algorithm's real cost and stays
+    uncapped here because the oracle demands exactness — production
+    callers drop hyper-common fingerprints the way MOSS drops
+    whole-corpus hashes), and per-pair counts fold in ONE
+    (a, b)-keyed exchange."""
+    from .. import default_num_partitions
+
+    nparts = default_num_partitions()
+    fp = q_doc_winnow(sf_dir)
+
+    def per_doc_distinct(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "h": pa.array([], type=pa.int64())})
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        h = b["h"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, d))
+        d, h = d[order], h[order]
+        keep = np.ones(len(d), dtype=bool)
+        keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        return pa.table({"doc_id": pa.array(d[keep], type=pa.int64()),
+                         "h": pa.array(h[keep], type=pa.int64())})
+
+    # winnow emits per-batch rows for whole docs, so the in-map
+    # distinct IS global per (doc, h)
+    dist = fp.map_batches(per_doc_distinct, batch_format="pyarrow")
+
+    def bucket_pairs(b: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        h = b["h"].to_numpy(zero_copy_only=False)
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        sizes = np.diff(np.r_[starts, len(h)])
+        a_out, b_out = [], []
+        for s, n in zip(starts, sizes):
+            if n < 2:
+                continue
+            grp = d[s:s + n]  # sorted ascending, distinct within h
+            ii, jj = np.triu_indices(n, k=1)
+            a_out.append(grp[ii])
+            b_out.append(grp[jj])
+        if not a_out:
+            return empty
+        a = np.concatenate(a_out)
+        bb = np.concatenate(b_out)
+        return pa.table({"a": pa.array(a, type=pa.int64()),
+                         "b": pa.array(bb, type=pa.int64()),
+                         "n": pa.array(np.ones(len(a), dtype=np.int64),
+                                       type=pa.int64())})
+
+    def fold_pairs(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                          "doc_b": pa.array([], type=pa.int64()),
+                          "n_shared": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((bb, a))
+        a, bb, n = a[order], bb[order], n[order]
+        seg = np.flatnonzero(np.r_[True, (a[1:] != a[:-1])
+                                   | (bb[1:] != bb[:-1])])
+        tot = np.add.reduceat(n, seg)
+        m = tot >= min_shared
+        return pa.table({
+            "doc_a": pa.array(a[seg][m], type=pa.int64()),
+            "doc_b": pa.array(bb[seg][m], type=pa.int64()),
+            "n_shared": pa.array(tot[m].astype(np.int64),
+                                 type=pa.int64())})
+
+    return dist.repartition(num_blocks=nparts, keys=["h"], sort=False) \
+        .map_batches(bucket_pairs, batch_format="pyarrow",
+                     batch_size=None) \
+        .repartition(num_blocks=nparts, keys=["a", "b"], sort=False) \
+        .map_batches(fold_pairs, batch_format="pyarrow",
+                     batch_size=None)
+
+
+def _sql_winnow_candidates(min_shared: int = _WC_MIN_SHARED) -> str:
+    return f"""
+WITH f AS (SELECT DISTINCT doc_id, h FROM ({_sql_doc_winnow()}))
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
+FROM f x JOIN f y ON x.h = y.h AND x.doc_id < y.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""
+
+
 # ---------------------------------------------------------------------
 # PMI collocation mining (engine addition): the top adjacent-token
 # bigrams by pointwise mutual information — the corpus-analytics
@@ -4229,6 +4335,7 @@ WEBTEXT_QUERIES = {
     "host_triangles": q_host_triangles,
     "token_pmi": q_token_pmi,
     "doc_winnow": q_doc_winnow,
+    "winnow_candidates": q_winnow_candidates,
     "dsir_select": q_dsir_select,
     "selfdup_lines": q_selfdup_lines,
     "host_boilerplate": q_host_boilerplate,
@@ -4267,6 +4374,7 @@ WEBTEXT_ORACLES = {
     "host_triangles": SQL_HOST_TRIANGLES,
     "token_pmi": _sql_token_pmi(),
     "doc_winnow": _sql_doc_winnow(),
+    "winnow_candidates": _sql_winnow_candidates(),
     "dsir_select": _sql_dsir_select(),
     "selfdup_lines": SQL_SELFDUP_LINES,
     "host_boilerplate": SQL_HOST_BOILERPLATE,

@@ -1252,3 +1252,60 @@ def test_doc_winnow_vs_bruteforce(ray_session, tmp_path):
     ha = {h for _, h in got[len(texts) - 3]}
     hb = {h for _, h in got[len(texts) - 2]}
     assert ha & hb
+
+
+def test_winnow_candidates_vs_bruteforce(ray_session, tmp_path):
+    """MOSS step 2 vs python: pair counts over shared DISTINCT
+    fingerprints; a planted clone pair must surface."""
+    import hashlib
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from refined_ray.functions.tokenize import tokenize
+    from refined_ray.pipelines.queries_webtext import (
+        _WIN_K, _WIN_W, q_winnow_candidates)
+
+    k, w = _WIN_K, _WIN_W
+    rng = random.Random(67)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    texts = [" ".join(rng.choice(vocab)
+                      for _ in range(rng.randrange(3, 25)))
+             for _ in range(30)]
+    clone = " ".join(rng.choice(vocab) for _ in range(18))
+    texts += [f"f e {clone}", f"{clone} a b c"]  # the planted pair
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    d = tmp_path / "sfwc"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet", row_group_size=6)
+
+    got = sorted(map(tuple, q_winnow_candidates(str(d)).to_pandas()
+                     .itertuples(index=False, name=None)))
+
+    def fps(text):
+        toks = tokenize(text)
+        grams = [" ".join(toks[i:i + k])
+                 for i in range(len(toks) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+              for g in grams]
+        out = set()
+        if not hs:
+            return out
+        wins = ([range(j, j + w) for j in range(len(hs) - w + 1)]
+                if len(hs) >= w else [range(len(hs))])
+        for win in wins:
+            best = max(win, key=lambda i: (-hs[i], i))
+            out.add(hs[best])
+        return out
+
+    F = [fps(x) for x in texts]
+    want = sorted((i, j, len(F[i] & F[j]))
+                  for i in range(len(texts))
+                  for j in range(i + 1, len(texts))
+                  if len(F[i] & F[j]) >= 2)
+    assert got == want
+    assert (len(texts) - 2, len(texts) - 1) in {(a, b)
+                                                for a, b, _ in got}
