@@ -4119,6 +4119,130 @@ EXT_QUERIES["user_cumulative"] = q_user_cumulative
 EXT_ORACLES["user_cumulative"] = SQL_USER_CUMULATIVE
 
 
+# ---------------------------------------------------------------------
+# Sorted-neighborhood blocking (engine addition; Hernández & Stolfo
+# 1995 — THE classic record-linkage blocking alternative to LSH):
+# sort records by a blocking key, slide a window of W, pair every two
+# records inside a window.  The distributed form needs global ranks
+# and boundary-crossing windows — both handled without any driver
+# data pass.
+# ---------------------------------------------------------------------
+
+_SN_W = 4
+
+
+def q_sorted_neighborhood(sf_dir: str, w: int = _SN_W):
+    """All part pairs within a sliding window of ``w`` under the
+    (p_name, p_partkey) sort order: (key_a, key_b) with key_a the
+    lower-ranked row and rank distance in 1..w-1.
+
+    Scale shape: the global rank comes from the distributed
+    zip-with-index stage over a COMPOSITE sortable key (name + NUL +
+    zero-padded key — byte order equals the SQL's (name, key) ORDER
+    BY; the key encodes the row id, so no join re-attaches it); rows
+    then post to rank-band ``rk // (w-1)`` AND the next band, which
+    provably co-locates every pair with rank distance <= w-1 (widths
+    are w-1, so the higher rank lands in the same or next band);
+    pairs enumerate per band and dedupe in ONE keyed exchange.  No
+    stage materializes the sorted corpus on the driver."""
+    from .. import default_num_partitions
+    from ..stages.index import zip_with_index
+    from .queries import _dedup_ab, _empty_guard
+
+    empty = _empty_guard(sf_dir, "part", {"key_a": pa.int64(),
+                                          "key_b": pa.int64()})
+    if empty is not None:
+        return empty
+
+    nparts = default_num_partitions()
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def composite(b: pa.Table) -> pa.Table:
+        b = b.drop_null()
+        keys = [f"{n}\x00{k:012d}"
+                for n, k in zip(b["p_name"].to_pylist(),
+                                b["p_partkey"].to_pylist())]
+        return pa.table({"ck": pa.array(keys, type=pa.string())})
+
+    ranked = zip_with_index(ds.map_batches(composite,
+                                           batch_format="pyarrow"),
+                            "ck", out_col="rk")
+
+    band_w = w - 1
+
+    def to_bands(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"band": pa.array([], type=pa.int64()),
+                             "rk": pa.array([], type=pa.int64()),
+                             "pk": pa.array([], type=pa.int64())})
+        rk = b["rk"].to_numpy(zero_copy_only=False)
+        pk = np.array([int(s.rsplit("\x00", 1)[1])
+                       for s in b["ck"].to_pylist()], dtype=np.int64)
+        band = rk // band_w
+        return pa.table({
+            "band": pa.array(np.concatenate([band, band + 1]),
+                             type=pa.int64()),
+            "rk": pa.array(np.concatenate([rk, rk]), type=pa.int64()),
+            "pk": pa.array(np.concatenate([pk, pk]), type=pa.int64())})
+
+    posted = ranked.map_batches(to_bands, batch_format="pyarrow")
+
+    def band_pairs(b: pa.Table) -> pa.Table:
+        empty_p = pa.table({"a": pa.array([], type=pa.int64()),
+                            "b": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty_p
+        band = b["band"].to_numpy(zero_copy_only=False)
+        rk = b["rk"].to_numpy(zero_copy_only=False)
+        pk = b["pk"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((rk, band))
+        band, rk, pk = band[order], rk[order], pk[order]
+        starts = np.flatnonzero(np.r_[True, band[1:] != band[:-1]])
+        sizes = np.diff(np.r_[starts, len(band)])
+        a_out, b_out = [], []
+        for s, n in zip(starts, sizes):
+            if n < 2:
+                continue
+            r, p = rk[s:s + n], pk[s:s + n]
+            # each row appears once per band (duplicate posts land in
+            # DIFFERENT bands), so within a band rows are distinct
+            ii, jj = np.triu_indices(n, k=1)
+            m = (r[jj] - r[ii]) <= band_w
+            a_out.append(p[ii[m]])
+            b_out.append(p[jj[m]])
+        if not a_out:
+            return empty_p
+        return pa.table({"a": pa.array(np.concatenate(a_out),
+                                       type=pa.int64()),
+                         "b": pa.array(np.concatenate(b_out),
+                                       type=pa.int64())})
+
+    return posted.repartition(num_blocks=nparts, keys=["band"],
+                              sort=False) \
+        .map_batches(band_pairs, batch_format="pyarrow",
+                     batch_size=None) \
+        .repartition(num_blocks=nparts, keys=["a", "b"], sort=False) \
+        .map_batches(_dedup_ab, batch_format="pyarrow",
+                     batch_size=None) \
+        .rename_columns({"a": "key_a", "b": "key_b"})
+
+
+def _sql_sorted_neighborhood(w: int = _SN_W) -> str:
+    return f"""
+WITH r AS (
+  SELECT p_partkey,
+         row_number() OVER (ORDER BY p_name, p_partkey) AS rk
+  FROM part WHERE p_name IS NOT NULL AND p_partkey IS NOT NULL
+)
+SELECT x.p_partkey AS key_a, y.p_partkey AS key_b
+FROM r x JOIN r y ON y.rk > x.rk AND y.rk <= x.rk + {w - 1}
+"""
+
+
+EXT_QUERIES["sorted_neighborhood"] = q_sorted_neighborhood
+EXT_ORACLES["sorted_neighborhood"] = _sql_sorted_neighborhood()
+
+
 def q_events_range_join(sf_dir: str):
     """Range join (engine addition — see stages/rangejoin.py): each
     event matched to every OTHER event-type's activity window

@@ -12,8 +12,8 @@ import sys
 
 import pytest
 
-N_QUERIES = 136
-N_ORACLES = 115
+N_QUERIES = 137
+N_ORACLES = 116
 
 _FIRST = ["queries", "queries_ext", "queries_webtext", "queries_readers",
           "entity_resolution", "evaluation", "offline_build", "table_linking"]
