@@ -4243,6 +4243,150 @@ EXT_QUERIES["sorted_neighborhood"] = q_sorted_neighborhood
 EXT_ORACLES["sorted_neighborhood"] = _sql_sorted_neighborhood()
 
 
+# ---------------------------------------------------------------------
+# Fellegi-Sunter linkage weights (engine addition; Fellegi & Sunter
+# 1969 — THE classical probabilistic record-linkage model): each
+# candidate pair scores the sum over fields of ln(m/u) on agreement
+# and ln((1-m)/(1-u)) on disagreement, where u is the chance two
+# RANDOM records agree (estimated from value frequencies) and m is
+# the match-agreement probability (frozen here — with no labeled
+# pairs, the standard EM estimate has no data).
+# ---------------------------------------------------------------------
+
+_FS_M = 0.95
+_FS_FIELDS = ("p_brand", "p_type", "p_size")
+
+
+def q_fs_weights(sf_dir: str, m_prob: float = _FS_M):
+    """(key_a, key_b, weight) for every sorted-neighborhood candidate
+    pair: weight = Σ_field ln(m/u_f) if the field agrees else
+    ln((1-m)/(1-u_f)), u_f = Σ_v n_v(n_v-1) / (N(N-1)) over the
+    field's value histogram — all exact-integer numerators, one
+    shared float expression shape with the SQL.
+
+    Scale shape: per-field value histograms fold from per-block
+    partial counts (value rows, never records); the six ln weights
+    broadcast as closure scalars; candidate pairs reuse
+    q_sorted_neighborhood's machinery and attach both sides' fields
+    via two co-partitioned joins (inputs scrubbed of zero-column
+    empties per the engine contract); scoring is a stateless map."""
+    import math
+
+    from .. import default_num_partitions, scrub_empty_blocks
+    from .queries import _canon_round, _empty_guard
+
+    empty = _empty_guard(sf_dir, "part",
+                         {"key_a": pa.int64(), "key_b": pa.int64(),
+                          "weight": pa.float64()})
+    if empty is not None:
+        return empty
+
+    nparts = default_num_partitions()
+    ds = _read(sf_dir, "part",
+               ["p_partkey"] + list(_FS_FIELDS)).materialize()
+
+    # per-field agreement probability u from value histograms: the
+    # partials are (field, value, count) rows — value-dimension tiny
+    def hist_partial(b: pa.Table) -> pa.Table:
+        fs, vs, cs = [], [], []
+        for f in _FS_FIELDS:
+            v = np.array([str(x) for x in b[f].to_pylist()],
+                         dtype=object)
+            u, c = np.unique(v.astype("U"), return_counts=True)
+            fs += [f] * len(u)
+            vs += list(u)
+            cs += list(c)
+        return pa.table({"f": pa.array(fs, type=pa.string()),
+                         "v": pa.array(vs, type=pa.string()),
+                         "c": pa.array(np.asarray(cs, dtype=np.int64),
+                                       type=pa.int64())})
+
+    rows = ds.map_batches(hist_partial, batch_format="pyarrow").take_all()
+    hist: dict[tuple, int] = {}
+    n_total = 0
+    for r in rows:
+        hist[(r["f"], r["v"])] = hist.get((r["f"], r["v"]), 0) + r["c"]
+    n_total = ds.count()
+    lw = {}
+    for f in _FS_FIELDS:
+        num = sum(c * (c - 1) for (ff, _), c in hist.items() if ff == f)
+        u = num / (n_total * (n_total - 1))
+        lw[f] = (math.log(m_prob / u),
+                 math.log((1 - m_prob) / (1 - u)))
+
+    pairs = scrub_empty_blocks(
+        q_sorted_neighborhood(sf_dir).materialize())
+    side = ds.select_columns(["p_partkey"] + list(_FS_FIELDS))
+    a_side = side.rename_columns(
+        {"p_partkey": "key_a", **{f: f + "_a" for f in _FS_FIELDS}})
+    b_side = side.rename_columns(
+        {"p_partkey": "key_b", **{f: f + "_b" for f in _FS_FIELDS}})
+    enriched = scrub_empty_blocks(
+        pairs.join(a_side, join_type="inner", num_partitions=nparts,
+                   on=("key_a",)).materialize())
+    enriched = enriched.join(b_side, join_type="inner",
+                             num_partitions=nparts, on=("key_b",))
+
+    def score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"key_a": pa.array([], type=pa.int64()),
+                             "key_b": pa.array([], type=pa.int64()),
+                             "weight": pa.array([], type=pa.float64())})
+        s = None
+        for f in _FS_FIELDS:
+            va = np.array([str(x) for x in b[f + "_a"].to_pylist()],
+                          dtype=object)
+            vb = np.array([str(x) for x in b[f + "_b"].to_pylist()],
+                          dtype=object)
+            agree = va == vb
+            term = np.where(agree, lw[f][0], lw[f][1])
+            s = term if s is None else s + term
+        return pa.table({
+            "key_a": b["key_a"],
+            "key_b": b["key_b"],
+            "weight": _canon_round(list(s), 6)})
+
+    return enriched.map_batches(score, batch_format="pyarrow")
+
+
+def _sql_fs_weights(m_prob: float = _FS_M) -> str:
+    from .queries import _sql_round
+
+    mr = repr(m_prob)
+    omr = repr(1 - m_prob)
+    terms = []
+    for f in _FS_FIELDS:
+        u = (f"((SELECT CAST(sum(c * (c - 1)) AS BIGINT) FROM "
+             f"(SELECT count(*) AS c FROM part WHERE {f} IS NOT NULL "
+             f"GROUP BY CAST({f} AS VARCHAR)) h)"
+             f" / ((SELECT count(*) FROM part)"
+             f" * ((SELECT count(*) FROM part) - 1)))")
+        terms.append(
+            f"CASE WHEN CAST(pa.{f} AS VARCHAR) = CAST(pb.{f} AS VARCHAR)"
+            f" THEN ln({mr} / {u}) ELSE ln({omr} / (1 - {u})) END")
+    score = terms[0]
+    for t in terms[1:]:
+        score = f"({score} + {t})"
+    return f"""
+WITH r AS (
+  SELECT p_partkey,
+         row_number() OVER (ORDER BY p_name, p_partkey) AS rk
+  FROM part WHERE p_name IS NOT NULL AND p_partkey IS NOT NULL
+),
+p AS (
+  SELECT x.p_partkey AS key_a, y.p_partkey AS key_b
+  FROM r x JOIN r y ON y.rk > x.rk AND y.rk <= x.rk + {_SN_W - 1}
+)
+SELECT p.key_a, p.key_b, {_sql_round(score, 6)} AS weight
+FROM p JOIN part pa ON pa.p_partkey = p.key_a
+       JOIN part pb ON pb.p_partkey = p.key_b
+"""
+
+
+EXT_QUERIES["fs_weights"] = q_fs_weights
+EXT_ORACLES["fs_weights"] = _sql_fs_weights()
+
+
 def q_events_range_join(sf_dir: str):
     """Range join (engine addition — see stages/rangejoin.py): each
     event matched to every OTHER event-type's activity window

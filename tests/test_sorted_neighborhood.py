@@ -39,3 +39,62 @@ def test_sorted_neighborhood_vs_bruteforce(ray_session, tmp_path):
                   for i in range(len(ordered))
                   for j in range(i + 1, min(i + W, len(ordered))))
     assert got == want
+
+
+def test_fs_weights_vs_bruteforce(ray_session, tmp_path):
+    """Fellegi-Sunter weights vs python replay: frequency-derived u,
+    frozen m, per-field agreement; a duplicate-heavy field must get a
+    LOW agreement weight (common values are weak evidence)."""
+    import math
+    import random
+
+    from refined_ray.pipelines.queries_ext import (
+        _FS_FIELDS, _FS_M, _SN_W, q_fs_weights)
+
+    rng = random.Random(97)
+    n = 60
+    rows = []
+    for k in range(n):
+        rows.append((k, f"name {rng.randrange(0, 8):02d}",
+                     f"brand{rng.randrange(0, 2)}",     # near-constant
+                     f"type{rng.randrange(0, 12)}",     # diverse
+                     rng.randrange(1, 5)))
+    d = tmp_path / "sf2"
+    d.mkdir()
+    t = pa.table({
+        "p_partkey": pa.array([r[0] for r in rows], type=pa.int64()),
+        "p_name": pa.array([r[1] for r in rows]),
+        "p_brand": pa.array([r[2] for r in rows]),
+        "p_type": pa.array([r[3] for r in rows]),
+        "p_size": pa.array([r[4] for r in rows], type=pa.int32()),
+        "p_retailprice": pa.array([1.0] * n),
+    })
+    pq.write_table(t, d / "part.parquet", row_group_size=13)
+
+    got = {(r.key_a, r.key_b): r.weight
+           for r in q_fs_weights(str(d)).to_pandas().itertuples()}
+
+    by_key = {r[0]: r for r in rows}
+    u = {}
+    for fi, f in enumerate(_FS_FIELDS):
+        vals = [str(r[2 + fi]) for r in rows]
+        cnt = {}
+        for v in vals:
+            cnt[v] = cnt.get(v, 0) + 1
+        u[f] = sum(c * (c - 1) for c in cnt.values()) / (n * (n - 1))
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = {}
+    for i in range(len(ordered)):
+        for j in range(i + 1, min(i + _SN_W, len(ordered))):
+            a, b = ordered[i][0], ordered[j][0]
+            s = None
+            for fi, f in enumerate(_FS_FIELDS):
+                agree = str(by_key[a][2 + fi]) == str(by_key[b][2 + fi])
+                term = (math.log(_FS_M / u[f]) if agree
+                        else math.log((1 - _FS_M) / (1 - u[f])))
+                s = term if s is None else s + term
+            want[(a, b)] = float(f"{s:.6f}")
+    assert got == want
+    # evidence calibration: agreeing on the diverse field must add
+    # more weight than agreeing on the near-constant one
+    assert math.log(_FS_M / u["p_type"]) > math.log(_FS_M / u["p_brand"])
