@@ -75,3 +75,28 @@ def test_edit_distance_join_vs_bruteforce(ray_session, tmp_path):
     a = a[:len(b)]
     assert _lev_batch(a, b, 99).tolist() == [_lev(x, y)
                                              for x, y in zip(a, b)]
+
+
+def test_edit_distance_join_tau1(ray_session, tmp_path):
+    """Non-default threshold: tau=1 changes the prefix length AND the
+    sentinel bound (grams <= q*tau = 2) — brute-force parity on a
+    random corpus with planted ed-1 neighbours."""
+    import random
+
+    from refined_ray.pipelines.queries_ext import q_edit_distance_join
+
+    rng = random.Random(43)
+    names = ["".join(rng.choice("abcd") for _ in range(rng.randrange(1, 8)))
+             for _ in range(40)]
+    names += ["gear", "gears", "gearx", "bear"]  # ed-1 chain
+
+    sf = _write(tmp_path, names)
+    got = sorted(map(tuple, q_edit_distance_join(sf, tau=1).to_pandas()
+                     [["name_a", "name_b", "dist"]]
+                     .itertuples(index=False, name=None)))
+    uniq = sorted(set(names))
+    want = sorted((uniq[i], uniq[j], _lev(uniq[i], uniq[j]))
+                  for i in range(len(uniq))
+                  for j in range(i + 1, len(uniq))
+                  if _lev(uniq[i], uniq[j]) <= 1)
+    assert got == want

@@ -1309,3 +1309,48 @@ def test_winnow_candidates_vs_bruteforce(ray_session, tmp_path):
     assert got == want
     assert (len(texts) - 2, len(texts) - 1) in {(a, b)
                                                 for a, b, _ in got}
+
+
+def test_doc_winnow_nondefault_params(ray_session, tmp_path):
+    """Non-default (k, w): the window arithmetic, short-doc fallback
+    and tie rule must hold for k=2, w=6 as well."""
+    import hashlib
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from refined_ray.functions.tokenize import tokenize
+    from refined_ray.pipelines.queries_webtext import q_doc_winnow
+
+    k, w = 2, 6
+    rng = random.Random(71)
+    vocab = ["a", "b", "c"]
+    texts = [" ".join(rng.choice(vocab)
+                      for _ in range(rng.randrange(0, 15)))
+             for _ in range(30)]
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    d = tmp_path / "sfw2"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet", row_group_size=4)
+
+    got = {}
+    for r in q_doc_winnow(str(d), k=k, w=w).to_pandas().itertuples():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.h))
+
+    for i, txt in enumerate(texts):
+        toks = tokenize(txt)
+        grams = [" ".join(toks[j:j + k])
+                 for j in range(len(toks) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+              for g in grams]
+        want = set()
+        if hs:
+            wins = ([range(j, j + w) for j in range(len(hs) - w + 1)]
+                    if len(hs) >= w else [range(len(hs))])
+            for win in wins:
+                best = max(win, key=lambda x: (-hs[x], x))
+                want.add((best + 1, hs[best]))
+        assert got.get(i, set()) == want, i
