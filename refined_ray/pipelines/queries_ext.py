@@ -4387,6 +4387,111 @@ EXT_QUERIES["fs_weights"] = q_fs_weights
 EXT_ORACLES["fs_weights"] = _sql_fs_weights()
 
 
+# ---------------------------------------------------------------------
+# Fingerprint-key clustering (engine addition; OpenRefine's
+# "fingerprint" method — the standard data-cleaning collision key):
+# lowercase, tokenize, sort DISTINCT tokens, rejoin.  Token-order and
+# duplication variants of a value ("Widget red" / "red   widget")
+# collide on one key; the key groups are the duplicate-candidate
+# clusters a cleaning pass reviews.
+# ---------------------------------------------------------------------
+
+
+def q_fingerprint_cluster(sf_dir: str):
+    """One row per fingerprint key over part names:
+    (fp, n_rows, n_names) — total rows and DISTINCT raw names that
+    collide on the key.
+
+    Scale shape: the key is a stateless map (tokenize + per-value
+    sort-unique-join inside the batch); per-block partials
+    pre-aggregate to (fp, name, count) rows — value-vocabulary rows,
+    never records — before ONE fp-keyed exchange; the fold then
+    counts rows by integer sum and distinct names by segment
+    boundaries, both exact under any block structure."""
+    from .. import default_num_partitions
+    from ..functions.tokenize import tokenize_batch
+    from .queries import _empty_guard
+
+    empty = _empty_guard(sf_dir, "part",
+                         {"fp": pa.string(), "n_rows": pa.int64(),
+                          "n_names": pa.int64()})
+    if empty is not None:
+        return empty
+
+    nparts = default_num_partitions()
+    ds = _read(sf_dir, "part", ["p_name"])
+
+    def keyed_partial(b: pa.Table) -> pa.Table:
+        emp = pa.table({"fp": pa.array([], type=pa.string()),
+                        "name": pa.array([], type=pa.string()),
+                        "n": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return emp
+        names = [x for x in b["p_name"].to_pylist() if x is not None]
+        if not names:
+            return emp
+        flat, starts = tokenize_batch(names)
+        fps = [" ".join(sorted(set(flat[starts[i]:starts[i + 1]])))
+               for i in range(len(names))]
+        f = np.array(fps, dtype=object)
+        nm = np.array(names, dtype=object)
+        order = np.lexsort((nm.astype("U"), f.astype("U")))
+        f, nm = f[order], nm[order]
+        seg = np.flatnonzero(np.r_[True, (f[1:] != f[:-1])
+                                   | (nm[1:] != nm[:-1])])
+        cnt = np.diff(np.r_[seg, len(f)])
+        return pa.table({"fp": pa.array(f[seg], type=pa.string()),
+                         "name": pa.array(nm[seg], type=pa.string()),
+                         "n": pa.array(cnt.astype(np.int64),
+                                       type=pa.int64())})
+
+    def fold(b: pa.Table) -> pa.Table:
+        emp = pa.table({"fp": pa.array([], type=pa.string()),
+                        "n_rows": pa.array([], type=pa.int64()),
+                        "n_names": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return emp
+        f = np.array(b["fp"].to_pylist(), dtype=object)
+        nm = np.array(b["name"].to_pylist(), dtype=object)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nm.astype("U"), f.astype("U")))
+        f, nm, n = f[order], nm[order], n[order]
+        # collapse duplicate (fp, name) partials, then fold per fp
+        pair_seg = np.flatnonzero(np.r_[True, (f[1:] != f[:-1])
+                                        | (nm[1:] != nm[:-1])])
+        pn = np.add.reduceat(n, pair_seg)
+        pf = f[pair_seg]
+        fp_seg = np.flatnonzero(np.r_[True, pf[1:] != pf[:-1]])
+        rows = np.add.reduceat(pn, fp_seg)
+        names = np.diff(np.r_[fp_seg, len(pf)])
+        return pa.table({
+            "fp": pa.array(pf[fp_seg], type=pa.string()),
+            "n_rows": pa.array(rows.astype(np.int64), type=pa.int64()),
+            "n_names": pa.array(names.astype(np.int64),
+                                type=pa.int64())})
+
+    return ds.map_batches(keyed_partial, batch_format="pyarrow") \
+        .repartition(num_blocks=nparts, keys=["fp"], sort=False) \
+        .map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+
+SQL_FINGERPRINT_CLUSTER = """
+WITH k AS (
+  SELECT array_to_string(list_sort(list_distinct(
+             regexp_extract_all(lower(p_name), '[a-z0-9]+'))), ' ')
+           AS fp,
+         p_name
+  FROM part WHERE p_name IS NOT NULL
+)
+SELECT fp, count(*) AS n_rows, count(DISTINCT p_name) AS n_names
+FROM k GROUP BY 1
+"""
+
+
+EXT_QUERIES["fingerprint_cluster"] = q_fingerprint_cluster
+EXT_ORACLES["fingerprint_cluster"] = SQL_FINGERPRINT_CLUSTER
+
+
 def q_events_range_join(sf_dir: str):
     """Range join (engine addition — see stages/rangejoin.py): each
     event matched to every OTHER event-type's activity window

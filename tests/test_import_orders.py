@@ -12,8 +12,8 @@ import sys
 
 import pytest
 
-N_QUERIES = 138
-N_ORACLES = 117
+N_QUERIES = 139
+N_ORACLES = 118
 
 _FIRST = ["queries", "queries_ext", "queries_webtext", "queries_readers",
           "entity_resolution", "evaluation", "offline_build", "table_linking"]

@@ -98,3 +98,48 @@ def test_fs_weights_vs_bruteforce(ray_session, tmp_path):
     # evidence calibration: agreeing on the diverse field must add
     # more weight than agreeing on the near-constant one
     assert math.log(_FS_M / u["p_type"]) > math.log(_FS_M / u["p_brand"])
+
+
+def test_fingerprint_cluster_vs_bruteforce(ray_session, tmp_path):
+    """OpenRefine fingerprint keys: token-order and duplication
+    variants MUST collide; distinct-name counting must survive the
+    block structure."""
+    import random
+    import re
+
+    from refined_ray.pipelines.queries_ext import q_fingerprint_cluster
+
+    rng = random.Random(59)
+    base = ["red widget", "blue bolt", "hot gear", "small ring"]
+    names = []
+    for _ in range(50):
+        b = rng.choice(base)
+        toks = b.split()
+        variant = rng.choice([
+            b, " ".join(reversed(toks)),
+            " ".join(toks + [toks[0]]),     # duplicated token
+            "  ".join(toks).upper(),        # case + whitespace
+        ])
+        names.append(variant)
+    d = tmp_path / "sf3"
+    d.mkdir()
+    t = pa.table({
+        "p_partkey": pa.array(range(len(names)), type=pa.int64()),
+        "p_name": pa.array(names),
+        "p_brand": pa.array(["b"] * len(names)),
+        "p_type": pa.array(["t"] * len(names)),
+        "p_size": pa.array([1] * len(names), type=pa.int32()),
+        "p_retailprice": pa.array([1.0] * len(names)),
+    })
+    pq.write_table(t, d / "part.parquet", row_group_size=7)
+
+    got = sorted(map(tuple, q_fingerprint_cluster(str(d)).to_pandas()
+                     .itertuples(index=False, name=None)))
+
+    groups = {}
+    for nm in names:
+        fp = " ".join(sorted(set(re.findall(r"[a-z0-9]+", nm.lower()))))
+        groups.setdefault(fp, []).append(nm)
+    want = sorted((fp, len(v), len(set(v))) for fp, v in groups.items())
+    assert got == want
+    assert len(got) == len(base)  # every variant collides to its base
